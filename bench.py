@@ -1,0 +1,106 @@
+"""Headline benchmark: rollup tiers + gap-fill + compression.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; also runs the north-rule pages pipeline on a
+deterministically synthesized pages table (no external data).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rolled_up_points_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as ent
+from lambdo_spark.session import get_spark
+from lambdo_spark.rollup.tiers import TIER_SECONDS, downsample, finalize, gap_fill
+from lambdo_spark.rollup.compress_stage import compress_tier
+from lambdo_spark.sources.pages import generate_pages
+from lambdo_spark.rollup.tiers import partials_from_pages
+
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "2000000"))
+
+
+def run(df) -> int:
+    """Force full computation; return row count (points rolled up)."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="lambdo_spark_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    points = 0
+
+    def bench(name, thunk):
+        nonlocal points
+        t0 = time.time()
+        n = thunk()
+        timings[name] = round(time.time() - t0, 3)
+        points += n
+
+    qs = ent.queries()
+    for name in ["rollup_1h", "rollup_1d_via_partials", "rollup_gapfill_1h", "hist_1d", "compressed_chunks"]:
+        bench(name, lambda n=name: run(qs[n](spark, sf_dir)))
+
+    # north-rule flagship: pages table (materialized parquet, the
+    # stand-in for the Iceberg scan — setup is untimed) → all three
+    # tiers + gapfill + compression via partial+final re-aggregation
+    pages_path = f"/tmp/lambdo_bench_pages_{PAGES_ROWS}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        generate_pages(spark, PAGES_ROWS, seed=42).write.mode("overwrite").parquet(
+            pages_path
+        )
+    pages = spark.read.parquet(pages_path)
+
+    def pages_pipeline() -> int:
+        # 1h partials computed once, shared by every downstream tier
+        p1h = partials_from_pages(pages, TIER_SECONDS["1h"]).persist()
+        try:
+            p1d = downsample(p1h, TIER_SECONDS["1d"])
+            p30 = downsample(p1d, TIER_SECONDS["30d"])
+            n = 0
+            t1h = finalize(p1h)
+            n += run(t1h)
+            n += run(finalize(p1d))
+            n += run(finalize(p30))
+            n += run(gap_fill(t1h, TIER_SECONDS["1h"]))
+            n += run(compress_tier(t1h, value_col="mean_len"))
+            return n
+        finally:
+            p1h.unpersist()
+
+    bench("pages_all_tiers", pages_pipeline)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "rolled_up_points_per_sec": int(points / total) if total else 0,
+                "pages_rows": PAGES_ROWS,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

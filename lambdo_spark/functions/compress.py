@@ -1,0 +1,238 @@
+"""Time-series compression codecs: delta-of-delta timestamps and
+Gorilla XOR float values (Pelkonen et al., "Gorilla: A Fast, Scalable,
+In-Memory Time Series Database", VLDB 2015).
+
+Encoders are numpy-vectorized bit-packers meant to run inside
+``applyInPandas`` kernels over per-(url, coarse-partition) ordered
+series (SURVEY.md §7.1 "Compression"); nothing here touches Spark —
+pure ndarray -> bytes — so the same code is unit-testable without a
+session. Decoders are deliberately plain Python: they are the
+*reference* side of the round-trip property tests.
+
+Bitstream formats (self-describing, little header + MSB-first bits):
+
+Timestamps (int64 epoch seconds)::
+
+    uint32 count | int64 first | int64 first_delta | dod-codes...
+    dod == 0            -> '0'
+    dod in [-63, 64]    -> '10'  + 7  bits (dod + 63)
+    dod in [-255, 256]  -> '110' + 9  bits (dod + 255)
+    dod in [-2047,2048] -> '1110'+ 12 bits (dod + 2047)
+    else                -> '1111'+ 64 bits (two's complement)
+
+Values (float64)::
+
+    uint32 count | float64 first | xor-codes...
+    xor == 0 -> '0'
+    else     -> '11' + 5 bits leading-zero count + 6 bits sig-length
+                     + sig bits
+    ('10' = reuse-previous-window is valid on decode but the
+    vectorized encoder never emits it: dropping that mode removes the
+    sequential window state and makes the encoder embarrassingly
+    parallel in numpy — a deliberate ratio-for-throughput trade.)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def _pack_codes(codes_hi: np.ndarray, codes_lo: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-length codes (≤128 bits each).
+
+    Vectorized: one pass per bit position (≤ max(lengths) iterations),
+    each pass O(n) numpy — no per-element Python.
+    """
+    n = len(lengths)
+    if n == 0:
+        return b""
+    total = int(lengths.sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    max_len = int(lengths.max())
+    for j in range(max_len):
+        m = lengths > j
+        if not m.any():
+            break
+        shift = (lengths[m] - 1 - j).astype(np.int64)
+        hi_part = shift >= 64
+        bit = np.empty(m.sum(), dtype=np.uint8)
+        s_lo = np.where(hi_part, 0, shift).astype(np.uint64)
+        s_hi = np.where(hi_part, shift - 64, 0).astype(np.uint64)
+        bit = np.where(
+            hi_part,
+            (codes_hi[m] >> s_hi) & _U64(1),
+            (codes_lo[m] >> s_lo) & _U64(1),
+        ).astype(np.uint8)
+        bits[offsets[m] + j] = bit
+    return np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    def __init__(self, data: bytes, bit_offset: int = 0):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = bit_offset
+
+    def read(self, n: int) -> int:
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+# ---------------------------------------------------------------- timestamps
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    if n == 0:
+        return struct.pack("<I", 0)
+    if n == 1:
+        return struct.pack("<Iqq", 1, int(ts[0]), 0)
+    deltas = np.diff(ts)
+    header = struct.pack("<Iqq", n, int(ts[0]), int(deltas[0]))
+    if n == 2:
+        return header
+    dod = np.diff(deltas)
+
+    zero = dod == 0
+    s7 = (~zero) & (dod >= -63) & (dod <= 64)
+    s9 = (~zero) & (~s7) & (dod >= -255) & (dod <= 256)
+    s12 = (~zero) & (~s7) & (~s9) & (dod >= -2047) & (dod <= 2048)
+    s64 = ~(zero | s7 | s9 | s12)
+
+    lengths = np.select(
+        [zero, s7, s9, s12, s64], [1, 9, 12, 16, 68]
+    ).astype(np.int64)
+    lo = np.zeros(len(dod), dtype=np.uint64)
+    hi = np.zeros(len(dod), dtype=np.uint64)
+    # zero -> '0'
+    lo[s7] = (_U64(0b10) << _U64(7)) | (dod[s7] + 63).astype(np.uint64)
+    lo[s9] = (_U64(0b110) << _U64(9)) | (dod[s9] + 255).astype(np.uint64)
+    lo[s12] = (_U64(0b1110) << _U64(12)) | (dod[s12] + 2047).astype(np.uint64)
+    lo[s64] = dod[s64].view(np.uint64) if dod[s64].size else lo[s64]
+    hi[s64] = _U64(0b1111)
+    return header + _pack_codes(hi, lo, lengths)
+
+
+def decode_timestamps(data: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", data, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    first, first_delta = struct.unpack_from("<qq", data, 4)
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    out = [first, first + first_delta]
+    r = _BitReader(data[20:])
+    delta = first_delta
+    for _ in range(n - 2):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            raw = r.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        out.append(out[-1] + delta)
+    return np.array(out, dtype=np.int64)
+
+
+# -------------------------------------------------------------------- values
+
+def encode_values(vals: np.ndarray) -> bytes:
+    vals = np.asarray(vals, dtype=np.float64)
+    n = len(vals)
+    if n == 0:
+        return struct.pack("<I", 0)
+    header = struct.pack("<Id", n, float(vals[0]))
+    if n == 1:
+        return header
+    bits = vals.view(np.uint64)
+    xors = bits[1:] ^ bits[:-1]
+
+    zero = xors == 0
+    nz = ~zero
+    # leading/trailing zero counts, vectorized via bit tricks
+    lead = np.zeros(len(xors), dtype=np.int64)
+    trail = np.zeros(len(xors), dtype=np.int64)
+    if nz.any():
+        x = xors[nz]
+        # leading zeros = 63 - floor(log2(x)) for x>0
+        top = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (_U64(1) << _U64(s))
+            top[big] += s
+            v[big] >>= _U64(s)
+        lead[nz] = np.minimum(63 - top, 31)  # cap at 31 (5-bit field)
+        lowbit = x & (~x + _U64(1))
+        t = np.zeros(len(x), dtype=np.int64)
+        v = lowbit.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (_U64(1) << _U64(s))
+            t[big] += s
+            v[big] >>= _U64(s)
+        trail[nz] = t
+
+    sig = np.where(nz, 64 - lead - trail, 0).astype(np.int64)
+    lengths = np.where(zero, 1, 2 + 5 + 6 + sig).astype(np.int64)
+    sigbits = np.where(nz, xors >> trail.astype(np.uint64), _U64(0))
+
+    # code = '11' (2 bits) | lead (5 bits) | sig-1 (6 bits, sig in
+    # [1,64]) | sigbits (sig bits); total length 13 + sig, may straddle
+    # the 64-bit lo/hi boundary. All shifts kept strictly < 64 (numpy
+    # shift by >= width is undefined).
+    head = (_U64(0b11) << _U64(11)) | (
+        lead.astype(np.uint64) << _U64(6)
+    ) | (np.maximum(sig - 1, 0)).astype(np.uint64)
+    sig_u = sig.astype(np.uint64)
+    sh_lo = np.minimum(sig_u, _U64(63))          # head << sig (sig<64)
+    sh_hi = np.minimum(_U64(64) - sig_u, _U64(63))  # head >> 64-sig
+    sig64 = sig_u == 64
+    lo = np.where(sig64, sigbits, sigbits | (head << sh_lo))
+    hi = np.where(sig64, head, head >> sh_hi)
+    lo = np.where(nz, lo, _U64(0)).astype(np.uint64)
+    hi = np.where(nz, hi, _U64(0)).astype(np.uint64)
+    return header + _pack_codes(hi, lo, lengths)
+
+
+def decode_values(data: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", data, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    (first,) = struct.unpack_from("<d", data, 4)
+    if n == 1:
+        return np.array([first], dtype=np.float64)
+    prev = np.array([first], dtype=np.float64).view(np.uint64)[0]
+    out = [first]
+    r = _BitReader(data[12:])
+    prev_lead, prev_sig = 0, 64
+    for _ in range(n - 1):
+        if r.read(1) == 0:
+            xor = 0
+        else:
+            if r.read(1) == 0:  # '10' reuse window (decoder supports it)
+                lead, sig = prev_lead, prev_sig
+            else:  # '11' new window
+                lead = r.read(5)
+                sig = r.read(6) + 1
+                prev_lead, prev_sig = lead, sig
+            sigbits = r.read(sig)
+            xor = sigbits << (64 - lead - sig)
+        prev = prev ^ np.uint64(xor)
+        out.append(float(np.uint64(prev).view(np.float64)))
+    return np.array(out, dtype=np.float64)
+
+
+def compression_ratio(raw_count: int, encoded: bytes, width: int = 8) -> float:
+    return (raw_count * width) / max(len(encoded), 1)

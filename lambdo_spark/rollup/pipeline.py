@@ -1,0 +1,77 @@
+"""End-to-end retention pipeline (the north_rule flagship).
+
+pages scan → hash audit → 1h partials → 1d → 30d (partial+final) →
+finalize per tier → gap-fill → Gorilla/delta-of-delta compression →
+checkpointed Iceberg-layout writes with per-partition lineage.
+
+The reference analog is a whole lambdo workflow JSON (e.g.
+/root/reference/examples/example5.json: one table, one family of
+rolling means at windows 10/5/2); here the "family" is the tier set
+and every stage is a distributed DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lambdo_spark.rollup.audit import audit_summary
+from lambdo_spark.rollup.compress_stage import compress_tier
+from lambdo_spark.rollup.tiers import (
+    TIER_SECONDS,
+    downsample,
+    finalize,
+    gap_fill,
+    partials_from_pages,
+)
+from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+
+def run_retention_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    enforce_audit: bool = True,
+    compress_value_col: str = "mean_len",
+) -> dict:
+    """Run all tiers; returns {tier: snapshot dict} plus audit stats.
+
+    Each tier write is independently resumable: killing the job between
+    tiers (or mid-write) and re-calling this function recomputes only
+    partitions missing from each tier's committed snapshot.
+    """
+    if enforce_audit:
+        a = audit_summary(pages).collect()[0]
+        if a["violations"]:
+            raise ValueError(
+                f"hash audit failed: {a['violations']}/{a['total_rows']} rows "
+                "have non-byte-identical extracted text"
+            )
+
+    p1h = partials_from_pages(pages, TIER_SECONDS["1h"])
+    partials = {"1h": p1h}
+    partials["1d"] = downsample(p1h, TIER_SECONDS["1d"])
+    partials["30d"] = downsample(partials["1d"], TIER_SECONDS["30d"])
+
+    result: dict = {}
+    for tier_name, part in partials.items():
+        tier_df = finalize(part)
+        filled = gap_fill(tier_df, TIER_SECONDS[tier_name])
+        table = IcebergLayoutTable(os.path.join(out_root, f"tier_{tier_name}"))
+        snap = table.write_tier(
+            with_part(filled), input_snapshot=f"pages@{tier_name}"
+        )
+        comp = compress_tier(
+            tier_df, value_col=compress_value_col,
+            tier_seconds=TIER_SECONDS[tier_name],
+        )
+        ctable = IcebergLayoutTable(
+            os.path.join(out_root, f"compressed_{tier_name}")
+        )
+        csnap = ctable.write_tier(
+            comp.withColumn("part", comp["chunk"]),
+            input_snapshot=f"tier_{tier_name}@{snap['snapshot_id']}",
+        )
+        result[tier_name] = {"tier": snap, "compressed": csnap}
+    return result

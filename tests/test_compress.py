@@ -1,0 +1,66 @@
+"""Round-trip property tests for the Gorilla / delta-of-delta codecs
+(SURVEY.md §7.3: "exact round-trip vs a reference decoder")."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from lambdo_spark.functions.compress import (
+    compression_ratio,
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+
+def ts_roundtrip(a):
+    a = np.asarray(a, dtype=np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(a)), a)
+
+
+def val_roundtrip(a):
+    a = np.asarray(a, dtype=np.float64)
+    out = decode_values(encode_values(a))
+    assert np.array_equal(a.view(np.uint64), out.view(np.uint64))
+
+
+def test_ts_edges():
+    for arr in ([], [5], [5, 6], [0] * 50, [0, 2**40, 5, -(2**40)],
+                list(range(0, 10**6, 3600))):
+        ts_roundtrip(arr)
+
+
+def test_val_edges():
+    for arr in ([], [5.0], [1.5] * 100, [1e308, -1e308, 0.0, -0.0, np.nan,
+                np.inf, -np.inf], list(np.linspace(0, 1, 257))):
+        val_roundtrip(arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=200))
+def test_ts_property(xs):
+    ts_roundtrip(sorted(xs))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=200
+    )
+)
+def test_val_property(xs):
+    val_roundtrip(xs)
+
+
+def test_regular_grid_compresses_hard():
+    ts = (np.arange(10_000) * 3600 + 1704067200).astype(np.int64)
+    ratio = compression_ratio(len(ts), encode_timestamps(ts))
+    assert ratio > 40  # dod==0 everywhere → ~1 bit/point
+
+
+def test_slowly_varying_values_compress():
+    rng = np.random.default_rng(0)
+    vals = np.round(np.cumsum(rng.normal(0, 0.5, 10_000)) + 100, 2)
+    enc = encode_values(vals)
+    assert np.array_equal(decode_values(enc), vals)

@@ -1,0 +1,83 @@
+"""Checkpointed write / resume / lineage protocol tests
+(SURVEY.md §7.3 "Resumability without Iceberg's transaction layer")."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from lambdo_spark.rollup.compress_stage import compress_tier
+from lambdo_spark.rollup.pipeline import run_retention_pipeline
+from lambdo_spark.rollup.tiers import finalize, partials_from_pages
+from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+from lambdo_spark.sources.pages import generate_pages
+from lambdo_spark.functions.compress import decode_timestamps, decode_values
+
+
+def test_write_read_and_lineage(spark, tmp_path):
+    pages = generate_pages(spark, 1000, seed=42)
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    t = IcebergLayoutTable(str(tmp_path / "t1h"))
+    snap = t.write_tier(tier, input_snapshot="pages@test")
+    assert snap["snapshot_id"] == 0 and snap["parts"]
+    back = t.read_tier(spark)
+    assert back.count() == tier.count()
+    lin = t.lineage()
+    assert len(lin) == len(snap["parts"])
+    assert sum(m["rows"] for m in lin) == tier.count()
+    assert all(m["input_snapshot"] == "pages@test" for m in lin)
+
+
+def test_resume_skips_committed_parts(spark, tmp_path):
+    pages = generate_pages(spark, 800, seed=42)
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+
+    parts = sorted({str(r[0]) for r in tier.select("part").distinct().collect()})
+    assert len(parts) >= 2
+    # first run: only half the partitions exist upstream (simulates kill)
+    half = parts[: len(parts) // 2]
+    t.write_tier(tier.where(F.col("part").cast("string").isin(half)))
+    assert t.committed_parts() == set(half)
+    s0 = t.current_snapshot()["snapshot_id"]
+
+    # resume with the full input: only missing parts are new
+    snap = t.write_tier(tier)
+    assert snap["snapshot_id"] == s0 + 1
+    assert set(snap["new_parts"]) == set(parts) - set(half)
+    assert t.read_tier(spark).count() == tier.count()
+
+    # idempotent re-run: nothing new
+    snap2 = t.write_tier(tier)
+    assert snap2["new_parts"] == []
+    assert t.read_tier(spark).count() == tier.count()
+
+
+def test_compress_stage_roundtrip(spark):
+    pages = generate_pages(spark, 1200, seed=9)
+    tier = finalize(partials_from_pages(pages, 3600))
+    comp = compress_tier(tier, value_col="mean_len").collect()
+    assert comp
+    # decode a couple of blobs and compare to the tier rows
+    tier_pd = tier.orderBy("url", "bucket_s").toPandas()
+    for row in comp[:5]:
+        ts = decode_timestamps(bytes(row["ts_blob"]))
+        vals = decode_values(bytes(row["val_blob"]))
+        sub = tier_pd[tier_pd.url == row["url"]]
+        sub = sub[(sub.bucket_s >= ts.min()) & (sub.bucket_s <= ts.max())]
+        assert list(ts) == list(sub.bucket_s)
+        assert list(vals) == list(sub.mean_len)
+
+
+def test_full_pipeline_runs_and_resumes(spark, tmp_path):
+    pages = generate_pages(spark, 600, seed=11)
+    out = str(tmp_path / "pipe")
+    r1 = run_retention_pipeline(spark, pages, out)
+    assert set(r1) == {"1h", "1d", "30d"}
+    for tier in r1.values():
+        assert tier["tier"]["parts"]
+    # re-run is a no-op resume
+    r2 = run_retention_pipeline(spark, pages, out)
+    for tier in r2.values():
+        assert tier["tier"]["new_parts"] == []
+    assert os.path.exists(os.path.join(out, "tier_30d", "metadata", "CURRENT"))

@@ -1,0 +1,148 @@
+"""Vectorized kernel registry — the engine's function surface.
+
+The reference lets a workflow name *any* Python callable
+(/root/reference/lambdo/resolve.py:14-49: "module:attr" import-walk,
+inline lambda strings) and applies it row-at-a-time
+(Column.py:552-554) or per rolling window (Column.py:584-590). That
+is unshippable at 10^12 rows, so this engine inverts the contract
+(SURVEY.md §2.3): a fixed registry of kernels that compile to
+*built-in JVM expressions* wherever possible, with an explicit
+escape hatch for user pandas_udfs (Arrow-vectorized, never per-row).
+
+A kernel has up to three compilation strategies, best first:
+- ``expr(cols, **model)``       -> Column  (scalar, whole-stage codegen)
+- ``agg(cols, over=None, **model)`` -> Column (aggregate expression;
+  ``over`` is a WindowSpec — composite kernels like mean_weighted =
+  sum(v*w)/sum(w) must window each primitive aggregate separately,
+  which is why the kernel receives the window instead of the caller
+  wrapping the result)
+- ``pandas_fn``                 -> Series kernel for roll/all fallback
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, functions as F
+
+
+@dataclass
+class Kernel:
+    name: str
+    expr: Callable[..., Column] | None = None  # scalar expression builder
+    agg: Callable[..., Column] | None = None  # aggregate expression builder
+    pandas_fn: Callable | None = None  # pd.Series list -> pd.Series (vectorized)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Kernel] = {}
+
+
+def register(kernel: Kernel) -> Kernel:
+    _REGISTRY[kernel.name] = kernel
+    return kernel
+
+
+def get_kernel(name: str) -> Kernel:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown kernel '{name}' — registered: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def kernels() -> dict[str, Kernel]:
+    return dict(_REGISTRY)
+
+
+# --------------------------------------------------------------- scalars
+# lambdo analog: calculate with builtins:float etc.
+# (/root/reference/tests/test_calculate.py:23-26)
+
+register(Kernel("float", expr=lambda c: c[0].cast("double")))
+register(Kernel("int", expr=lambda c: c[0].cast("long")))
+register(Kernel("str", expr=lambda c: c[0].cast("string")))
+register(Kernel("length", expr=lambda c: F.length(c[0])))
+register(Kernel("lower", expr=lambda c: F.lower(c[0])))
+register(Kernel("upper", expr=lambda c: F.upper(c[0])))
+register(Kernel("abs", expr=lambda c: F.abs(c[0])))
+register(Kernel("add", expr=lambda c, value=0: c[0] + F.lit(value)))
+register(Kernel("mul", expr=lambda c, value=1: c[0] * F.lit(value)))
+register(Kernel("sub_cols", expr=lambda c: c[0] - c[1]))
+register(Kernel("add_cols", expr=lambda c: c[0] + c[1]))
+register(Kernel("div_cols", expr=lambda c: c[0] / c[1]))
+register(Kernel("mul_cols", expr=lambda c: c[0] * c[1]))
+register(
+    Kernel(
+        "gte",
+        expr=lambda c, value=0: (c[0] >= F.lit(value)),
+        doc="threshold compare (lambdo examples/example9.py:44-49)",
+    )
+)
+register(Kernel("to_timestamp", expr=lambda c, fmt=None: F.to_timestamp(c[0], fmt) if fmt else F.to_timestamp(c[0])))
+
+# ------------------------------------------------------------ aggregates
+# usable by roll (over a window frame), table aggregate, column aggregate
+
+def _ov(col: Column, over) -> Column:
+    return col.over(over) if over is not None else col
+
+
+def _simple(fn):
+    return lambda c, over=None: _ov(fn(c), over)
+
+
+register(Kernel("sum", agg=_simple(lambda c: F.sum(c[0])), pandas_fn=lambda s: s[0].sum()))
+register(Kernel("mean", agg=_simple(lambda c: F.avg(c[0])), pandas_fn=lambda s: s[0].mean()))
+register(Kernel("min", agg=_simple(lambda c: F.min(c[0])), pandas_fn=lambda s: s[0].min()))
+register(Kernel("max", agg=_simple(lambda c: F.max(c[0])), pandas_fn=lambda s: s[0].max()))
+register(Kernel("count", agg=_simple(lambda c: F.count(c[0] if c else F.lit(1))), pandas_fn=lambda s: s[0].count()))
+register(Kernel("size", agg=_simple(lambda c: F.count(F.lit(1))), pandas_fn=lambda s: len(s[0])))
+register(Kernel("stddev", agg=_simple(lambda c: F.stddev_samp(c[0])), pandas_fn=lambda s: s[0].std()))
+register(Kernel("first", agg=_simple(lambda c: F.first(c[0])), pandas_fn=lambda s: s[0].iloc[0]))
+register(Kernel("last", agg=_simple(lambda c: F.last(c[0])), pandas_fn=lambda s: s[0].iloc[-1]))
+register(
+    Kernel(
+        "count_distinct",
+        agg=lambda c, over=None: F.size(_ov(F.collect_set(c[0]), over))
+        if over is not None
+        else F.count_distinct(c[0]),
+        pandas_fn=lambda s: s[0].nunique(),
+    )
+)
+
+
+def _mean_weighted_expr(c: list[Column], over=None) -> Column:
+    # lambdo std.py:136-152 (mean_weighted over value+weight columns):
+    # sum(v*w)/sum(w) — algebraic, so it survives windows AND groups
+    return _ov(F.sum(c[0] * c[1]), over) / _ov(F.sum(c[1]), over)
+
+
+register(
+    Kernel(
+        "mean_weighted",
+        agg=_mean_weighted_expr,
+        pandas_fn=lambda s: (s[0] * s[1]).sum() / s[1].sum(),
+        doc="weighted mean (reference lambdo/std.py:136-152)",
+    )
+)
+
+
+def _slope_expr(c: list[Column], over=None) -> Column:
+    # least-squares slope of y over x (reference examples/example9.py:26-33
+    # fits y over 0..n-1): cov(x,y)/var(x) via algebraic sums
+    x, y = c[0].cast("double"), c[1].cast("double")
+    n = _ov(F.count(F.lit(1)), over)
+    sx, sy = _ov(F.sum(x), over), _ov(F.sum(y), over)
+    sxx, sxy = _ov(F.sum(x * x), over), _ov(F.sum(x * y), over)
+    return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+
+register(
+    Kernel(
+        "slope",
+        agg=_slope_expr,
+        doc="linear-trend slope over (x, y) (reference examples/example9.py:26-33)",
+    )
+)

@@ -1,0 +1,172 @@
+"""Table operators T1–T10 (SURVEY.md §2.1) as DataFrame compositions.
+
+Parity notes per op cite the reference implementation; the *plan* is
+always declarative so Catalyst gets pushdown/pruning/broadcast for
+free — the reference applies filters last by rule
+(/root/reference/lambdo/Topology.py:83-85) whereas we let the
+optimizer push them down (semantics identical: predicates are plain
+boolean columns).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def source(spark: SparkSession, fmt: str, path: str, options: dict | None = None) -> DataFrame:
+    """T1/T3(0-input) — source scan (reference: pandas:read_csv table
+    function, tests/test_table_populate.py:10-34). Parquet is the
+    native scale format; csv kept for reference parity."""
+    r = spark.read
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    if fmt == "csv":
+        r = r.option("header", True).option("inferSchema", True)
+    return r.format(fmt).load(path)
+
+
+def extend(prev: DataFrame) -> DataFrame:
+    """T2 — new table = previous table's rows (reference
+    Table.py:435-445). A free alias in Spark's immutable model."""
+    return prev
+
+
+def map_table(df: DataFrame, fn, schema) -> DataFrame:
+    """T3 (1-input UDF table) — whole-table function as a distributed
+    mapInPandas (reference Table.py:461-506 calls the UDF on the full
+    frame; here the kernel sees Arrow batches per partition)."""
+    return df.mapInPandas(fn, schema=schema)
+
+
+def project(df: DataFrame, inputs: Sequence[str], outputs: Sequence[str] | None = None) -> DataFrame:
+    """T4 — distinct combinations, renamed (reference Table.py:508-554:
+    drop_duplicates at :540-543, rename :546-552)."""
+    out = df.select(*inputs).dropDuplicates(list(inputs))
+    if outputs:
+        out = out.toDF(*outputs)
+    return out
+
+
+def product(dfs: Sequence[DataFrame]) -> DataFrame:
+    """T5 — cartesian product. Declared-but-unimplemented in the
+    reference (Table.py:370-371 logs an error); trivial here."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.crossJoin(d)
+    return out
+
+
+def join_tables(
+    dfs: Sequence[DataFrame],
+    keys: Sequence[Sequence[str] | None],
+    suffixes: Sequence[str] | None = None,
+) -> DataFrame:
+    """T6 — left-join a list of tables onto the first (reference
+    lambdo/std.py:15-57). ``keys[i]`` are the join columns for table
+    i+1; None means join-by-row-number (std.py:27-28 index join),
+    realized as a row_number over an explicit deterministic order.
+
+    Column collisions on the right side get ``suffixes[i]`` appended
+    (std.py suffix renaming). Catalyst picks broadcast vs sort-merge.
+    """
+    suffixes = suffixes or [f"_{i+1}" for i in range(len(dfs) - 1)]
+
+    def with_rn(d: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return d.withColumn("__rn__", F.row_number().over(w))
+
+    left = dfs[0]
+    for i, right in enumerate(dfs[1:]):
+        key = keys[i] if i < len(keys) else None
+        if key is None:
+            if "__rn__" not in left.columns:
+                left = with_rn(left)
+            right = with_rn(right)
+            on = ["__rn__"]
+        else:
+            on = list(key)
+        # suffix-rename right-side collisions (except join keys)
+        clash = (set(left.columns) & set(right.columns)) - set(on)
+        for c in clash:
+            right = right.withColumnRenamed(c, c + suffixes[i])
+        left = left.join(right, on=on, how="left")
+    return left.drop("__rn__")
+
+
+def aggregate_table(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggregations: Sequence[dict],
+) -> DataFrame:
+    """T7 — group + attach aggregate columns (reference
+    lambdo/std.py:59-134). Each aggregation spec:
+    {"id": out_name, "kernel": registry_name, "inputs": [cols]};
+    no inputs -> group size (std.py: `size` when no inputs).
+    All aggs share ONE groupBy → one shuffle (the reference caches the
+    groupby object for the same reason, Column.py:816-842)."""
+    from lambdo_spark.functions.registry import get_kernel
+
+    exprs = []
+    for spec in aggregations:
+        name = spec["id"]
+        kname = spec.get("kernel", "size" if not spec.get("inputs") else "sum")
+        k = get_kernel(kname)
+        cols = [F.col(c) for c in spec.get("inputs", [])]
+        exprs.append(k.agg(cols, **spec.get("model", {})).alias(name))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def row_filter(
+    df: DataFrame,
+    dropna: bool | Sequence[str] = False,
+    predicate: Sequence[str] | None = None,
+    sample: bool | dict | None = None,
+    slice_spec: dict | None = None,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """T8 — the four predicates in reference order
+    (lambdo/utils.py:266-320): dropna → predicate columns (consumed &
+    dropped) → sample → slice.
+
+    slice needs explicit order (reference relies on physical row
+    order): row_number over ``order_by``; [start, end) step k matches
+    tests/test_table_filter.py:105-108.
+    """
+    if dropna:
+        df = df.na.drop(subset=None if dropna is True else list(dropna))
+    for p in predicate or []:
+        df = df.filter(F.col(p)).drop(p)
+    if sample:
+        frac = 1.0 if sample is True else float(sample.get("frac", 1.0))
+        df = df.sample(fraction=frac, seed=int(sample.get("seed", 42)) if isinstance(sample, dict) else 42)
+    if slice_spec:
+        if not order_by:
+            raise ValueError("slice requires explicit order_by in Spark")
+        start = int(slice_spec.get("start", 0))
+        end = slice_spec.get("end")
+        step = int(slice_spec.get("step", 1))
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        df = df.withColumn("__rn0__", F.row_number().over(w) - 1)
+        cond = F.col("__rn0__") >= start
+        if end is not None:
+            cond = cond & (F.col("__rn0__") < int(end))
+        if step > 1:
+            cond = cond & (F.pmod(F.col("__rn0__") - start, F.lit(step)) == 0)
+        df = df.filter(cond).drop("__rn0__")
+    return df
+
+
+def column_filter(
+    df: DataFrame,
+    keep: Sequence[str] | None = None,
+    exclude: Sequence[str] | None = None,
+) -> DataFrame:
+    """T9/T10 — projection (reference Table.py:417-433): keep-list or
+    exclude-list → Catalyst column pruning reaches the scan."""
+    if keep is not None:
+        return df.select(*keep)
+    if exclude:
+        return df.drop(*exclude)
+    return df

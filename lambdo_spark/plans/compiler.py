@@ -1,0 +1,257 @@
+"""JSON workflow spec → topo-sorted DataFrame stages.
+
+The successor of lambdo's Workflow/Table/Column/Topology machinery
+(/root/reference/lambdo/Workflow.py:27-46, Table.py:17-22,
+Column.py:17-24, Topology.py:18-30), re-imagined:
+
+- a *table definition* compiles to one DataFrame (lazy, immutable) —
+  population ops T1–T7 from ``operators.table_ops``;
+- *column definitions* compile to withColumn/join stages — C1–C6 from
+  ``operators.column_ops``;
+- ``extensions`` desugar compiler-side into N concrete columns
+  (reference utils.py:13-36, expansion Table.py:48-63);
+- dependency stratification is the same Kahn-style layering as
+  lambdo's Topology.translate (Topology.py:69-99) but at *table*
+  granularity: intra-table ordering is the listed column order, and
+  everything inside a stage is delegated to Catalyst.
+- filters: the reference forces filter-last (Topology.py:83-85); we
+  apply them last in the logical plan and let Catalyst push them down
+  (identical semantics — predicates are plain boolean columns).
+
+Spec format (one dict)::
+
+    {"tables": [
+      {"id": T, "operation": "source|data|extend|project|product|join|
+                              aggregate|map",
+       ...population args...,
+       "order_by": [cols], "partition_by": [cols],   # window defaults
+       "columns": [ {"id": C, "operation": "calculate|roll|shift|all|
+                     link|compose|aggregate", ...}, ... ],
+       "row_filter": {...}, "column_filter": [...] | {"exclude": [...]}
+      }, ...]}
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lambdo_spark.operators import column_ops as C
+from lambdo_spark.operators import table_ops as T
+
+
+def strip_comments(text: str) -> str:
+    """`//` line comments, as the reference CLI accepts
+    (/root/reference/lambdo/main.py:23)."""
+    return re.sub(r"^\s*//.*$", "", text, flags=re.MULTILINE)
+
+
+def expand_extensions(col_def: dict) -> list[dict]:
+    """C8 — column families (reference utils.py:13-36): base ⊗ each
+    override; auto ids ``base_i`` when the override has none."""
+    exts = col_def.get("extensions")
+    if not exts:
+        return [col_def]
+    base = {k: v for k, v in col_def.items() if k != "extensions"}
+    out = []
+    for i, ext in enumerate(exts):
+        d = copy.deepcopy(base)
+        d.update(ext)
+        if "id" not in ext:
+            d["id"] = f"{base.get('id', 'col')}_{i}"
+        out.append(d)
+    return out
+
+
+def _table_deps(tdef: dict) -> set[str]:
+    deps: set[str] = set()
+    op = tdef.get("operation", "source")
+    if op in ("extend", "project", "map"):
+        deps.add(tdef["source"])
+    elif op in ("join", "product"):
+        deps.update(tdef.get("inputs", []))
+    elif op == "aggregate":
+        deps.add(tdef["source"])
+    for cdef in tdef.get("columns", []):
+        for c in expand_extensions(cdef):
+            cop = c.get("operation")
+            if cop == "link":
+                deps.add(c["linked_table"])
+            elif cop == "compose":
+                deps.add(c["linked_table"])
+            elif cop == "aggregate":
+                deps.add(c["fact_table"])
+    deps.discard(tdef["id"])
+    return deps
+
+
+def stratify(spec: dict) -> list[list[str]]:
+    """Kahn-style layer stratification (reference Topology.py:69-99).
+    Returns table ids in dependency layers; raises on cycles instead
+    of the reference's silent drop (Topology.py:95-96)."""
+    tdefs = {t["id"]: t for t in spec["tables"]}
+    remaining = dict(tdefs)
+    done: set[str] = set()
+    layers: list[list[str]] = []
+    while remaining:
+        # a dep is satisfied when already built, or not defined in the
+        # workflow at all (pre-bound data injected programmatically)
+        layer = [
+            tid
+            for tid, td in remaining.items()
+            if all(d in done or d not in tdefs for d in _table_deps(td))
+        ]
+        if not layer:
+            raise ValueError(
+                f"dependency cycle or unresolved tables: {sorted(remaining)}"
+            )
+        layers.append(sorted(layer))
+        for tid in layer:
+            done.add(tid)
+            remaining.pop(tid)
+    return layers
+
+
+class Workflow:
+    """Compiled workflow: dict of table id → DataFrame, built lazily
+    in dependency order. Mirrors the reference's programmatic entry
+    (SURVEY.md §3 entry point 2): bind input frames, execute, read
+    results — except 'execute' just *builds plans*; Spark actions
+    happen when the caller collects/writes."""
+
+    def __init__(self, spec: dict | str, spark: SparkSession, data: dict[str, DataFrame] | None = None):
+        if isinstance(spec, str):
+            spec = json.loads(strip_comments(spec))
+        self.spec = spec
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = dict(data or {})
+        self.layers = stratify(spec)
+        self._tdefs = {t["id"]: t for t in spec["tables"]}
+
+    def execute(self) -> dict[str, DataFrame]:
+        for layer in self.layers:
+            for tid in layer:
+                self.tables[tid] = self._build_table(self._tdefs[tid])
+        return self.tables
+
+    # ------------------------------------------------------------ build
+    def _build_table(self, tdef: dict) -> DataFrame:
+        df = self._populate(tdef)
+        order_by = tdef.get("order_by")
+        partition_by = tdef.get("partition_by")
+        drop_after: list[str] = []
+        for cdef in tdef.get("columns", []):
+            for c in expand_extensions(cdef):
+                df = self._eval_column(df, c, order_by, partition_by)
+                if c.get("exclude"):
+                    drop_after.append(c["id"])
+        rf = tdef.get("row_filter")
+        if rf:
+            df = T.row_filter(
+                df,
+                dropna=rf.get("dropna", False),
+                predicate=rf.get("predicate"),
+                sample=rf.get("sample"),
+                slice_spec=rf.get("slice"),
+                order_by=rf.get("order_by", order_by),
+            )
+        if drop_after:
+            df = df.drop(*drop_after)
+        cf = tdef.get("column_filter")
+        if cf is not None:
+            if isinstance(cf, dict):
+                df = T.column_filter(df, exclude=cf.get("exclude"))
+            else:
+                df = T.column_filter(df, keep=cf)
+        return df
+
+    def _populate(self, tdef: dict) -> DataFrame:
+        op = tdef.get("operation", "source")
+        tid = tdef["id"]
+        if op == "data":  # T1 noop — programmatic injection
+            if tid not in self.tables:
+                raise ValueError(f"table '{tid}' declared as data but not bound")
+            return self.tables[tid]
+        if op == "source":
+            return T.source(
+                self.spark, tdef.get("format", "parquet"), tdef["path"],
+                tdef.get("options"),
+            )
+        if op == "extend":
+            return T.extend(self.tables[tdef["source"]])
+        if op == "project":
+            return T.project(
+                self.tables[tdef["source"]], tdef["inputs"], tdef.get("outputs")
+            )
+        if op == "product":
+            return T.product([self.tables[t] for t in tdef["inputs"]])
+        if op == "join":
+            return T.join_tables(
+                [self.tables[t] for t in tdef["inputs"]],
+                tdef.get("keys", []),
+                tdef.get("suffixes"),
+            )
+        if op == "aggregate":
+            return T.aggregate_table(
+                self.tables[tdef["source"]], tdef["keys"], tdef["aggregations"]
+            )
+        raise ValueError(f"unknown table operation '{op}'")
+
+    def _eval_column(
+        self, df: DataFrame, c: dict, t_order: list | None, t_part: list | None
+    ) -> DataFrame:
+        op = c.get("operation")
+        if op is None:  # C7 noop — reference existing column
+            return df
+        out = c["id"]
+        order_by = c.get("order_by", t_order)
+        partition_by = c.get("partition_by", t_part)
+        if op == "calculate":
+            return C.calculate(df, out, c["kernel"], c["inputs"], c.get("model"))
+        if op == "roll":
+            if not order_by:
+                raise ValueError(f"roll column '{out}' needs order_by")
+            return C.roll(
+                df, out, c["kernel"], c["inputs"], int(c["window"]),
+                order_by, partition_by, c.get("model"), c.get("min_periods"),
+            )
+        if op == "shift":
+            if not order_by:
+                raise ValueError(f"shift column '{out}' needs order_by")
+            return C.shift(
+                df, out, c["inputs"][0], int(c.get("periods", 1)),
+                order_by, partition_by,
+            )
+        if op == "all":
+            return C.window_all(
+                df, out, c["kernel"], c["inputs"], partition_by, order_by,
+                c.get("model"),
+            )
+        if op == "link":
+            return C.link(
+                df, out, c["keys"], self.tables[c["linked_table"]],
+                c["linked_keys"],
+            )
+        if op == "compose":
+            return C.compose(
+                df, out, c["link"], self.tables[c["linked_table"]],
+                c["linked_keys"], c["target"],
+            )
+        if op == "aggregate":
+            return C.aggregate_column(
+                df, out, self.tables[c["fact_table"]], c["keys"],
+                c["fact_keys"], c["kernel"], c.get("measure"),
+                c.get("fillna_value"), c.get("model"),
+            )
+        raise ValueError(f"unknown column operation '{op}'")
+
+
+def compile_workflow(
+    spec: dict | str, spark: SparkSession, data: dict[str, DataFrame] | None = None
+) -> dict[str, DataFrame]:
+    """One-shot: build every table's DataFrame; returns id → DataFrame."""
+    return Workflow(spec, spark, data).execute()

@@ -1,0 +1,120 @@
+"""Workflow compiler: spec → stages parity with the reference's
+Workflow/Topology behavior (SURVEY.md §3)."""
+
+import pytest
+
+from lambdo_spark.plans.compiler import (
+    Workflow,
+    compile_workflow,
+    expand_extensions,
+    stratify,
+    strip_comments,
+)
+
+
+def test_extensions_desugar():
+    """reference utils.py:13-36 + tests/test_roll.py:84: auto ids."""
+    base = {"id": "m", "operation": "roll", "kernel": "mean", "window": 10,
+            "inputs": ["A"], "extensions": [{"window": 5}, {"window": 2, "id": "m2"}]}
+    out = expand_extensions(base)
+    assert [(c["id"], c["window"]) for c in out] == [("m_0", 5), ("m2", 2)]
+    assert all("extensions" not in c for c in out)
+
+
+def test_strip_comments():
+    """reference main.py:23 accepts // comments in workflow json."""
+    import json
+    s = '{\n// a comment\n"tables": []\n}'
+    assert json.loads(strip_comments(s)) == {"tables": []}
+
+
+def test_stratify_layers():
+    """reference tests/test_topology.py:140-155 plan-shape style:
+    aggregate chain stratifies into dependency layers."""
+    spec = {"tables": [
+        {"id": "groups", "operation": "data",
+         "columns": [{"id": "tot", "operation": "aggregate",
+                      "fact_table": "facts", "keys": ["A"],
+                      "fact_keys": ["A"], "kernel": "sum", "measure": "M"}]},
+        {"id": "facts", "operation": "data"},
+        {"id": "report", "operation": "aggregate", "source": "groups",
+         "keys": ["A"], "aggregations": [{"id": "n"}]},
+    ]}
+    assert stratify(spec) == [["facts"], ["groups"], ["report"]]
+
+
+def test_stratify_cycle_raises():
+    spec = {"tables": [
+        {"id": "a", "operation": "extend", "source": "b"},
+        {"id": "b", "operation": "extend", "source": "a"},
+    ]}
+    with pytest.raises(ValueError, match="cycle"):
+        stratify(spec)
+
+
+def test_end_to_end_workflow(spark):
+    """A full reference-style workflow: data injection (entry point 2,
+    tests/test_calculate.py:32-48), calculate, roll family, shift,
+    link+aggregate, filter."""
+    facts = spark.createDataFrame(
+        [(0, "a", 1), (1, "a", 2), (2, "b", 3), (3, "b", 4)],
+        "idx long, A string, M long",
+    )
+    groups = spark.createDataFrame([("a",), ("b",), ("c",)], "A string")
+    spec = {"tables": [
+        {"id": "facts", "operation": "data", "order_by": ["idx"],
+         "columns": [
+             {"id": "Mf", "operation": "calculate", "kernel": "float",
+              "inputs": ["M"]},
+             {"id": "rsum", "operation": "roll", "kernel": "sum",
+              "inputs": ["Mf"], "window": 2,
+              "extensions": [{"window": 2}, {"window": 3, "id": "rsum3"}]},
+             {"id": "nxt", "operation": "shift", "inputs": ["Mf"],
+              "periods": -1},
+         ]},
+        {"id": "groups", "operation": "data",
+         "columns": [
+             {"id": "tot", "operation": "aggregate", "fact_table": "facts",
+              "keys": ["A"], "fact_keys": ["A"], "kernel": "sum",
+              "measure": "Mf", "fillna_value": 0.0},
+         ],
+         "row_filter": {"predicate": []}},
+    ]}
+    out = compile_workflow(spec, spark, data={"facts": facts, "groups": groups})
+    f = out["facts"].orderBy("idx").collect()
+    assert [r["rsum_0"] for r in f] == [None, 3.0, 5.0, 7.0]
+    assert [r["rsum3"] for r in f] == [None, None, 6.0, 9.0]
+    assert [r["nxt"] for r in f] == [2.0, 3.0, 4.0, None]
+    g = {r["A"]: r["tot"] for r in out["groups"].collect()}
+    assert g == {"a": 3.0, "b": 7.0, "c": 0.0}
+
+
+def test_workflow_json_string_with_comments(spark):
+    spec = """
+    {
+      // project then aggregate
+      "tables": [
+        {"id": "src", "operation": "data"},
+        {"id": "dims", "operation": "project", "source": "src",
+         "inputs": ["A"], "outputs": ["key"]}
+      ]
+    }
+    """
+    src = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "A string, M long")
+    out = Workflow(spec, spark, data={"src": src}).execute()
+    assert sorted(r["key"] for r in out["dims"].collect()) == ["a", "b"]
+
+
+def test_workflow_source_and_column_filter(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, 2, 3)], "A long, B long, C long").write.parquet(p)
+    spec = {"tables": [
+        {"id": "t", "operation": "source", "format": "parquet", "path": p,
+         "column_filter": {"exclude": ["B"]}},
+        {"id": "ext", "operation": "extend", "source": "t",
+         "columns": [{"id": "D", "operation": "calculate", "kernel": "add",
+                      "inputs": ["A"], "model": {"value": 10}}]},
+    ]}
+    out = compile_workflow(spec, spark)
+    assert out["t"].columns == ["A", "C"]
+    assert out["ext"].collect()[0]["D"] == 11

@@ -2,11 +2,16 @@
 
 ``entry(spark)`` — flagship retention rollup on sf0.001 events.
 ``queries()`` / ``oracle_sql()`` — one pair per implemented operator
-(SURVEY.md §2); the driver cross-checks them against DuckDB at sf0.01.
+(SURVEY.md §2 plus the training-data ops); the driver cross-checks
+them against DuckDB at sf0.01.
 
-All float aggregates are rounded identically on both sides; timestamps
-are compared as epoch-second longs to keep the value-hash stable
-across engines.
+Cross-engine determinism rules used throughout:
+- money/measure aggregates are quantized to integer cents before
+  summing (float summation order can flip a 4-decimal rounding);
+- timestamps compare as epoch-second longs (DuckDB CAST rounds,
+  Spark truncates — always floor(epoch(...)));
+- DuckDB BIGINT sums widen to HUGEINT — CAST back in the oracle;
+- window orders always carry a unique tiebreaker column.
 """
 
 from __future__ import annotations
@@ -14,8 +19,26 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from lambdo_spark.functions.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    dedup_tokenset,
+)
+from lambdo_spark.functions.multimodal import extract_media_features
+from lambdo_spark.functions.similarity import ann_bruteforce_topk, ann_lsh_topk
+from lambdo_spark.functions.text import (
+    lang_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from lambdo_spark.operators import column_ops as C
+from lambdo_spark.operators import table_ops as T
+from lambdo_spark.rollup.compress_stage import compress_tier
 from lambdo_spark.rollup.tiers import (
     TIER_SECONDS,
     downsample,
@@ -23,25 +46,30 @@ from lambdo_spark.rollup.tiers import (
     gap_fill,
     partials_from_table,
 )
-from lambdo_spark.rollup.compress_stage import compress_tier
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _t(spark, sf_dir, "events")
+
+
+def _cents():
+    return F.round(F.col("value") * 100, 0).cast("long")
 
 
 def _event_partials(spark: SparkSession, sf_dir: str, tier_seconds: int) -> DataFrame:
     """events as the keyed time-series: key=user_id, ts=ts,
-    cat=event_type, measure=value quantized to cents (exact longs —
-    sums/means become integer-exact, so the DuckDB value-hash can
-    never drift on float summation order)."""
+    cat=event_type, measure=value in integer cents (exact merges)."""
     return partials_from_table(
         _events(spark, sf_dir),
         tier_seconds,
         key_col="user_id",
         ts_col="ts",
         cat_col="event_type",
-        measure=F.round(F.col("value") * 100, 0).cast("long"),
+        measure=_cents(),
     )
 
 
@@ -51,11 +79,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return finalize(_event_partials(spark, "/root/testdata/sf0.001", 3600))
 
 
-# --------------------------------------------------------------- queries
+# ===================================================== rollup (flagship)
 
-def _q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mean exposed as scaled integer division over exact partials:
-    # mean(value) * 10^4 = (sum_cents * 100) div n_points
+def _q_rollup_1h(spark, sf_dir):
     t = _event_partials(spark, sf_dir, 3600).groupBy("url", "bucket_s").agg(
         F.sum("n_points").alias("n_points"),
         F.sum("sum_len").alias("_sum_c"),
@@ -72,12 +98,11 @@ def _q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_rollup_1d_via_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1d tier produced by re-aggregating 1h partials (partial+final);
-    the oracle computes the day rollup directly from raw rows — this
-    pins the algebraic-merge invariant against an independent engine."""
-    p1h = _event_partials(spark, sf_dir, 3600)
-    p1d = downsample(p1h, TIER_SECONDS["1d"])
+def _q_rollup_1d_via_partials(spark, sf_dir):
+    """1d tier re-aggregated from 1h partials (partial+final); oracle
+    computes the day rollup directly from raw rows — pins the
+    algebraic-merge invariant against an independent engine."""
+    p1d = downsample(_event_partials(spark, sf_dir, 3600), TIER_SECONDS["1d"])
     t = p1d.groupBy("url", "bucket_s").agg(
         F.sum("n_points").alias("n_points"),
         F.sum("sum_len").alias("_sum_c"),
@@ -90,17 +115,16 @@ def _q_rollup_1d_via_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_rollup_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_rollup_gapfill_1h(spark, sf_dir):
     t = finalize(_event_partials(spark, sf_dir, 3600))
-    filled = gap_fill(t, 3600, key="url")
-    return filled.select(
+    return gap_fill(t, 3600, key="url").select(
         F.col("url").alias("user_id"), "bucket_s", "n_points"
     )
 
 
-def _q_hist_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Category histogram materialized as a MapType column, exploded
-    back to rows so DuckDB can verify the map contents exactly."""
+def _q_hist_1d(spark, sf_dir):
+    """Category histogram as MapType, exploded back so DuckDB can
+    verify the map contents exactly."""
     t = finalize(downsample(_event_partials(spark, sf_dir, 3600), 86400))
     return t.select(
         F.col("url").alias("user_id"),
@@ -109,10 +133,9 @@ def _q_hist_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_compressed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gorilla/delta-of-delta compression stage (non-SQL-expressible:
-    binary codecs; driver does the rows-only check, round-trip
-    exactness is pinned by tests/test_compress.py)."""
+def _q_compressed_chunks(spark, sf_dir):
+    """Gorilla/delta-of-delta compression (binary codecs → rows-only;
+    round-trip exactness pinned by tests/test_compress.py)."""
     t = finalize(_event_partials(spark, sf_dir, 3600))
     c = compress_tier(t, value_col="mean_len", tier_seconds=3600)
     return c.select(
@@ -122,13 +145,249 @@ def _q_compressed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================= relational operators §2
+
+def _q_calc_revenue(spark, sf_dir):
+    """C1 calculate — per-row expression (reference Column.py:524-559)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # price (2dp) x (1-discount) (2dp) → exact integer in 10^-4 units;
+    # float-rounded forms hit .5 boundaries that the two engines break
+    # differently, so expose the product of the quantized factors
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price_c * disc_c).alias("revenue_x10k"),
+    )
+
+
+def _q_roll_sum_w5(spark, sf_dir):
+    """C2 roll — trailing 5-row sum per user (min_periods=5 → first 4
+    NULL, reference tests/test_roll.py:46-48)."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    out = C.roll(
+        ev, "roll_sum", "sum", ["cents"], 5,
+        order_by=["ts", "event_id"], partition_by=["user_id"],
+    )
+    return out.select("event_id", "user_id", "roll_sum")
+
+
+def _q_shift_lag(spark, sf_dir):
+    """C3 shift — pandas shift(1)/(−1) parity (tests/test_calculate.py:54-89)."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    out = C.shift(ev, "prev_cents", "cents", 1, ["ts", "event_id"], ["user_id"])
+    out = C.shift(out, "next_cents", "cents", -1, ["ts", "event_id"], ["user_id"])
+    return out.select("event_id", "prev_cents", "next_cents")
+
+
+def _q_link_compose(spark, sf_dir):
+    """C4 link + C5 compose — customer → nation drill-down
+    (reference Column.py:670-814)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    linked = C.link(cust, "nat", ["c_nationkey"], nation, ["n_nationkey"])
+    composed = C.compose(linked, "nation_name", "nat", nation, ["n_nationkey"], "n_name")
+    return composed.select("c_custkey", "nation_name")
+
+
+def _q_agg_column_fillna(spark, sf_dir):
+    """C6 aggregate column — order stats attached to customers, LEFT
+    join so orderless customers survive with fillna 0
+    (reference tests/test_aggregate.py:77-79)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    out = C.aggregate_column(
+        cust, "total_price_c", orders, ["c_custkey"], ["o_custkey"],
+        "sum", "price_c", fillna_value=0,
+    )
+    out = C.aggregate_column(
+        out, "n_orders", orders, ["c_custkey"], ["o_custkey"],
+        "size", None, fillna_value=0,
+    )
+    return out.select("c_custkey", "n_orders", "total_price_c")
+
+
+def _q_project_distinct(spark, sf_dir):
+    """T4 project — distinct + rename (reference Table.py:508-554)."""
+    return T.project(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        ["status", "priority"],
+    )
+
+
+def _q_product(spark, sf_dir):
+    """T5 product — cartesian (unimplemented in reference,
+    Table.py:370-371)."""
+    return T.product(
+        [_t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")]
+    ).select("r_name", "n_name")
+
+
+def _q_join_tables(spark, sf_dir):
+    """T6 join — left equi-join chain (reference lambdo/std.py:15-57)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    out = T.join_tables(
+        [
+            orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey")),
+            cust.select("c_custkey", "c_name", F.col("c_nationkey").alias("n_nationkey")),
+            nation.select("n_nationkey", "n_name"),
+        ],
+        [["c_custkey"], ["n_nationkey"]],
+    )
+    return out.select("o_orderkey", "c_name", "n_name")
+
+
+def _q_aggregate_table(spark, sf_dir):
+    """T7 aggregate — TPC-H Q1 shape (reference lambdo/std.py:59-134);
+    money in cents for exact sums."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn(
+            "price_c", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        )
+        .withColumn("qty", F.round(F.col("l_quantity"), 0).cast("long"))
+    )
+    out = T.aggregate_table(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            {"id": "n_rows"},
+            {"id": "sum_qty", "kernel": "sum", "inputs": ["qty"]},
+            {"id": "sum_price_c", "kernel": "sum", "inputs": ["price_c"]},
+            {"id": "max_qty", "kernel": "max", "inputs": ["qty"]},
+        ],
+    )
+    return out
+
+
+def _q_row_filter_slice(spark, sf_dir):
+    """T8 slice — start/end/step over explicit order
+    (reference tests/test_table_filter.py:105-108)."""
+    return T.row_filter(
+        _t(spark, sf_dir, "orders").select("o_orderkey"),
+        slice_spec={"start": 10, "end": 200, "step": 7},
+        order_by=["o_orderkey"],
+    )
+
+
+def _q_topk_orders(spark, sf_dir):
+    """top-k (sort/limit analog, SURVEY §2.4): 100 priciest orders."""
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select("rank", "o_orderkey")
+    )
+
+
+# ========================================== training-data pipeline ops
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_tokenset(spark, sf_dir):
+    return dedup_tokenset(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup (hash family not SQL-expressible →
+    rows-only; mechanism pinned by tests/test_dedup.py)."""
+    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash banding (rows-only; pinned by tests/test_dedup.py)."""
+    return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return dedup_embedding_cosine(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("id_a", "id_b")  # cosine float kept out of the value-hash
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_bruteforce_topk(emb, emb.where("vec_id < 5"), k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (seeded hyperplanes not SQL-expressible →
+    rows-only; recall pinned by tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.where("vec_id < 5"), k=10, bits=4, tables=16)
+
+
+def _q_text_analysis(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        lang_id(c).alias("lang_guess"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    """FNV-1a fingerprints (rows-only; pinned vs pure-Python reference
+    in tests/test_text.py)."""
+    from lambdo_spark.functions.text import fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_udf()(F.col("text")).alias("fingerprint"))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing over a binary column (decode stubbed —
+    rows-only; determinism pinned by tests/test_multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return extract_media_features(docs, id_col="doc_id", binary_col="blob")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # flagship rollup
         "rollup_1h": _q_rollup_1h,
         "rollup_1d_via_partials": _q_rollup_1d_via_partials,
         "rollup_gapfill_1h": _q_rollup_gapfill_1h,
         "hist_1d": _q_hist_1d,
         "compressed_chunks": _q_compressed_chunks,
+        # relational operators (SURVEY §2)
+        "calc_revenue": _q_calc_revenue,
+        "roll_sum_w5": _q_roll_sum_w5,
+        "shift_lag": _q_shift_lag,
+        "link_compose": _q_link_compose,
+        "agg_column_fillna": _q_agg_column_fillna,
+        "project_distinct": _q_project_distinct,
+        "product": _q_product,
+        "join_tables": _q_join_tables,
+        "aggregate_table": _q_aggregate_table,
+        "row_filter_slice": _q_row_filter_slice,
+        "topk_orders": _q_topk_orders,
+        # training-data pipeline
+        "dedup_exact": _q_dedup_exact,
+        "dedup_tokenset": _q_dedup_tokenset,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "text_analysis": _q_text_analysis,
+        "fingerprint": _q_fingerprint,
+        "media_features": _q_media_features,
     }
 
 
@@ -143,8 +402,21 @@ SELECT user_id,
 FROM events GROUP BY 1, 2
 """
 
+_SQL_MARKER = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t) IN ({})))"
+
+
+def _marker(langs: list[str]) -> str:
+    return _SQL_MARKER.format(",".join(f"'{w}'" for w in langs))
+
 
 def oracle_sql() -> dict[str, str]:
+    from lambdo_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    en = _marker(LANG_MARKERS["en"])
+    de = _marker(LANG_MARKERS["de"])
+    fr = _marker(LANG_MARKERS["fr"])
+    es = _marker(LANG_MARKERS["es"])
+    sw = _marker(STOPWORDS)
     return {
         "rollup_1h": _SQL_TIER.format(sec=3600),
         "rollup_1d_via_partials": """
@@ -181,6 +453,130 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points
             FROM events GROUP BY 1, 2, 3
         """,
-        # compressed_chunks: intentionally absent (binary codec output;
-        # rows-only check + pytest round-trip property tests)
+        # compressed_chunks: rows-only (binary codec output)
+        "calc_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+                     AS revenue_x10k
+            FROM lineitem
+        """,
+        "roll_sum_w5": """
+            SELECT event_id, user_id,
+                   CASE WHEN row_number() OVER w >= 5 THEN
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   END AS roll_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "shift_lag": """
+            SELECT event_id,
+                   lag(CAST(round(value*100,0) AS BIGINT)) OVER w AS prev_cents,
+                   lead(CAST(round(value*100,0) AS BIGINT)) OVER w AS next_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "link_compose": """
+            SELECT c.c_custkey, n.n_name AS nation_name
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "agg_column_fillna": """
+            SELECT c.c_custkey,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(o.total_price_c, 0) AS total_price_c
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, count(*) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+                         AS total_price_c
+              FROM orders GROUP BY 1
+            ) o ON c.c_custkey = o.o_custkey
+        """,
+        "project_distinct": """
+            SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority
+            FROM orders
+        """,
+        "product": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+        "join_tables": """
+            SELECT o.o_orderkey, c.c_name, n.n_name
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "aggregate_table": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+                       AS sum_price_c,
+                   CAST(max(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS max_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "row_filter_slice": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+              FROM orders
+            )
+            SELECT o_orderkey FROM o
+            WHERE rn >= 10 AND rn < 200 AND (rn - 10) % 7 = 0
+        """,
+        "topk_orders": """
+            SELECT rank, o_orderkey FROM (
+              SELECT o_orderkey,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                         AS rank
+              FROM orders
+            ) WHERE rank <= 100
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_tokenset": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents
+            GROUP BY array_to_string(
+              list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))),
+              ' ')
+        """,
+        # dedup_minhash / dedup_simhash: rows-only (hash families)
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+        # ann_lsh: rows-only (seeded hyperplanes)
+        "text_analysis": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   round(CASE WHEN length(text) > 0 THEN
+                     CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                     THEN CAST({sw} AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\\s+'))
+                     ELSE 0.0 END, 6) AS stopword_ratio,
+                   CASE
+                     WHEN greatest({en},{de},{fr},{es}) = 0 THEN 'und'
+                     WHEN {en} = greatest({en},{de},{fr},{es}) THEN 'en'
+                     WHEN {de} = greatest({en},{de},{fr},{es}) THEN 'de'
+                     WHEN {fr} = greatest({en},{de},{fr},{es}) THEN 'fr'
+                     ELSE 'es'
+                   END AS lang_guess
+            FROM documents
+        """,
+        # fingerprint / media_features: rows-only (FNV-1a, binary stub)
     }

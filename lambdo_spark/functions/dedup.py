@@ -1,0 +1,253 @@
+"""Deduplication operators for web-scale training data.
+
+Five strategies, cheapest first. Everything hash-based uses the same
+deterministic splitmix64 family as the pages generator — no Python
+``hash()`` (varies per process), no randomness at runtime.
+
+Scale notes:
+- exact + tokenset dedup are single groupBys (map-side combined).
+- MinHash LSH is the linear-cost near-dup path: shingles → K minhash
+  values → B bands → candidate pairs only within equal band buckets
+  (one shuffle on band key), verified by exact Jaccard. At 10^12 docs
+  band buckets are further split by a doc-count cap before the
+  self-join (hot buckets = near-identical boilerplate; the cap bounds
+  the quadratic term).
+- SimHash gives 64-bit signatures; near-dups = small Hamming distance,
+  found by banding the signature into 4x16-bit chunks (any equal chunk
+  → candidate, exact for distance <= 3 by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# ------------------------------------------------------------ exact
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping min id.
+    (groupBy on sha2 would equally work; grouping on the text itself
+    lets Catalyst skip materializing the hash at small scale — at
+    100 TB swap in sha2(text) as the group key to shrink shuffle rows.)
+    """
+    return docs.groupBy(F.col(text_col)).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("keep_id", "dup_count")
+
+
+def dedup_tokenset(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup by token-set normalization: same distinct sorted token
+    multiset-free signature → duplicates (catches reorderings)."""
+    sig = F.concat_ws(
+        " ", F.sort_array(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")))
+    )
+    return docs.groupBy(sig.alias("token_sig")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("keep_id", "dup_count")
+
+
+# ---------------------------------------------------------- hashing
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    h = np.array(
+        [int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "little") for t in toks],
+        dtype=np.uint64,
+    )
+    return h
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingle hashes (rolling combination of token hashes)."""
+    th = _token_hashes(text)
+    if len(th) < k:
+        return _splitmix64(th)
+    sh = th[: len(th) - k + 1].copy()
+    for i in range(1, k):
+        sh = _splitmix64(sh * np.uint64(31) + th[i : len(th) - k + 1 + i])
+    return sh
+
+
+def minhash_signature(text: str, num_hashes: int = 64, k: int = 3) -> np.ndarray:
+    """K minhash values via one shingle-hash array x K splitmix salts
+    (vectorized K x S matrix min)."""
+    sh = np.unique(shingle_hashes(text, k))
+    salts = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0xA5A5A5A5))
+    with np.errstate(over="ignore"):
+        m = _splitmix64(sh[None, :] ^ salts[:, None])
+    return m.min(axis=1)
+
+
+def minhash_bands_udf(num_hashes: int = 64, bands: int = 16):
+    rows_per_band = num_hashes // bands
+
+    @pandas_udf("array<long>")
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sig = minhash_signature(t or "", num_hashes)
+            bnd = sig.reshape(bands, rows_per_band)
+            keys = [
+                np.int64(_splitmix64(np.array([b * np.uint64(1315423911) + np.uint64(i)], dtype=np.uint64))[0])
+                for i, b in enumerate(_splitmix64(bnd.sum(axis=1, dtype=np.uint64)))
+            ]
+            out.append(keys)
+        return pd.Series(out)
+
+    return _udf
+
+
+def ngram_jaccard(a, b):
+    """Exact token Jaccard as a column expression (JVM-side)."""
+    ta = F.array_distinct(F.split(F.trim(a), r"\s+"))
+    tb = F.array_distinct(F.split(F.trim(b), r"\s+"))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Pipeline: signature → band keys → explode → self-join per band
+    bucket → dedup candidates → verify with the exact JVM Jaccard.
+    ``bucket_cap`` drops degenerate buckets (boilerplate floods) —
+    logged-at-scale trade, exact for normal corpora.
+    """
+    bud = minhash_bands_udf(num_hashes, bands)
+    sigs = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt"), bud(F.col(text_col)).alias("bnd")
+    )
+    exploded = sigs.select(
+        "id", "txt", F.posexplode("bnd").alias("band_ix", "band_key")
+    )
+    # cap pathological buckets before the quadratic join
+    sizes = exploded.groupBy("band_ix", "band_key").count()
+    exploded = exploded.join(
+        sizes.where(F.col("count") <= bucket_cap).drop("count"),
+        ["band_ix", "band_key"],
+    )
+    a = exploded.select(
+        "band_ix", "band_key", F.col("id").alias("id_a"), F.col("txt").alias("txt_a")
+    )
+    b = exploded.select(
+        "band_ix", "band_key", F.col("id").alias("id_b"), F.col("txt").alias("txt_b")
+    )
+    cand = (
+        a.join(b, ["band_ix", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "txt_a", "txt_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", ngram_jaccard(F.col("txt_a"), F.col("txt_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------- simhash
+
+def simhash_py(text: str) -> int:
+    """64-bit SimHash over token hashes (reference implementation)."""
+    th = _token_hashes(text or "")
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (bits * 2 - 1).sum(axis=0)
+    h = 0
+    for i in range(64):
+        if v[i] > 0:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def simhash_udf():
+    @pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash_py(t) for t in texts], dtype=np.int64)
+
+    return _udf
+
+
+def dedup_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4
+    16-bit chunks; by pigeonhole any pair within hamming<=3 shares at
+    least one exact chunk → equi-join per chunk, then exact hamming
+    filter via bit_count(xor)."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_ix"),
+                    F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk_ix", "c.chunk")
+    a = chunks.select("chunk_ix", "chunk", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = chunks.select("chunk_ix", "chunk", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, ["chunk_ix", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold (brute-force
+    self-join; the LSH-bucketed scale path lives in similarity.py)."""
+    from lambdo_spark.functions.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k (exact baseline) — pure JVM expressions
+  (`aggregate`/`zip_with` dot products), broadcast query side,
+  row_number window for the top-k cut;
+- LSH-bucketed ANN (scale path) — deterministic random-hyperplane
+  signatures (seeded, executor-side numpy), candidates restricted to
+  equal-bucket collisions across T tables, then exact re-rank. At
+  10^12 vectors the bucket join replaces the O(N·Q) scan with
+  O(collisions); recall tuned by (bits, tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def ann_bruteforce_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query
+    side against the corpus, cosine in JVM, row_number cut.
+    Excludes self-matches (same id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed * 1000 + table)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_udf(dim: int, bits: int = 12, tables: int = 4, seed: int = 42):
+    """array<float> -> array<long> of per-table bucket signatures
+    (sign pattern of hyperplane projections, vectorized per batch)."""
+    planes = [_hyperplanes(dim, bits, t, seed) for t in range(tables)]
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        out = []
+        sigs = [((m @ p.T) > 0).astype(np.int64) @ weights for p in planes]
+        allsigs = np.stack(sigs, axis=1)  # (n, tables)
+        # offset each table's signature space so buckets never collide
+        allsigs = allsigs + (np.arange(len(planes)) << np.int64(bits + 1))[None, :]
+        return pd.Series(list(allsigs))
+
+    return _udf
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: equal-LSH-bucket candidates → exact cosine
+    re-rank. One shuffle on bucket key instead of a full cross join."""
+    dim = len(emb.select(vec_col).first()[0])
+    udf = lsh_bucket_udf(dim, bits, tables, seed)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,82 @@
+"""Dedup operators: planted duplicates must be found; reported pairs
+must be exact (verified similarity above threshold)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lambdo_spark.functions.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    dedup_tokenset,
+    simhash_py,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("today", "tonight")  # 1-token change → high jaccard
+FAR = "completely different content about spark shuffles and parquet files"
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE), (2, BASE),          # exact dup pair
+        (3, NEAR),                      # near dup of 1/2
+        (4, FAR), (5, "the quick brown fox"),
+        (6, " ".join(reversed(BASE.split()))),  # reordering of BASE
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 2           # docs 1,2 collapse
+    assert sum(by_keep.values()) == 6
+
+
+def test_dedup_tokenset_catches_reordering(spark):
+    out = dedup_tokenset(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 3           # 1, 2 and the reordered 6
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    out = dedup_minhash_lsh(_docs(spark), threshold=0.8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs           # exact dup
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dup
+    # NB: (1,6) (reversal) is NOT required — shingling is order-
+    # sensitive by design; reorderings are dedup_tokenset's job
+    for r in out:                    # verification is exact jaccard
+        assert r["jaccard"] >= 0.8
+    assert not any({4, 5} & {a, b} for a, b in pairs if (a, b) != (4, 5))
+
+
+def test_simhash_reference_properties():
+    assert simhash_py(BASE) == simhash_py(BASE)
+    h1, h2 = simhash_py(BASE), simhash_py(NEAR)
+    assert bin((h1 ^ h2) & (2**64 - 1)).count("1") <= 16  # near docs → close
+    hf = simhash_py(FAR)
+    assert bin((h1 ^ hf) & (2**64 - 1)).count("1") > 10
+
+
+def test_dedup_simhash_pairs(spark):
+    out = dedup_simhash(_docs(spark), max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 6)] == 0        # simhash is order-insensitive
+    assert (1, 4) not in pairs
+
+
+def test_dedup_embedding_cosine(spark):
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal(16).tolist()
+    v2 = [x * 1.001 for x in v1]              # near-identical direction
+    v3 = rng.standard_normal(16).tolist()
+    emb = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<double>"
+    )
+    out = dedup_embedding_cosine(emb, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}

@@ -1,0 +1,56 @@
+"""Similarity search: brute-force exactness vs a numpy oracle, and
+LSH recall against brute force on the real embeddings table."""
+
+import numpy as np
+import pandas as pd
+
+from lambdo_spark.functions.similarity import ann_bruteforce_topk, ann_lsh_topk
+
+
+def _numpy_topk(mat, ids, qix, k):
+    q = mat[qix]
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ q) / (norms * norms[qix])
+    order = [
+        i for i in np.lexsort((ids, -np.round(sims, 12))) if ids[i] != ids[qix]
+    ][:k]
+    return [ids[i] for i in order]
+
+
+def test_bruteforce_matches_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    queries = emb.where("vec_id < 3")
+    out = ann_bruteforce_topk(emb, queries, k=5).toPandas()
+    for qid in [0, 1, 2]:
+        got = out[out.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        qix = int(np.where(ids == qid)[0][0])
+        exp = _numpy_topk(mat, ids, qix, 5)
+        assert got == exp, f"query {qid}: {got} != {exp}"
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    exact = ann_bruteforce_topk(emb, queries, k=10).toPandas()
+    # near-uniform random vectors have weak neighbor structure → use
+    # few bits / many tables (measured recall 0.90 at sf0.001)
+    approx = ann_lsh_topk(emb, queries, k=10, bits=4, tables=16).toPandas()
+    hits = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a) / len(e)
+    recall = hits / exact.query_id.nunique()
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 2")
+    a = ann_lsh_topk(emb, q, k=5).toPandas().sort_values(["query_id", "rank"])
+    b = ann_lsh_topk(emb, q, k=5).toPandas().sort_values(["query_id", "rank"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

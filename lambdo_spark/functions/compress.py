@@ -236,3 +236,185 @@ def decode_values(data: bytes) -> np.ndarray:
 
 def compression_ratio(raw_count: int, encoded: bytes, width: int = 8) -> float:
     return (raw_count * width) / max(len(encoded), 1)
+
+
+# --------------------------------------------------- grouped (batch) API
+#
+# Encoding one small series per call costs ~0.2 ms of fixed numpy
+# overhead; a batch with 100k url-series pays 20 s for microseconds of
+# real work. The *_many variants encode EVERY group in one vectorized
+# pass: codes for all rows computed at once (group boundaries masked
+# out of the delta chains), one global bit-buffer packed with the same
+# per-bit-position loop, each group byte-aligned so its blob can be
+# sliced out. Blobs are bit-identical to the per-group encoders
+# (tests pin this), so decode_* needs no changes.
+
+def _grouped_pack(
+    hi: np.ndarray,
+    lo: np.ndarray,
+    lengths: np.ndarray,
+    code_gid: np.ndarray,
+    n_groups: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack per-code bits into one buffer with byte-aligned groups.
+
+    Returns (buf_bytes, group_byte_start, group_byte_len).
+    """
+    bits_per_group = np.bincount(code_gid, weights=lengths, minlength=n_groups).astype(
+        np.int64
+    )
+    bytes_per_group = (bits_per_group + 7) // 8
+    byte_start = np.concatenate(([0], np.cumsum(bytes_per_group)[:-1]))
+    total_bytes = int(bytes_per_group.sum())
+    bits = np.zeros(total_bytes * 8, dtype=np.uint8)
+    if len(lengths):
+        # within-group bit offset per code: global running sum reset at
+        # group boundaries (codes arrive grouped & in order)
+        csum = np.cumsum(lengths)
+        starts_of_code = csum - lengths
+        grp_first = np.zeros(len(lengths), dtype=np.int64)
+        first_ix = np.concatenate(([0], 1 + np.flatnonzero(np.diff(code_gid))))
+        grp_base = starts_of_code[first_ix]
+        grp_first[first_ix] = 1
+        base_per_code = grp_base[np.cumsum(grp_first) - 1]
+        within = starts_of_code - base_per_code
+        offsets = byte_start[code_gid] * 8 + within
+        max_len = int(lengths.max())
+        for j in range(max_len):
+            m = lengths > j
+            if not m.any():
+                break
+            shift = (lengths[m] - 1 - j).astype(np.int64)
+            hi_part = shift >= 64
+            s_lo = np.where(hi_part, 0, shift).astype(np.uint64)
+            s_hi = np.where(hi_part, shift - 64, 0).astype(np.uint64)
+            bits[offsets[m] + j] = np.where(
+                hi_part,
+                (hi[m] >> s_hi) & _U64(1),
+                (lo[m] >> s_lo) & _U64(1),
+            ).astype(np.uint8)
+    buf = np.packbits(bits)
+    return buf, byte_start, bytes_per_group
+
+
+def encode_timestamps_many(ts: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Encode many concatenated series at once; ``group_starts`` are
+    the start indices of each group in ``ts`` (sorted, first == 0)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    group_starts = np.asarray(group_starts, dtype=np.int64)
+    n_groups = len(group_starts)
+    ends = np.append(group_starts[1:], len(ts))
+    counts = ends - group_starts
+
+    gid = np.repeat(np.arange(n_groups), counts)
+    # per-row deltas; invalid across group boundaries
+    deltas = np.diff(ts, prepend=ts[:1])  # row i: ts[i]-ts[i-1]
+    pos = np.arange(len(ts)) - np.repeat(group_starts, counts)  # pos in group
+    first_delta = np.zeros(n_groups, dtype=np.int64)
+    has2 = counts >= 2
+    first_delta[has2] = ts[group_starts[has2] + 1] - ts[group_starts[has2]]
+
+    # dod codes exist for rows with pos >= 2
+    code_mask = pos >= 2
+    dod = (deltas - np.roll(deltas, 1))[code_mask]
+    code_gid = gid[code_mask]
+
+    zero = dod == 0
+    s7 = (~zero) & (dod >= -63) & (dod <= 64)
+    s9 = (~zero) & (~s7) & (dod >= -255) & (dod <= 256)
+    s12 = (~zero) & (~s7) & (~s9) & (dod >= -2047) & (dod <= 2048)
+    s64 = ~(zero | s7 | s9 | s12)
+    lengths = np.select([zero, s7, s9, s12, s64], [1, 9, 12, 16, 68]).astype(np.int64)
+    lo = np.zeros(len(dod), dtype=np.uint64)
+    hi = np.zeros(len(dod), dtype=np.uint64)
+    lo[s7] = (_U64(0b10) << _U64(7)) | (dod[s7] + 63).astype(np.uint64)
+    lo[s9] = (_U64(0b110) << _U64(9)) | (dod[s9] + 255).astype(np.uint64)
+    lo[s12] = (_U64(0b1110) << _U64(12)) | (dod[s12] + 2047).astype(np.uint64)
+    if s64.any():
+        lo[s64] = dod[s64].view(np.uint64)
+        hi[s64] = _U64(0b1111)
+
+    buf, byte_start, byte_len = _grouped_pack(hi, lo, lengths, code_gid, n_groups)
+    out: list[bytes] = []
+    firsts = ts[group_starts.clip(max=len(ts) - 1)] if len(ts) else np.zeros(n_groups, dtype=np.int64)
+    for g in range(n_groups):
+        n = int(counts[g])
+        if n == 0:
+            out.append(struct.pack("<I", 0))
+            continue
+        if n == 1:
+            out.append(struct.pack("<Iqq", 1, int(firsts[g]), 0))
+            continue
+        header = struct.pack("<Iqq", n, int(firsts[g]), int(first_delta[g]))
+        body = buf[byte_start[g] : byte_start[g] + byte_len[g]].tobytes()
+        out.append(header + body)
+    return out
+
+
+def encode_values_many(vals: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Grouped Gorilla XOR encode (see encode_timestamps_many)."""
+    vals = np.asarray(vals, dtype=np.float64)
+    group_starts = np.asarray(group_starts, dtype=np.int64)
+    n_groups = len(group_starts)
+    ends = np.append(group_starts[1:], len(vals))
+    counts = ends - group_starts
+    gid = np.repeat(np.arange(n_groups), counts)
+    pos = np.arange(len(vals)) - np.repeat(group_starts, counts)
+
+    bits64 = vals.view(np.uint64) if len(vals) else np.zeros(0, dtype=np.uint64)
+    prev = np.roll(bits64, 1)
+    code_mask = pos >= 1
+    xors = (bits64 ^ prev)[code_mask]
+    code_gid = gid[code_mask]
+
+    zero = xors == 0
+    nz = ~zero
+    lead = np.zeros(len(xors), dtype=np.int64)
+    trail = np.zeros(len(xors), dtype=np.int64)
+    if nz.any():
+        x = xors[nz]
+        top = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (_U64(1) << _U64(s))
+            top[big] += s
+            v[big] >>= _U64(s)
+        lead[nz] = np.minimum(63 - top, 31)
+        lowbit = x & (~x + _U64(1))
+        t = np.zeros(len(x), dtype=np.int64)
+        v = lowbit.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (_U64(1) << _U64(s))
+            t[big] += s
+            v[big] >>= _U64(s)
+        trail[nz] = t
+
+    sig = np.where(nz, 64 - lead - trail, 0).astype(np.int64)
+    lengths = np.where(zero, 1, 13 + sig).astype(np.int64)
+    sigbits = np.where(nz, xors >> trail.astype(np.uint64), _U64(0))
+    head = (_U64(0b11) << _U64(11)) | (
+        lead.astype(np.uint64) << _U64(6)
+    ) | (np.maximum(sig - 1, 0)).astype(np.uint64)
+    sig_u = sig.astype(np.uint64)
+    sh_lo = np.minimum(sig_u, _U64(63))
+    sh_hi = np.minimum(_U64(64) - sig_u, _U64(63))
+    sig64 = sig_u == 64
+    lo = np.where(sig64, sigbits, sigbits | (head << sh_lo))
+    hi = np.where(sig64, head, head >> sh_hi)
+    lo = np.where(nz, lo, _U64(0)).astype(np.uint64)
+    hi = np.where(nz, hi, _U64(0)).astype(np.uint64)
+
+    buf, byte_start, byte_len = _grouped_pack(hi, lo, lengths, code_gid, n_groups)
+    out: list[bytes] = []
+    for g in range(n_groups):
+        n = int(counts[g])
+        if n == 0:
+            out.append(struct.pack("<I", 0))
+            continue
+        header = struct.pack("<Id", n, float(vals[group_starts[g]]))
+        if n == 1:
+            out.append(header)
+            continue
+        body = buf[byte_start[g] : byte_start[g] + byte_len[g]].tobytes()
+        out.append(header + body)
+    return out

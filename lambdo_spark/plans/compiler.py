@@ -70,7 +70,7 @@ def expand_extensions(col_def: dict) -> list[dict]:
 def _table_deps(tdef: dict) -> set[str]:
     deps: set[str] = set()
     op = tdef.get("operation", "source")
-    if op in ("extend", "project", "map"):
+    if op in ("extend", "project", "map", "sink"):
         deps.add(tdef["source"])
     elif op in ("join", "product"):
         deps.update(tdef.get("inputs", []))
@@ -199,6 +199,17 @@ class Workflow:
             return T.aggregate_table(
                 self.tables[tdef["source"]], tdef["keys"], tdef["aggregations"]
             )
+        if op == "sink":
+            # reference parity: a function table doubling as a sink
+            # (pandas:DataFrame.to_csv, examples/example1.json:14-22);
+            # here an eager parquet/csv write, returning the source
+            src = self.tables[tdef["source"]]
+            fmt = tdef.get("format", "parquet")
+            w = src.write.mode(tdef.get("mode", "overwrite"))
+            if fmt == "csv":
+                w = w.option("header", True)
+            w.format(fmt).save(tdef["path"])
+            return src
         raise ValueError(f"unknown table operation '{op}'")
 
     def _eval_column(

@@ -34,10 +34,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+import numpy as np
+
 from lambdo_spark.functions.compress import (
-    compression_ratio,
-    encode_timestamps,
-    encode_values,
+    encode_timestamps_many,
+    encode_values_many,
 )
 
 
@@ -49,22 +50,28 @@ def _compressed_schema(tier: DataFrame) -> str:
     )
 
 
-def _encode_group(key, g: pd.DataFrame) -> dict:
-    ts = g["bucket_s"].to_numpy("int64")
-    vals = g["_v"].to_numpy("float64")
-    tb = encode_timestamps(ts)
-    vb = encode_values(vals)
-    ratio = 0.5 * compression_ratio(len(ts), tb) + 0.5 * compression_ratio(
-        len(vals), vb
+def _encode_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Encode every (url, chunk) group in the frame in one vectorized
+    pass (grouped codec API — per-group encode calls cost ~0.2 ms of
+    fixed numpy overhead, ruinous at 100k+ small series)."""
+    urls = b["url"].to_numpy()
+    chunks = b["_chunk"].to_numpy()
+    boundary = np.flatnonzero((urls[1:] != urls[:-1]) | (chunks[1:] != chunks[:-1]))
+    starts = np.concatenate(([0], boundary + 1))
+    counts = np.diff(np.append(starts, len(b)))
+    ts_blobs = encode_timestamps_many(b["bucket_s"].to_numpy("int64"), starts)
+    val_blobs = encode_values_many(b["_v"].to_numpy("float64"), starts)
+    sizes = np.array([len(t) + len(v) for t, v in zip(ts_blobs, val_blobs)])
+    return pd.DataFrame(
+        {
+            "url": urls[starts],
+            "chunk": chunks[starts].astype("int64"),
+            "n": counts,
+            "ts_blob": ts_blobs,
+            "val_blob": val_blobs,
+            "ratio": counts * 16.0 / np.maximum(sizes, 1),
+        }
     )
-    return {
-        "url": key[0],
-        "chunk": int(key[1]),
-        "n": len(ts),
-        "ts_blob": tb,
-        "val_blob": vb,
-        "ratio": ratio,
-    }
 
 
 def compress_tier(
@@ -95,18 +102,9 @@ def compress_tier(
             carry = b[tail_mask]
             closed = b[~tail_mask]
             if len(closed):
-                recs = [
-                    _encode_group(k, g)
-                    for k, g in closed.groupby(["url", "_chunk"], sort=False)
-                ]
-                yield pd.DataFrame.from_records(recs)
+                yield _encode_batch(closed)
         if carry is not None and len(carry):
-            yield pd.DataFrame.from_records(
-                [
-                    _encode_group(k, g)
-                    for k, g in carry.groupby(["url", "_chunk"], sort=False)
-                ]
-            )
+            yield _encode_batch(carry)
 
     prepared = (
         tier.select(

@@ -64,3 +64,32 @@ def test_slowly_varying_values_compress():
     vals = np.round(np.cumsum(rng.normal(0, 0.5, 10_000)) + 100, 2)
     enc = encode_values(vals)
     assert np.array_equal(decode_values(enc), vals)
+
+
+def test_grouped_encoders_byte_identical():
+    """encode_*_many must produce exactly the bytes the per-group
+    encoders produce, for every group size incl. 1 and 2."""
+    from lambdo_spark.functions.compress import (
+        encode_timestamps_many,
+        encode_values_many,
+    )
+
+    rng = np.random.default_rng(7)
+    sizes = np.concatenate(([1, 2, 3], rng.integers(1, 60, 300)))
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    n = int(sizes.sum())
+    ts = np.empty(n, dtype=np.int64)
+    for s, c in zip(starts, sizes):
+        ts[s : s + c] = np.sort(rng.integers(0, 10**9, c))
+    vals = np.round(rng.normal(50, 3, n), 2)
+    vals[rng.integers(0, n, 10)] = np.nan
+    mt = encode_timestamps_many(ts, starts)
+    mv = encode_values_many(vals, starts)
+    for i, (s, c) in enumerate(zip(starts, sizes)):
+        assert mt[i] == encode_timestamps(ts[s : s + c])
+        assert mv[i] == encode_values(vals[s : s + c])
+        assert np.array_equal(decode_timestamps(mt[i]), ts[s : s + c])
+        assert np.array_equal(
+            decode_values(mv[i]).view(np.uint64),
+            vals[s : s + c].view(np.uint64),
+        )

@@ -29,13 +29,19 @@ from lambdo_spark.functions.dedup import (
     dedup_tokenset,
 )
 from lambdo_spark.functions.multimodal import extract_media_features
-from lambdo_spark.functions.similarity import ann_bruteforce_topk, ann_lsh_topk
+from lambdo_spark.functions.similarity import (
+    ann_bruteforce_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+)
 from lambdo_spark.functions.text import (
     lang_id,
     punct_ratio,
+    quality_score,
     stopword_ratio,
     token_count,
 )
+from lambdo_spark.plans.compiler import compile_workflow
 from lambdo_spark.operators import column_ops as C
 from lambdo_spark.operators import table_ops as T
 from lambdo_spark.rollup.compress_stage import compress_tier
@@ -287,6 +293,50 @@ def _q_topk_orders(spark, sf_dir):
     )
 
 
+def _q_workflow_compiled(spark, sf_dir):
+    """End-to-end JSON workflow through the compiler (SURVEY §3
+    lifecycle; reference Workflow.py:91-115): source → calculate
+    chain (C1) → roll family via extensions (C2+C8) → column_filter
+    (T9). The oracle re-derives the same logic in SQL, pinning the
+    compiler's semantics — not just each operator's."""
+    spec = {
+        "tables": [
+            {
+                "id": "events",
+                "operation": "source",
+                "format": "parquet",
+                "path": os.path.join(sf_dir, "events.parquet"),
+                "order_by": ["ts", "event_id"],
+                "partition_by": ["user_id"],
+                "columns": [
+                    {"id": "v100", "operation": "calculate", "kernel": "mul",
+                     "inputs": ["value"], "model": {"value": 100},
+                     "exclude": True},
+                    {"id": "v100r", "operation": "calculate", "kernel": "round",
+                     "inputs": ["v100"], "exclude": True},
+                    {"id": "cents", "operation": "calculate", "kernel": "int",
+                     "inputs": ["v100r"]},
+                    {"id": "roll_mean", "operation": "roll", "kernel": "mean",
+                     "inputs": ["cents"],
+                     "extensions": [
+                         {"id": "roll_mean_3", "window": 3},
+                         {"id": "roll_mean_5", "window": 5},
+                     ]},
+                ],
+                "column_filter": ["event_id", "cents", "roll_mean_3", "roll_mean_5"],
+            }
+        ]
+    }
+    return compile_workflow(spec, spark)["events"]
+
+
+def _q_doc_quality(spark, sf_dir):
+    """Quality scoring (cheap pre-filter for training data):
+    length x punctuation x stopword composite."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
 # ========================================== training-data pipeline ops
 
 def _q_dedup_exact(spark, sf_dir):
@@ -317,6 +367,15 @@ def _q_dedup_embedding(spark, sf_dir):
 def _q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = ann_bruteforce_topk(emb, emb.where("vec_id < 5"), k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (codebook from distributed Lloyd passes —
+    rows-only; recall + exactness-at-full-probe pinned by
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_ivf_topk(emb, emb.where("vec_id < 5"), k=10, n_centroids=8, nprobe=4)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -377,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_table": _q_aggregate_table,
         "row_filter_slice": _q_row_filter_slice,
         "topk_orders": _q_topk_orders,
+        "workflow_compiled": _q_workflow_compiled,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_tokenset": _q_dedup_tokenset,
@@ -385,7 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "text_analysis": _q_text_analysis,
+        "doc_quality": _q_doc_quality,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
     }
@@ -530,6 +592,22 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 100
         """,
+        "workflow_compiled": """
+            SELECT event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   CASE WHEN row_number() OVER w >= 3 THEN
+                     avg(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   END AS roll_mean_3,
+                   CASE WHEN row_number() OVER w >= 5 THEN
+                     avg(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   END AS roll_mean_5
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text
@@ -579,4 +657,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # fingerprint / media_features: rows-only (FNV-1a, binary stub)
+        "doc_quality": f"""
+            SELECT doc_id,
+                   round(
+                     least(length(text) / 500.0, 1.0)
+                     * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+                         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) * 5)
+                     * (0.5 + least((CASE
+                         WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                         THEN CAST({sw} AS DOUBLE)
+                           / len(regexp_split_to_array(trim(text), '\\s+'))
+                         ELSE 0.0 END) * 5, 1.0) / 2),
+                     6) AS quality
+            FROM documents
+        """,
     }

@@ -102,14 +102,14 @@ def minhash_bands_udf(num_hashes: int = 64, bands: int = 16):
     @pandas_udf("array<long>")
     def _udf(texts: pd.Series) -> pd.Series:
         out = []
+        band_ix = np.arange(bands, dtype=np.uint64)
         for t in texts:
             sig = minhash_signature(t or "", num_hashes)
             bnd = sig.reshape(bands, rows_per_band)
-            keys = [
-                np.int64(_splitmix64(np.array([b * np.uint64(1315423911) + np.uint64(i)], dtype=np.uint64))[0])
-                for i, b in enumerate(_splitmix64(bnd.sum(axis=1, dtype=np.uint64)))
-            ]
-            out.append(keys)
+            with np.errstate(over="ignore"):
+                bs = _splitmix64(bnd.sum(axis=1, dtype=np.uint64))
+                keys = _splitmix64(bs * np.uint64(1315423911) + band_ix)
+            out.append(list(keys.astype(np.int64)))
         return pd.Series(out)
 
     return _udf

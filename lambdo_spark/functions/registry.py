@@ -81,6 +81,7 @@ register(
     )
 )
 register(Kernel("to_timestamp", expr=lambda c, fmt=None: F.to_timestamp(c[0], fmt) if fmt else F.to_timestamp(c[0])))
+register(Kernel("round", expr=lambda c, digits=0: F.round(c[0], digits)))
 
 # ------------------------------------------------------------ aggregates
 # usable by roll (over a window frame), table aggregate, column aggregate

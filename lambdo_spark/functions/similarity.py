@@ -8,7 +8,13 @@ Two paths:
   signatures (seeded, executor-side numpy), candidates restricted to
   equal-bucket collisions across T tables, then exact re-rank. At
   10^12 vectors the bucket join replaces the O(N·Q) scan with
-  O(collisions); recall tuned by (bits, tables).
+  O(collisions); recall tuned by (bits, tables);
+- IVF ANN (alternate scale path) — a small codebook of centroids
+  (seeded init + distributed Lloyd passes whose per-cell vector means
+  are computed as algebraic per-dimension sums, so the only
+  driver-side data is the codebook itself), cell assignment via a
+  vectorized matmul pandas UDF, queries probing their ``nprobe``
+  nearest cells, then exact re-rank. Candidate volume ~ N·nprobe/C.
 """
 
 from __future__ import annotations
@@ -87,6 +93,114 @@ def lsh_bucket_udf(dim: int, bits: int = 12, tables: int = 4, seed: int = 42):
         return pd.Series(list(allsigs))
 
     return _udf
+
+
+def ivf_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic IVF codebook as a (C, dim) float64 matrix.
+
+    Init = the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id)`` (a seeded, order-free sample). Refinement = Lloyd
+    passes where each cell's new centroid is mean(vectors in cell),
+    computed distributed: assign (pandas UDF) → posexplode →
+    groupBy(cell, dim) sum/count — algebraic merges, map-side
+    combined; only the C×dim codebook is ever collected.
+    """
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n_centroids)
+        .select("_v")
+        .collect()
+    )
+    centroids = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assign = ivf_assign_udf(centroids, nprobe=1)
+        sums = (
+            emb.select(
+                assign(F.col(vec_col))[0].alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("dim", "v"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc = np.zeros_like(centroids)
+        cnt = np.zeros(len(centroids), dtype=np.int64)
+        for r in sums:
+            acc[r["cell"], r["dim"]] += r["s"]
+            cnt[r["cell"]] = r["n"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        centroids = new
+    return centroids
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """array<float> -> array<int>: ids of the ``nprobe`` nearest
+    centroids by cosine (vectorized batch matmul)."""
+    c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @pandas_udf("array<int>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T  # (n, C)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return _udf
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus assigned to 1 cell, queries probe
+    their ``nprobe`` nearest cells, exact cosine re-rank on candidates.
+
+    One shuffle on the cell key; candidate volume scales with
+    N·nprobe/C instead of N·Q. At cluster scale the corpus assignment
+    is computed once and persisted with the table (a bucketed column),
+    making repeated query batches join-only."""
+    codebook = ivf_codebook(emb, n_centroids, id_col, vec_col, iters)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_assign_udf(codebook, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_assign_udf(codebook, nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
 
 
 def ann_lsh_topk(

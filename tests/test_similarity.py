@@ -4,7 +4,12 @@ LSH recall against brute force on the real embeddings table."""
 import numpy as np
 import pandas as pd
 
-from lambdo_spark.functions.similarity import ann_bruteforce_topk, ann_lsh_topk
+from lambdo_spark.functions.similarity import (
+    ann_bruteforce_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ivf_codebook,
+)
 
 
 def _numpy_topk(mat, ids, qix, k):
@@ -46,6 +51,42 @@ def test_lsh_recall_vs_bruteforce(spark):
         hits += len(e & a) / len(e)
     recall = hits / exact.query_id.nunique()
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    exact = ann_bruteforce_topk(emb, queries, k=10).toPandas()
+    # 8 cells, probe 4 → half the corpus scanned per query; random
+    # vectors are a worst case for IVF so the bar stays moderate
+    approx = ann_ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=4).toPandas()
+    hits = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a) / len(e)
+    recall = hits / exact.query_id.nunique()
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe == n_centroids degenerates to exact search — every
+    candidate is scanned, so results must equal brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 3")
+    exact = ann_bruteforce_topk(emb, queries, k=5).toPandas()
+    full = ann_ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=4).toPandas()
+    for qid in exact.query_id.unique():
+        e = exact[exact.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        f = full[full.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert e == f
+
+
+def test_ivf_codebook_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ivf_codebook(emb, n_centroids=6, iters=1)
+    b = ivf_codebook(emb, n_centroids=6, iters=1)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_lsh_deterministic(spark):

@@ -43,6 +43,7 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter
     spark = get_spark(app_name="oracle_check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -54,6 +55,8 @@ def main() -> int:
     qs, oracles = ent.queries(), ent.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001

@@ -42,6 +42,7 @@ from lambdo_spark.functions.text import (
     token_count,
 )
 from lambdo_spark.plans.compiler import compile_workflow
+from lambdo_spark.functions.train import fit_linear_exact1, predict_expr
 from lambdo_spark.operators import column_ops as C
 from lambdo_spark.operators import table_ops as T
 from lambdo_spark.rollup.compress_stage import compress_tier
@@ -330,6 +331,26 @@ def _q_workflow_compiled(spark, sf_dir):
     return compile_workflow(spec, spark)["events"]
 
 
+def _q_train_predict(spark, sf_dir):
+    """C10 train+apply (reference Column.py:844-956): OLS price ~ qty
+    fitted as a distributed aggregation over EXACT long sums (only the
+    final divisions are float, replicated by the oracle via HUGEINT),
+    applied as a JVM expression."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("qty", F.round(F.col("l_quantity"), 0).cast("long"))
+        .withColumn(
+            "price_c", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        )
+    )
+    model = fit_linear_exact1(li, "qty", "price_c")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(predict_expr(model, [F.col("qty")]), 4).alias("pred_price_c"),
+    )
+
+
 def _q_doc_quality(spark, sf_dir):
     """Quality scoring (cheap pre-filter for training data):
     length x punctuation x stopword composite."""
@@ -437,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_filter_slice": _q_row_filter_slice,
         "topk_orders": _q_topk_orders,
         "workflow_compiled": _q_workflow_compiled,
+        "train_predict": _q_train_predict,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_tokenset": _q_dedup_tokenset,
@@ -607,6 +629,35 @@ def oracle_sql() -> dict[str, str]:
                    END AS roll_mean_5
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "train_predict": """
+            WITH li AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(qty) AS HUGEINT) AS sx,
+                     CAST(sum(price_c) AS HUGEINT) AS sy,
+                     CAST(sum(qty * qty) AS HUGEINT) AS sxx,
+                     CAST(sum(qty * price_c) AS HUGEINT) AS sxy
+              FROM li
+            ), m AS (
+              SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                     n, sx, sy
+              FROM s
+            ), m2 AS (
+              SELECT slope,
+                     (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS icept
+              FROM m
+            )
+            SELECT li.l_orderkey, li.l_linenumber,
+                   round(m2.icept + m2.slope * CAST(li.qty AS DOUBLE), 4)
+                       AS pred_price_c
+            FROM li, m2
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

@@ -222,7 +222,16 @@ class Workflow:
         order_by = c.get("order_by", t_order)
         partition_by = c.get("partition_by", t_part)
         if op == "calculate":
-            return C.calculate(df, out, c["kernel"], c["inputs"], c.get("model"))
+            model = c.get("model")
+            if c.get("train") is not None or (
+                isinstance(model, str) and model.startswith("$file:")
+            ):
+                # C10 (reference Column.py:844-956): fit-or-load the
+                # model before applying; artifact persisted by $file: ref
+                from lambdo_spark.functions.train import resolve_model
+
+                model = resolve_model(model, df, c.get("train"))
+            return C.calculate(df, out, c["kernel"], c["inputs"], model)
         if op == "roll":
             if not order_by:
                 raise ValueError(f"roll column '{out}' needs order_by")

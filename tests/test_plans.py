@@ -1,0 +1,104 @@
+"""Physical-plan regression tests — the 100 TB guarantees.
+
+Correctness tests prove the operators right at small scale; these
+prove the *plans* stay scale-worthy: column pruning reaches the
+parquet scan, the rollup hot path never leaves the JVM, small
+dimension joins broadcast, predicates push down. A regression here is
+invisible at sf0.01 and catastrophic at 10^12 rows.
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambdo_spark.operators import column_ops as C
+from lambdo_spark.rollup.tiers import TIER_SECONDS, downsample, finalize, gap_fill, partials_from_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark, tmp_path_factory):
+    from lambdo_spark.sources.pages import generate_pages
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    generate_pages(spark, 2000, seed=1).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_rollup_scan_prunes_html(pages):
+    """The big binary column must never leave the parquet reader:
+    the 1h-partials ReadSchema carries (url, warc_ts, text, lang)
+    but NOT html."""
+    plan = _plan(finalize(partials_from_pages(pages, 3600)))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "html" not in scan[0], scan[0]
+    assert "url" in scan[0] and "warc_ts" in scan[0]
+
+
+def test_rollup_path_is_jvm_only(pages):
+    """partials -> downsample -> finalize -> gap_fill: zero Python
+    eval nodes; everything whole-stage-codegen-able built-ins."""
+    t = finalize(downsample(partials_from_pages(pages, 3600), TIER_SECONDS["1d"]))
+    plan = _plan(gap_fill(t, TIER_SECONDS["1d"]))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert bad not in plan, f"{bad} found in rollup plan"
+
+
+def test_rollup_partial_aggregation(pages):
+    """Tier groupBy must map-side combine (partial_ aggregate before
+    the shuffle) — the first defense against zipf-hot urls."""
+    plan = _plan(partials_from_pages(pages, 3600))
+    assert "partial_" in plan, plan
+
+
+def test_link_broadcasts_small_dim(spark):
+    """C4 link against a tiny dimension: Catalyst must pick a
+    broadcast join, not shuffle the fact side."""
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(SF, "nation.parquet"))
+    out = C.link(cust, "nat", ["c_nationkey"], nation, ["n_nationkey"])
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A post-hoc filter on a scan lands in PushedFilters (the
+    reference forces filter-last, Topology.py:83-85 — we declare last
+    and Catalyst pushes down, SURVEY §4.1)."""
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    df = orders.select("o_orderkey", "o_totalprice").where(
+        F.col("o_totalprice") > 1000.0
+    )
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "o_totalprice" in pushed[0], plan
+
+
+def test_column_pruning_through_project(spark):
+    """T4 project reads only its input columns from parquet."""
+    from lambdo_spark.operators.table_ops import project
+
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    plan = _plan(project(orders, ["o_orderstatus"], ["status"]))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "o_totalprice" not in scan[0], plan
+
+
+def test_gap_fill_no_cartesian(pages):
+    """Gap-fill joins grid<-tier on (url, bucket_s): equi-join, never
+    a cartesian/broadcast-nested-loop."""
+    t = finalize(partials_from_pages(pages, 3600))
+    plan = _plan(gap_fill(t, 3600))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -59,7 +59,20 @@ def run_once(cores: int, rows: int) -> dict:
         partials_from_pages,
     )
 
-    spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]")
+    # The materialized input is 256 x ~1.7 MB files; Spark's default
+    # bin-packing (128 MB target + 4 MB per-file open cost) would pack
+    # the whole scan into ~12 tasks and cap the dominant stage's
+    # parallelism below even local[16]. Real 100 TB tables have
+    # >=128 MB row groups where the default is right; here we split to
+    # keep scan tasks >= cores at both parallelism levels.
+    spark = get_spark(
+        app_name=f"scaling_{cores}",
+        master=f"local[{cores}]",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the Python-UDF worker pool (untimed): a cold local[32]
@@ -135,16 +148,38 @@ def subprocess_run(cores: int, rows: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         print(json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]))))
         return
 
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    reps = int(os.environ.get("SCALING_REPS", "2"))
     materialize(rows)
-    ceiling = cpu_ceiling()
-    low = subprocess_run(LOW, rows)
-    high = subprocess_run(HIGH, rows)
+
+    # This sandbox is co-tenant: host load outside our cgroup swings by
+    # >10 runnable threads on minute timescales (measured 2026-08-16:
+    # a load-16 burst made local[32] look 3x SLOWER than local[8]).
+    # Methodology: interleave L,H,L,H in fresh processes, take the
+    # best run per level (least-contended window), and record the spin
+    # ceiling + loadavg around every measurement so a polluted run is
+    # visible in the data instead of silently poisoning the ratio.
+    runs = {LOW: [], HIGH: []}
+    ceilings = []
+    for _ in range(reps):
+        for cores in (LOW, HIGH):
+            ceilings.append(round(cpu_ceiling(), 3))
+            r = subprocess_run(cores, rows)
+            r["load1_before"] = load1()
+            runs[cores].append(r)
+    low = min(runs[LOW], key=lambda d: d["wall_s"])
+    high = min(runs[HIGH], key=lambda d: d["wall_s"])
+    ceiling = max(ceilings)
     speedup = low["wall_s"] / high["wall_s"]
     eff = speedup / (HIGH / LOW)
     eff_hw = speedup / ceiling
@@ -154,6 +189,13 @@ def main() -> None:
         "low": low,
         "high": high,
         "speedup": round(speedup, 3),
+        "all_walls": {
+            str(c): [r["wall_s"] for r in rs] for c, rs in runs.items()
+        },
+        "loads": {
+            str(c): [r["load1_before"] for r in rs] for c, rs in runs.items()
+        },
+        "cpu_ceilings_observed": ceilings,
         "cpu_ceiling_speedup": round(ceiling, 3),
         "efficiency_vs_4x": round(eff, 3),
         "efficiency_vs_hw_ceiling": round(eff_hw, 3),
@@ -168,7 +210,12 @@ Workload: retention pipeline (1h/1d/30d tiers + gap-fill +
 Gorilla/delta-of-delta compression) over {rows:,} synthesized pages
 (materialized parquet, identical input both runs; each measurement in
 a fresh process, steady-state of 2 pipeline executions after an
-untimed Python-worker-pool warmup).
+untimed Python-worker-pool warmup; {reps}x interleaved L/H repetitions,
+best per level — host is co-tenant, loadavg per run:
+low={result['loads'][str(LOW)]}, high={result['loads'][str(HIGH)]},
+all walls low={result['all_walls'][str(LOW)]},
+high={result['all_walls'][str(HIGH)]}, spin ceilings observed
+{result['cpu_ceilings_observed']}).
 
 | config | wall (s) | cold (s) | rolled-up points | points/sec | points/sec/core |
 |---|---|---|---|---|---|

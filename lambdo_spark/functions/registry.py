@@ -82,6 +82,16 @@ register(
 )
 register(Kernel("to_timestamp", expr=lambda c, fmt=None: F.to_timestamp(c[0], fmt) if fmt else F.to_timestamp(c[0])))
 register(Kernel("round", expr=lambda c, digits=0: F.round(c[0], digits)))
+register(
+    Kernel(
+        "time_bucket",
+        expr=lambda c, seconds=3600: (
+            F.floor(F.unix_timestamp(c[0]) / F.lit(int(seconds))) * F.lit(int(seconds))
+        ).cast("long"),
+        doc="epoch-aligned tier bucket (rollup/tiers.py bucket_expr); "
+        "makes the retention rollup expressible in workflow JSON",
+    )
+)
 
 # ------------------------------------------------------------ aggregates
 # usable by roll (over a window frame), table aggregate, column aggregate

@@ -46,6 +46,7 @@ from lambdo_spark.functions.train import fit_linear_exact1, predict_expr
 from lambdo_spark.operators import column_ops as C
 from lambdo_spark.operators import table_ops as T
 from lambdo_spark.rollup.compress_stage import compress_tier
+from lambdo_spark.rollup.salting import key_frequency_sketch, salted_agg
 from lambdo_spark.rollup.tiers import (
     TIER_SECONDS,
     downsample,
@@ -149,6 +150,70 @@ def _q_compressed_chunks(spark, sf_dir):
         F.col("url").alias("user_id"), "chunk", "n",
         F.length("ts_blob").alias("ts_bytes"),
         F.length("val_blob").alias("val_bytes"),
+    )
+
+
+def _q_salted_agg(spark, sf_dir):
+    """Skew-defeating two-phase salted aggregation (SURVEY §4.3 #2,
+    rollup/salting.py): hot keys split across salt buckets then
+    algebraically merged. The oracle is a plain GROUP BY — pinning
+    that salting is *exact*, not approximate."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    hot = key_frequency_sketch(ev, ["user_id"], threshold=20, sample_fraction=0.2)
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        ],
+        merge_aggs=[
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("sum_cents"),
+            F.min("lo").alias("min_cents"),
+            F.max("hi").alias("max_cents"),
+        ],
+        hot_keys=hot,
+        buckets=8,
+    )
+    return out.select("user_id", "n_events", "sum_cents", "min_cents", "max_cents")
+
+
+def _q_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact token-bigram Jaccard near-dup pairs — the re-rank stage
+    of the MinHash path (dedup_minhash_lsh generates candidates at
+    scale; the all-pairs form here is the small-scale exact baseline
+    the oracle can verify)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a
+    # one-token doc must short-circuit to an empty bigram set
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), bigrams.alias("bg"))
+        .where(F.size("bg") > 0)
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("bg_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("bg").alias("bg_b"))
+    inter = F.size(F.array_intersect("bg_a", "bg_b")).cast("double")
+    union = F.size(F.array_union("bg_a", "bg_b")).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc", F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
+        .where(F.col("jacc") >= 0.5)
+        .select("id_a", "id_b", F.round("jacc", 6).alias("jaccard"))
     )
 
 
@@ -445,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gapfill_1h": _q_rollup_gapfill_1h,
         "hist_1d": _q_hist_1d,
         "compressed_chunks": _q_compressed_chunks,
+        "salted_agg": _q_salted_agg,
         # relational operators (SURVEY §2)
         "calc_revenue": _q_calc_revenue,
         "roll_sum_w5": _q_roll_sum_w5,
@@ -463,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_tokenset": _q_dedup_tokenset,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
@@ -538,6 +605,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3
         """,
         # compressed_chunks: rows-only (binary codec output)
+        "salted_agg": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(min(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                       AS min_cents,
+                   CAST(max(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                       AS max_cents
+            FROM events GROUP BY 1
+        """,
         "calc_revenue": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
@@ -671,6 +748,27 @@ def oracle_sql() -> dict[str, str]:
               ' ')
         """,
         # dedup_minhash / dedup_simhash: rows-only (hash families)
+        "dedup_jaccard_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1,
+                         len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+                       i -> regexp_split_to_array(trim(text), '\\s+')[i]
+                            || ' ' ||
+                            regexp_split_to_array(trim(text), '\\s+')[i + 1]
+                     )) AS bg
+              FROM documents
+            ), dd AS (
+              SELECT doc_id, bg FROM d WHERE len(bg) > 0
+            )
+            SELECT id_a, id_b, round(jacc, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                       / len(list_distinct(a.bg || b.bg)) AS jacc
+              FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+            ) WHERE jacc >= 0.5
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -38,7 +38,18 @@ def run(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="lambdo_spark_bench", master=f"local[{cpus}]")
+    # sandbox inputs are many ~1 MB parquet files; default bin-packing
+    # (128 MB + 4 MB open cost) would cap scan parallelism at ~10 tasks
+    # (tools/bench_scaling.py has the full note — real 100 TB tables
+    # have >=128 MB row groups where the defaults are right)
+    spark = get_spark(
+        app_name="lambdo_spark_bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

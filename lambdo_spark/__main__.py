@@ -1,32 +1,35 @@
-"""CLI: ``python -m lambdo_spark workflow.json`` — the successor of
-the reference's ``lambdo workflow.json`` entry point
-(/root/reference/lambdo/main.py:31-58).
+"""CLI — successor of the reference's ``lambdo workflow.json`` entry
+point (/root/reference/lambdo/main.py:31-58), plus the flagship
+retention pipeline as a first-class job.
 
-Executes the workflow's table DAG; ``sink`` tables write eagerly,
-everything else stays lazy unless --show is given.
+    python -m lambdo_spark workflow.json --show my_table
+    python -m lambdo_spark retention --pages /data/pages --out /data/tiers
+    python -m lambdo_spark retention --synthesize 1000000 --out /tmp/tiers
+
+Under ``spark-submit`` the same module works unchanged:
+
+    spark-submit --py-files lambdo_spark_pkg.zip \\
+        -m ... # or: spark-submit __main__-wrapper.py retention ...
+
+``get_spark`` uses ``getOrCreate`` so submitted master/conf win, and
+ships the package zip to executors (the --py-files equivalent) for
+plain ``python -m`` runs.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
-from lambdo_spark.plans.compiler import Workflow, strip_comments
 from lambdo_spark.session import get_spark
 
 
-def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(prog="lambdo_spark")
-    ap.add_argument("workflow", help="workflow JSON file (// comments ok)")
-    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
-    ap.add_argument("--show", metavar="TABLE", action="append", default=[],
-                    help="show N rows of a result table (repeatable)")
-    ap.add_argument("--show-rows", type=int, default=20)
-    args = ap.parse_args(argv)
+def _run_workflow(args) -> int:
+    from lambdo_spark.plans.compiler import Workflow
 
     with open(args.workflow) as f:
         spec = f.read()
-
     spark = get_spark(app_name=f"lambdo_spark:{args.workflow}", master=args.master)
     try:
         wf = Workflow(spec, spark)
@@ -40,6 +43,68 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     finally:
         spark.stop()
+
+
+def _run_retention(args) -> int:
+    from lambdo_spark.rollup.pipeline import run_retention_pipeline
+    from lambdo_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="lambdo_spark:retention", master=args.master)
+    try:
+        if args.synthesize:
+            pages = generate_pages(spark, args.synthesize, seed=args.seed)
+        elif args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            print("retention: need --pages PATH or --synthesize N", file=sys.stderr)
+            return 2
+        result = run_retention_pipeline(
+            spark, pages, args.out, enforce_audit=not args.no_audit
+        )
+        print(
+            json.dumps(
+                {
+                    tier: {
+                        "snapshot_id": r["tier"]["snapshot_id"],
+                        "new_parts": len(r["tier"]["new_parts"]),
+                        "compressed_snapshot_id": r["compressed"]["snapshot_id"],
+                    }
+                    for tier, r in result.items()
+                },
+                indent=1,
+            )
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # legacy form: `python -m lambdo_spark workflow.json [...]`
+    if argv and argv[0] != "retention":
+        argv = ["run", *argv]
+
+    ap = argparse.ArgumentParser(prog="lambdo_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="execute a workflow JSON (// comments ok)")
+    runp.add_argument("workflow")
+    runp.add_argument("--master", default=None)
+    runp.add_argument("--show", metavar="TABLE", action="append", default=[])
+    runp.add_argument("--show-rows", type=int, default=20)
+
+    ret = sub.add_parser("retention", help="flagship tier rollup pipeline")
+    ret.add_argument("--pages", default=None, help="pages parquet path")
+    ret.add_argument("--synthesize", type=int, default=0,
+                     help="generate N deterministic pages instead of reading")
+    ret.add_argument("--seed", type=int, default=42)
+    ret.add_argument("--out", required=True, help="tier output root")
+    ret.add_argument("--no-audit", action="store_true")
+    ret.add_argument("--master", default=None)
+
+    args = ap.parse_args(argv)
+    return _run_workflow(args) if args.cmd == "run" else _run_retention(args)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,67 @@ def _q_compressed_chunks(spark, sf_dir):
     )
 
 
+def _q_asof_snapshot(spark, sf_dir):
+    """As-of join (operators/table_ops.py:asof_join — timeseries join
+    the reference lacks): each event picks the most recent hourly
+    max-cents snapshot at or before its timestamp. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents()).withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    snaps = (
+        ev.groupBy(
+            "user_id",
+            (F.floor(F.col("ts_s") / 3600) * 3600).cast("long").alias("snap_s"),
+        )
+        .agg(F.max("cents").alias("snap_cents"))
+    )
+    out = T.asof_join(
+        ev.select("user_id", "event_id", "ts_s"),
+        snaps,
+        ["user_id"],
+        "ts_s",
+        "snap_s",
+        ["snap_cents"],
+    )
+    return out.select("event_id", "snap_cents")
+
+
+def _q_roll_range_1h(spark, sf_dir):
+    """Time-range trailing window (C2 range variant — the reference
+    only has row-count windows): per-user sum of cents over the
+    trailing hour, inclusive."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    out = C.roll_range(ev, "sum_1h", "sum", ["cents"], 3600, "ts", ["user_id"])
+    return out.select("event_id", "sum_1h")
+
+
+def _q_union_entities(spark, sf_dir):
+    """Set ops (absent from the reference, SURVEY §2.4): customer and
+    supplier names unioned into one entity table."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").alias("nationkey")
+    )
+    return T.union_tables([cust, supp])
+
+
+def _q_except_priorities(spark, sf_dir):
+    """EXCEPT ALL + INTERSECT through the engine's set ops."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where("o_orderstatus = 'F'").select("o_orderpriority")
+    o = orders.where("o_orderstatus = 'O'").select("o_orderpriority")
+    inter = T.intersect_tables(f, o).withColumnRenamed("o_orderpriority", "prio")
+    diff = T.except_tables(f.distinct(), o.distinct()).withColumnRenamed(
+        "o_orderpriority", "prio"
+    )
+    return T.union_tables(
+        [inter.withColumn("src", F.lit("both")), diff.withColumn("src", F.lit("f_only"))]
+    )
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-defeating two-phase salted aggregation (SURVEY §4.3 #2,
     rollup/salting.py): hot keys split across salt buckets then
@@ -525,6 +586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "workflow_compiled": _q_workflow_compiled,
         "train_predict": _q_train_predict,
+        "asof_snapshot": _q_asof_snapshot,
+        "roll_range_1h": _q_roll_range_1h,
+        "union_entities": _q_union_entities,
+        "except_priorities": _q_except_priorities,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_tokenset": _q_dedup_tokenset,
@@ -706,6 +771,51 @@ def oracle_sql() -> dict[str, str]:
                    END AS roll_mean_5
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "asof_snapshot": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), snaps AS (
+              SELECT user_id,
+                     CAST(floor(ts_s / 3600) * 3600 AS BIGINT) AS snap_s,
+                     max(cents) AS snap_cents
+              FROM ev GROUP BY 1, 2
+            )
+            SELECT e.event_id, s.snap_cents
+            FROM ev e ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts_s >= s.snap_s
+        """,
+        "roll_range_1h": """
+            SELECT event_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS sum_1h
+            FROM events
+        """,
+        "union_entities": """
+            SELECT c_name AS name, c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_name AS name, s_nationkey AS nationkey FROM supplier
+        """,
+        "except_priorities": """
+            SELECT prio, 'both' AS src FROM (
+              SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT
+              SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+            )
+            UNION ALL
+            SELECT prio, 'f_only' AS src FROM (
+              SELECT DISTINCT o_orderpriority AS prio FROM orders
+              WHERE o_orderstatus = 'F'
+              EXCEPT ALL
+              SELECT DISTINCT o_orderpriority FROM orders
+              WHERE o_orderstatus = 'O'
+            )
         """,
         "train_predict": """
             WITH li AS (

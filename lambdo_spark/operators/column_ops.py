@@ -74,6 +74,40 @@ def roll(
     return df.withColumn(output, value)
 
 
+def roll_range(
+    df: DataFrame,
+    output: str,
+    kernel: str,
+    inputs: Sequence[str],
+    range_seconds: int,
+    ts_col: str,
+    partition_by: Sequence[str] | None = None,
+    model: dict | None = None,
+) -> DataFrame:
+    """C2 time-range variant — trailing window over TIME, not rows:
+    the aggregate covers every row with ts in (current - range,
+    current], inclusive of the current instant. The reference only has
+    row-count windows (Column.py:561-611); for a timeseries engine the
+    range form is the one that survives irregular sampling — a
+    10-minute gap doesn't silently widen the window's time span.
+
+    Implemented as ``rangeBetween`` over epoch seconds — pure JVM,
+    one sort per partition, no per-row Python.
+    """
+    k = get_kernel(kernel)
+    if k.agg is None:
+        raise ValueError(f"kernel '{kernel}' has no aggregate form")
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(*(partition_by or []))
+        .orderBy(sec)
+        .rangeBetween(-(int(range_seconds) - 1), 0)
+    )
+    return df.withColumn(
+        output, k.agg([F.col(c) for c in inputs], over=w, **(model or {}))
+    )
+
+
 def shift(
     df: DataFrame,
     output: str,

@@ -95,6 +95,75 @@ def join_tables(
     return left.drop("__rn__")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_key: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join — the timeseries join the reference lacks entirely
+    (SURVEY §2.4: left equi-join only) and Spark has no native form of.
+
+    For each left row, attach ``value_cols`` from the right row with
+    the greatest ``right_ts`` <= ``left_ts`` (direction='backward';
+    'forward' = smallest right_ts >= left_ts). Ties at equal
+    timestamps match (inclusive), like DuckDB/pandas ASOF.
+
+    Scale shape: union the two sides tagged, ONE shuffle on
+    (key, ts), then a running ``last(value, ignorenulls)`` window —
+    O(n log n) in the partition, no per-row Python, no range
+    cross-join blowup. ``right`` must be unique per (key, right_ts)
+    (pre-aggregate if not — enforced here by dropDuplicates for
+    determinism).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    key = list(on_key)
+    vals = list(value_cols)
+    r = right.dropDuplicates(key + [right_ts]).select(
+        *key,
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        *[F.col(c) for c in vals],
+    )
+    left_rest = [c for c in left.columns if c not in key and c != left_ts]
+    l = left.select(  # noqa: E741
+        *key,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in vals],
+        *[F.col(c) for c in left_rest],
+    )
+    r = r.select(*l.columns[: 3 + len(vals)], *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_rest])
+
+    merged = l.unionByName(r)
+    # backward: right rows sort BEFORE left at equal ts so they are
+    # visible to the running last(); forward mirrors with first()
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*key)
+            .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        picked = [F.last(c, ignorenulls=True).over(w).alias(c) for c in vals]
+    else:
+        w = (
+            Window.partitionBy(*key)
+            .orderBy(F.col("__ts__").asc(), F.col("__side__").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        picked = [F.first(c, ignorenulls=True).over(w).alias(c) for c in vals]
+    out = merged.select(
+        *key, "__ts__", "__side__", *picked, *left_rest
+    ).where(F.col("__side__") == 1)
+    return out.select(
+        *key, F.col("__ts__").alias(left_ts), *vals, *left_rest
+    )
+
+
 def aggregate_table(
     df: DataFrame,
     keys: Sequence[str],
@@ -116,6 +185,23 @@ def aggregate_table(
         cols = [F.col(c) for c in spec.get("inputs", [])]
         exprs.append(k.agg(cols, **spec.get("model", {})).alias(name))
     return df.groupBy(*keys).agg(*exprs)
+
+
+def union_tables(dfs: Sequence[DataFrame], distinct: bool = False) -> DataFrame:
+    """Set op the reference lacks (SURVEY §2.4 'Set ops: none');
+    by-name union so column order differences don't corrupt data."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.dropDuplicates() if distinct else out
+
+
+def intersect_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
 
 
 def row_filter(

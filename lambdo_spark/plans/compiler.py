@@ -72,10 +72,13 @@ def _table_deps(tdef: dict) -> set[str]:
     op = tdef.get("operation", "source")
     if op in ("extend", "project", "map", "sink"):
         deps.add(tdef["source"])
-    elif op in ("join", "product"):
+    elif op in ("join", "product", "union", "intersect", "except"):
         deps.update(tdef.get("inputs", []))
     elif op == "aggregate":
         deps.add(tdef["source"])
+    elif op == "asof_join":
+        deps.add(tdef["left"])
+        deps.add(tdef["right"])
     for cdef in tdef.get("columns", []):
         for c in expand_extensions(cdef):
             cop = c.get("operation")
@@ -199,6 +202,27 @@ class Workflow:
             return T.aggregate_table(
                 self.tables[tdef["source"]], tdef["keys"], tdef["aggregations"]
             )
+        if op == "union":
+            return T.union_tables(
+                [self.tables[t] for t in tdef["inputs"]],
+                distinct=tdef.get("distinct", False),
+            )
+        if op == "intersect":
+            a, b = tdef["inputs"]
+            return T.intersect_tables(self.tables[a], self.tables[b])
+        if op == "except":
+            a, b = tdef["inputs"]
+            return T.except_tables(self.tables[a], self.tables[b])
+        if op == "asof_join":
+            return T.asof_join(
+                self.tables[tdef["left"]],
+                self.tables[tdef["right"]],
+                tdef["on"],
+                tdef["left_ts"],
+                tdef["right_ts"],
+                tdef["values"],
+                tdef.get("direction", "backward"),
+            )
         if op == "sink":
             # reference parity: a function table doubling as a sink
             # (pandas:DataFrame.to_csv, examples/example1.json:14-22);
@@ -238,6 +262,11 @@ class Workflow:
             return C.roll(
                 df, out, c["kernel"], c["inputs"], int(c["window"]),
                 order_by, partition_by, c.get("model"), c.get("min_periods"),
+            )
+        if op == "roll_range":
+            return C.roll_range(
+                df, out, c["kernel"], c["inputs"], int(c["range_seconds"]),
+                c["ts"], partition_by, c.get("model"),
             )
         if op == "shift":
             if not order_by:

@@ -1,0 +1,163 @@
+"""Golden parity against the REFERENCE ENGINE ITSELF.
+
+The north_star pins correctness to lambdo's own test semantics; the
+strongest form of that is running the actual reference (read-only at
+/root/reference, pure pandas — usable as an oracle in-process) on tiny
+inputs and asserting our Spark operators produce the same values on
+the same data. Skipped wholesale if the reference isn't importable.
+
+Covered: C1 calculate, C2 roll (incl. extensions family), C3 shift,
+C6 aggregate-with-fillna, T4 project, T7 table aggregate.
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/reference")
+lambdo = pytest.importorskip("lambdo.Workflow")
+from lambdo.Workflow import Workflow as RefWorkflow  # noqa: E402
+
+from lambdo_spark.operators import column_ops as C  # noqa: E402
+from lambdo_spark.operators import table_ops as T  # noqa: E402
+
+
+def run_reference(wf_json: dict, inject: dict[str, pd.DataFrame]) -> dict[str, pd.DataFrame]:
+    """Reference entry point 2 (SURVEY §3): inject frames, execute."""
+    wf = RefWorkflow(wf_json)
+    for tname, df in inject.items():
+        next(t for t in wf.tables if t.id == tname).data = df.copy()
+    wf.execute()
+    return {t.id: t.data for t in wf.tables}
+
+
+BASE = pd.DataFrame({"A": [1, 2, 3, 4, 5], "K": ["x", "x", "y", "y", "y"]})
+
+
+def _spark_base(spark):
+    df = BASE.copy()
+    df["rid"] = range(len(df))
+    return spark.createDataFrame(df)
+
+
+def test_calculate_parity(spark):
+    ref = run_reference(
+        {"tables": [{"id": "T", "columns": [
+            {"id": "F", "function": "builtins:float", "inputs": ["A"]}
+        ]}]},
+        {"T": BASE},
+    )["T"]
+    got = (
+        C.calculate(_spark_base(spark), "F", "float", ["A"])
+        .toPandas().sort_values("rid")
+    )
+    assert got["F"].tolist() == ref["F"].tolist()
+
+
+def test_roll_parity_with_extensions(spark):
+    ref = run_reference(
+        {"tables": [{"id": "T", "columns": [
+            {"id": "S", "function": "numpy.core.fromnumeric:sum",
+             "window": "2", "inputs": ["A"],
+             "extensions": [{"window": "2"}, {"window": "3"}]}
+        ]}]},
+        {"T": BASE},
+    )["T"]
+    sdf = _spark_base(spark)
+    sdf = C.roll(sdf, "S_0", "sum", ["A"], 2, order_by=["rid"])
+    sdf = C.roll(sdf, "S_1", "sum", ["A"], 3, order_by=["rid"])
+    got = sdf.toPandas().sort_values("rid")
+    for col in ("S_0", "S_1"):
+        np.testing.assert_array_equal(
+            got[col].astype(float).values, ref[col].astype(float).values
+        )
+
+
+def test_shift_parity(spark):
+    ref = run_reference(
+        {"tables": [{"id": "T", "columns": [
+            {"id": "P", "function": "pandas.core.series:Series.shift",
+             "window": "all", "inputs": ["A"], "model": {"periods": 1}}
+        ]}]},
+        {"T": BASE},
+    )["T"]
+    got = (
+        C.shift(_spark_base(spark), "P", "A", 1, order_by=["rid"])
+        .toPandas().sort_values("rid")
+    )
+    np.testing.assert_array_equal(
+        got["P"].astype(float).values, ref["P"].astype(float).values
+    )
+
+
+def test_column_aggregate_fillna_parity(spark):
+    """C6: facts grouped via link onto groups; empty group -> fillna
+    (reference tests/test_aggregate.py shape)."""
+    facts = pd.DataFrame({"G": ["a", "a", "b"], "M": [1.0, 2.0, 5.0]})
+    groups = pd.DataFrame({"G": ["a", "b", "c"]})
+    ref = run_reference(
+        {"tables": [
+            {"id": "Facts", "columns": [
+                {"id": "L", "operation": "link", "keys": ["G"],
+                 "linked_table": "Groups", "linked_keys": ["G"]}
+            ]},
+            {"id": "Groups", "operation": "noop", "columns": [
+                {"id": "total", "operation": "aggregate",
+                 "fact_table": "Facts", "group_column": "L",
+                 "function": "numpy.core.fromnumeric:sum", "inputs": ["M"],
+                 "fillna_value": 0.0}
+            ]},
+        ]},
+        {"Facts": facts, "Groups": groups},
+    )["Groups"]
+    got = (
+        C.aggregate_column(
+            spark.createDataFrame(groups), "total",
+            spark.createDataFrame(facts), ["G"], ["G"], "sum", "M",
+            fillna_value=0.0,
+        )
+        .toPandas().sort_values("G")
+    )
+    assert got["total"].tolist() == ref.sort_values("G")["total"].tolist()
+
+
+def test_project_parity(spark):
+    src = pd.DataFrame({"A": [1, 1, 2, 2, 3], "B": ["u", "u", "v", "v", "v"]})
+    ref = run_reference(
+        {"tables": [
+            {"id": "S"},
+            {"id": "P", "operation": "project", "source_table": "S",
+             "inputs": ["B"], "outputs": ["BB"]},
+        ]},
+        {"S": src},
+    )["P"]
+    got = T.project(spark.createDataFrame(src), ["B"], ["BB"]).toPandas()
+    assert sorted(got["BB"]) == sorted(ref["BB"])
+
+
+def test_table_aggregate_parity(spark):
+    src = pd.DataFrame({"K": ["x", "x", "y"], "B": [1.0, 3.0, 6.0]})
+    ref = run_reference(
+        {"tables": [
+            {"id": "S"},
+            {"id": "G", "function": "lambdo.std:aggregate", "inputs": ["S"],
+             "model": {"keys": ["K"], "aggregations": [
+                 {"id": "n", "function": "numpy:size", "inputs": []},
+                 {"id": "sb", "function": "numpy:sum", "inputs": ["B"]},
+             ]}},
+        ]},
+        {"S": src},
+    )["G"]
+    got = (
+        T.aggregate_table(
+            spark.createDataFrame(src), ["K"],
+            [{"id": "n"}, {"id": "sb", "kernel": "sum", "inputs": ["B"]}],
+        )
+        .toPandas().sort_values("K")
+    )
+    # the reference keeps group keys in the index, not as columns
+    ref = ref.sort_index()
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["sb"].tolist() == ref["sb"].tolist()

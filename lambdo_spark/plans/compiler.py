@@ -44,6 +44,24 @@ from lambdo_spark.operators import column_ops as C
 from lambdo_spark.operators import table_ops as T
 
 
+def resolve_callable(ref: str):
+    """Reference-style ``module.path:attr`` resolution
+    (/root/reference/lambdo/resolve.py:14-49: import module, walk the
+    attribute chain). Used for T3 map tables, where a workflow names a
+    user batch-kernel (Iterator[pd.DataFrame] -> Iterator[pd.DataFrame])."""
+    import importlib
+
+    mod_name, _, attr_path = ref.partition(":")
+    if not attr_path:
+        raise ValueError(f"callable ref {ref!r} must be 'module:attr'")
+    obj = importlib.import_module(mod_name)
+    for part in attr_path.split("."):
+        obj = getattr(obj, part)
+    if not callable(obj):
+        raise ValueError(f"{ref!r} resolved to non-callable {obj!r}")
+    return obj
+
+
 def strip_comments(text: str) -> str:
     """`//` line comments, as the reference CLI accepts
     (/root/reference/lambdo/main.py:23)."""
@@ -201,6 +219,14 @@ class Workflow:
         if op == "aggregate":
             return T.aggregate_table(
                 self.tables[tdef["source"]], tdef["keys"], tdef["aggregations"]
+            )
+        if op == "map":
+            # T3 one-input function table (reference Table.py:461-506):
+            # a named vectorized batch kernel over mapInPandas
+            return T.map_table(
+                self.tables[tdef["source"]],
+                resolve_callable(tdef["function"]),
+                tdef["schema"],
             )
         if op == "union":
             return T.union_tables(

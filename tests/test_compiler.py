@@ -118,3 +118,22 @@ def test_workflow_source_and_column_filter(spark, tmp_path):
     out = compile_workflow(spec, spark)
     assert out["t"].columns == ["A", "C"]
     assert out["ext"].collect()[0]["D"] == 11
+
+
+def test_map_table_via_named_kernel(spark):
+    """T3 map table: 'module:attr' kernel ref (reference
+    resolve.py:14-49 semantics) over mapInPandas."""
+    from lambdo_spark.plans.compiler import compile_workflow, resolve_callable
+
+    assert resolve_callable("tests.map_helpers:double_b")
+    data = {"src": spark.createDataFrame([(1, 10.0), (2, 20.0)], "a long, b double")}
+    spec = {
+        "tables": [
+            {"id": "src", "operation": "data"},
+            {"id": "mapped", "operation": "map", "source": "src",
+             "function": "tests.map_helpers:double_b",
+             "schema": "a long, b2 double"},
+        ]
+    }
+    out = compile_workflow(spec, spark, data)["mapped"].toPandas().sort_values("a")
+    assert out["b2"].tolist() == [20.0, 40.0]

@@ -52,6 +52,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM/codegen spin-up and the Python-UDF worker
+    # pool — costs a real cluster amortizes across jobs (BENCH.md)
+    spark.range(0, 10_000).selectExpr("sum(id)").collect()
+    spark.range(0, int(cpus) * 4, numPartitions=int(cpus) * 4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
     timings: dict[str, float] = {}
     points = 0
 

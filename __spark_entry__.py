@@ -314,6 +314,26 @@ def _q_shift_lag(spark, sf_dir):
     return out.select("event_id", "prev_cents", "next_cents")
 
 
+def _q_window_all_zscore(spark, sf_dir):
+    """C3 window='all' (reference Column.py:498-522): whole-group
+    functions — here mean/std over ALL of each user's events
+    broadcast back per row (the scale/zscore shape of the reference's
+    sklearn examples, expressed as unbounded-window aggregates)."""
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("cents", _cents())
+        .withColumn("cents2", _cents() * _cents())
+    )
+    # algebraic moments via C3 so both engines do the identical exact
+    # long sums; only the final few float ops can round (identically)
+    out = C.window_all(ev, "n", "size", [], partition_by=["user_id"])
+    out = C.window_all(out, "sx", "sum", ["cents"], partition_by=["user_id"])
+    out = C.window_all(out, "sxx", "sum", ["cents2"], partition_by=["user_id"])
+    c, n, sx, sxx = (F.col(x) for x in ("cents", "n", "sx", "sxx"))
+    z = (c - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return out.select("event_id", F.round(z, 6).alias("zscore"))
+
+
 def _q_link_compose(spark, sf_dir):
     """C4 link + C5 compose — customer → nation drill-down
     (reference Column.py:670-814)."""
@@ -576,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calc_revenue": _q_calc_revenue,
         "roll_sum_w5": _q_roll_sum_w5,
         "shift_lag": _q_shift_lag,
+        "window_all_zscore": _q_window_all_zscore,
         "link_compose": _q_link_compose,
         "agg_column_fillna": _q_agg_column_fillna,
         "project_distinct": _q_project_distinct,
@@ -703,6 +724,23 @@ def oracle_sql() -> dict[str, str]:
                    lead(CAST(round(value*100,0) AS BIGINT)) OVER w AS next_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "window_all_zscore": """
+            WITH ev AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), m AS (
+              SELECT event_id, cents,
+                     count(*) OVER w AS n,
+                     sum(cents) OVER w AS sx,
+                     sum(cents * cents) OVER w AS sxx
+              FROM ev WINDOW w AS (PARTITION BY user_id)
+            )
+            SELECT event_id,
+                   round((cents - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+            FROM m
         """,
         "link_compose": """
             SELECT c.c_custkey, n.n_name AS nation_name

@@ -1,0 +1,126 @@
+"""Regenerate PLANS.md — explain(formatted) captures of the
+load-bearing physical plans with what-to-look-for commentary.
+
+Usage: python tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from lambdo_spark.operators import column_ops as C  # noqa: E402
+from lambdo_spark.rollup.compress_stage import compress_tier  # noqa: E402
+from lambdo_spark.rollup.tiers import (  # noqa: E402
+    TIER_SECONDS,
+    downsample,
+    finalize,
+    gap_fill,
+    partials_from_pages,
+)
+from lambdo_spark.session import get_spark  # noqa: E402
+from lambdo_spark.sources.pages import generate_pages  # noqa: E402
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark(app_name="plans", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = "/tmp/plans_pages"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        generate_pages(spark, 50000, seed=9).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    p1h = partials_from_pages(pages, 3600)
+    t1h = finalize(p1h)
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+    sections = [
+        (
+            "1h tier partials (scan -> groupBy)",
+            """
+What to look for:
+- `ReadSchema` has url/warc_ts/text/lang only — `html` (the multi-KB
+  binary) never leaves the parquet reader (column pruning);
+- `HashAggregate ... partial_` BEFORE the Exchange: map-side combine,
+  so a zipf-hot url ships one pre-combined row per task, not one row
+  per page;
+- the whole path is inside WholeStageCodegen — no Python.
+""",
+            fmt(p1h),
+        ),
+        (
+            "gap-fill (bucket-domain generate + left join)",
+            """
+What to look for:
+- the bucket grid comes from `sequence(...)` + `Generate explode` —
+  executor-side domain generation, no driver loop;
+- the join is a shuffle/broadcast EQUI-join on (url, bucket_s) — no
+  CartesianProduct / BroadcastNestedLoopJoin anywhere;
+- `coalesce(n_points, 0)` is the lambdo fillna_value semantics.
+""",
+            fmt(gap_fill(t1h, 3600)),
+        ),
+        (
+            "30d tier from 1d partials (partial+final re-aggregation)",
+            """
+What to look for: the 30d tier re-aggregates 1d PARTIALS (sum/sum/
+min/max merges) — the scan appears once; no second read of raw pages.
+At 10^12 rows this is the difference between re-scanning 100 TB and
+shuffling a few GB of partials.
+""",
+            fmt(finalize(downsample(downsample(p1h, TIER_SECONDS["1d"]), TIER_SECONDS["30d"]))),
+        ),
+        (
+            "compression stage (sorted mapInPandas)",
+            """
+What to look for:
+- ONE Exchange (hashpartitioning by url) then in-partition Sort then
+  a single `MapInPandas` — the Gorilla/delta-of-delta kernel sees
+  whole Arrow batches of many contiguous groups (one Python call per
+  ~64k rows, not per group);
+- everything upstream of the kernel is JVM.
+""",
+            fmt(compress_tier(t1h, value_col="mean_len")),
+        ),
+        (
+            "link (C4) against a small dimension",
+            """
+What to look for: `BroadcastHashJoin` — Catalyst broadcasts the
+25-row nation dimension; the customer side is never shuffled.
+""",
+            fmt(C.link(cust, "nat", ["c_nationkey"], nation, ["n_nationkey"])),
+        ),
+    ]
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write(
+            """# PLANS — physical-plan evidence for the scale claims
+
+`df.explain("formatted")` output for the flagship plans, captured from
+the real engine (regenerate: `python tools/gen_plans.py`;
+tests/test_plans.py asserts the load-bearing properties so they cannot
+silently regress). Commentary above each plan says what property makes
+it survive 100 TB / 10^12 rows.
+"""
+        )
+        for title, commentary, plan in sections:
+            f.write(f"\n## {title}\n{commentary}\n```\n{plan}```\n")
+    print("PLANS.md regenerated")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -266,7 +266,10 @@ def _q_dedup_jaccard_pairs(spark, sf_dir):
         .select(F.col("doc_id"), bigrams.alias("bg"))
         .where(F.size("bg") > 0)
     )
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("bg_a"))
+    # theta join (id_a < id_b) plans as a nested-loop join whose
+    # parallelism = left-side partitions — repartition so the O(n²)
+    # compare runs wide instead of in one task
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("bg_a")).repartition(32)
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect("bg_a", "bg_b")).cast("double")
     union = F.size(F.array_union("bg_a", "bg_b")).cast("double")

@@ -95,6 +95,23 @@ def test_column_pruning_through_project(spark):
     assert scan and "o_totalprice" not in scan[0], plan
 
 
+def test_read_tier_partition_pruning(spark, pages, tmp_path):
+    """IcebergLayoutTable.read_tier filters on the hive-partitioned
+    `part` column — the filter must become a PartitionFilter (pruned
+    directory listing), not a post-scan predicate. At 10^12 rows this
+    is what makes reading one retention window not touch the rest."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    t.write_tier(tier)
+    df = t.read_tier(spark)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, plan
+    assert "part" in scan[0], scan[0]
+
+
 def test_gap_fill_no_cartesian(pages):
     """Gap-fill joins grid<-tier on (url, bucket_s): equi-join, never
     a cartesian/broadcast-nested-loop."""

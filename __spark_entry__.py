@@ -188,6 +188,111 @@ def _q_roll_range_1h(spark, sf_dir):
     return out.select("event_id", "sum_1h")
 
 
+def _q_sessionize_30m(spark, sf_dir):
+    """Sessionization (rollup/timeseries.py): per-user sessions split
+    at >30 min inactivity — lag → boundary flag → running sum, one
+    exchange on user_id."""
+    from lambdo_spark.rollup.timeseries import session_table
+
+    ev = _events(spark, sf_dir)
+    out = session_table(ev, ["user_id"], "ts", 1800, order_tiebreak=["event_id"])
+    return out.select("user_id", "session_id", "start_s", "end_s",
+                      "duration_s", "n_events")
+
+
+def _q_delta_rate(spark, sf_dir):
+    """Counter delta + per-second rate vs previous sample (exact
+    integer forms; PromQL delta/rate shape)."""
+    from lambdo_spark.rollup.timeseries import delta, rate
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    out = delta(ev, "d_cents", "cents", ["ts", "event_id"], ["user_id"])
+    out = rate(out, "rate_x1m", "cents", "ts", ["ts", "event_id"], ["user_id"])
+    return out.select("event_id", "d_cents", "rate_x1m")
+
+
+def _q_gapfill_locf(spark, sf_dir):
+    """Gap-fill with last-observation-carried-forward (the "carry"
+    fill policy; empty buckets inherit the last seen sum)."""
+    from lambdo_spark.rollup.timeseries import locf
+
+    t = _event_partials(spark, sf_dir, 3600).groupBy("url", "bucket_s").agg(
+        F.sum("n_points").alias("n_points"), F.sum("sum_len").alias("sum_c")
+    )
+    filled = gap_fill(t, 3600, key="url", fill_zero=("n_points",))
+    out = locf(filled, ["sum_c"], ["bucket_s"], ["url"])
+    return out.select(
+        F.col("url").alias("user_id"), "bucket_s", "n_points",
+        F.col("sum_c").alias("sum_c_locf"),
+    )
+
+
+def _q_gapfill_interp(spark, sf_dir):
+    """Gap-fill with linear interpolation across empty buckets
+    (interior only; observed buckets keep exact values)."""
+    from lambdo_spark.rollup.timeseries import interpolate_linear
+
+    t = _event_partials(spark, sf_dir, 3600).groupBy("url", "bucket_s").agg(
+        F.sum("sum_len").alias("sum_c")
+    )
+    filled = gap_fill(t, 3600, key="url", fill_zero=())
+    out = interpolate_linear(filled, "sum_c", "bucket_s", ["url"], output="sum_c_i")
+    return out.select(F.col("url").alias("user_id"), "bucket_s", "sum_c_i")
+
+
+def _q_tier_p95_1d(spark, sf_dir):
+    """Exact per-bucket order statistic (holistic aggregate the
+    partial+final tiers cannot carry): p95 of cents per (user, day),
+    defined engine-independently as the ceil(q*n)-th value."""
+    from lambdo_spark.rollup.timeseries import order_stat
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("cents", _cents())
+        .withColumn("bucket_s", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long"))
+    )
+    return order_stat(
+        ev, ["user_id", "bucket_s"], "cents", 0.95,
+        tiebreak=["event_id"], output="p95_cents",
+    )
+
+
+def _q_distinct_users_1d(spark, sf_dir):
+    """Exact distinct-count tier (approx HLL++ form is the same call
+    with exact=False — pinned close by tests)."""
+    from lambdo_spark.rollup.timeseries import distinct_per_bucket
+
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket_s", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    )
+    return distinct_per_bucket(ev, ["bucket_s"], "user_id", output="n_users")
+
+
+def _q_heavy_hitters_1d(spark, sf_dir):
+    """Top-3 event types per day (map-side-combined counts → per-
+    bucket top-k window over |distinct items|, not raw rows)."""
+    from lambdo_spark.rollup.timeseries import heavy_hitters
+
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket_s", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    )
+    return heavy_hitters(ev, ["bucket_s"], "event_type", k=3)
+
+
+def _q_rollup_grouping_sets(spark, sf_dir):
+    """ROLLUP grouping sets (absent from the reference, SURVEY §2.4):
+    all levels in ONE shuffle via Spark's Expand; grouping_id
+    bit-compatible with DuckDB GROUPING()."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    return T.aggregate_grouping_sets(
+        ev,
+        ["event_type", "user_id"],
+        [{"id": "sum_cents", "kernel": "sum", "inputs": ["cents"]},
+         {"id": "n_events"}],
+        mode="rollup",
+    )
+
+
 def _q_union_entities(spark, sf_dir):
     """Set ops (absent from the reference, SURVEY §2.4): customer and
     supplier names unioned into one entity table."""
@@ -612,6 +717,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_predict": _q_train_predict,
         "asof_snapshot": _q_asof_snapshot,
         "roll_range_1h": _q_roll_range_1h,
+        # timeseries toolkit (rollup/timeseries.py)
+        "sessionize_30m": _q_sessionize_30m,
+        "delta_rate": _q_delta_rate,
+        "gapfill_locf": _q_gapfill_locf,
+        "gapfill_interp": _q_gapfill_interp,
+        "tier_p95_1d": _q_tier_p95_1d,
+        "distinct_users_1d": _q_distinct_users_1d,
+        "heavy_hitters_1d": _q_heavy_hitters_1d,
+        "rollup_grouping_sets": _q_rollup_grouping_sets,
         "union_entities": _q_union_entities,
         "except_priorities": _q_except_priorities,
         # training-data pipeline
@@ -837,6 +951,157 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS sum_1h
             FROM events
+        """,
+        "sessionize_30m": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts_s,
+                     CASE WHEN lag(ts_s) OVER w IS NULL
+                            OR ts_s - lag(ts_s) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts_s,
+                     CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   min(ts_s) AS start_s, max(ts_s) AS end_s,
+                   max(ts_s) - min(ts_s) AS duration_s,
+                   count(*) AS n_events
+            FROM sess GROUP BY 1, 2
+        """,
+        "delta_rate": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id,
+                   cents - lag(cents) OVER w AS d_cents,
+                   CASE WHEN ts_s - lag(ts_s) OVER w > 0 THEN
+                     CAST(floor(
+                       CAST((cents - lag(cents) OVER w) * 1000000 AS DOUBLE)
+                       / (ts_s - lag(ts_s) OVER w)) AS BIGINT)
+                   END AS rate_x1m
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "gapfill_locf": """
+            WITH tier AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     count(*) AS n_points,
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+              FROM tier GROUP BY 1
+            ), grid AS (
+              SELECT b.user_id, gs.g AS bucket_s
+              FROM bounds b,
+                   LATERAL (SELECT unnest(generate_series(b.lo, b.hi, 3600)) AS g) gs
+            ), joined AS (
+              SELECT g.user_id, g.bucket_s,
+                     COALESCE(t.n_points, 0) AS n_points, t.sum_c
+              FROM grid g LEFT JOIN tier t
+                ON g.user_id = t.user_id AND g.bucket_s = t.bucket_s
+            )
+            SELECT user_id, bucket_s, n_points,
+                   last_value(sum_c IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket_s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sum_c_locf
+            FROM joined
+        """,
+        "gapfill_interp": """
+            WITH tier AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+              FROM tier GROUP BY 1
+            ), grid AS (
+              SELECT b.user_id, gs.g AS bucket_s
+              FROM bounds b,
+                   LATERAL (SELECT unnest(generate_series(b.lo, b.hi, 3600)) AS g) gs
+            ), joined AS (
+              SELECT g.user_id, g.bucket_s, t.sum_c
+              FROM grid g LEFT JOIN tier t
+                ON g.user_id = t.user_id AND g.bucket_s = t.bucket_s
+            ), ctx AS (
+              SELECT user_id, bucket_s, sum_c,
+                     last_value(sum_c IGNORE NULLS) OVER wb AS pv,
+                     last_value(CASE WHEN sum_c IS NOT NULL THEN bucket_s END
+                                IGNORE NULLS) OVER wb AS pb,
+                     first_value(sum_c IGNORE NULLS) OVER wf AS nv,
+                     first_value(CASE WHEN sum_c IS NOT NULL THEN bucket_s END
+                                 IGNORE NULLS) OVER wf AS nb
+              FROM joined
+              WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY bucket_s
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, bucket_s,
+                   round(CASE WHEN sum_c IS NOT NULL THEN CAST(sum_c AS DOUBLE)
+                         ELSE CAST(pv AS DOUBLE)
+                              + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                                * (bucket_s - pb) / (nb - pb)
+                         END, 6) AS sum_c_i
+            FROM ctx
+        """,
+        "tier_p95_1d": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), ranked AS (
+              SELECT user_id, bucket_s, cents,
+                     row_number() OVER (
+                       PARTITION BY user_id, bucket_s
+                       ORDER BY cents, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id, bucket_s) AS n
+              FROM ev
+            )
+            SELECT user_id, bucket_s, cents AS p95_cents
+            FROM ranked WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+        """,
+        "distinct_users_1d": """
+            SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "heavy_hitters_1d": """
+            SELECT bucket_s, event_type, n, rank FROM (
+              SELECT bucket_s, event_type, n,
+                     row_number() OVER (
+                       PARTITION BY bucket_s
+                       ORDER BY n DESC, event_type) AS rank
+              FROM (
+                SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+              )
+            ) WHERE rank <= 3
+        """,
+        "rollup_grouping_sets": """
+            SELECT CAST(GROUPING(event_type, user_id) AS BIGINT) AS grouping_id,
+                   event_type, user_id,
+                   CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY ROLLUP(event_type, user_id)
         """,
         "union_entities": """
             SELECT c_name AS name, c_nationkey AS nationkey FROM customer

@@ -187,6 +187,38 @@ def aggregate_table(
     return df.groupBy(*keys).agg(*exprs)
 
 
+def aggregate_grouping_sets(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggregations: Sequence[dict],
+    mode: str = "rollup",
+    gid_col: str | None = "grouping_id",
+) -> DataFrame:
+    """Multi-level aggregation — ROLLUP / CUBE over the same spec
+    format as :func:`aggregate_table` (the reference has neither,
+    SURVEY §2.4 'no grouping sets, cube, rollup').
+
+    One shuffle computes every grouping level (Spark expands the sets
+    into a single Expand + hash-aggregate — no per-level rescans).
+    ``gid_col`` attaches ``grouping_id()`` (bitmask, leftmost key =
+    MSB, matching DuckDB's GROUPING()) to disambiguate subtotal rows
+    from genuine NULL key values.
+    """
+    from lambdo_spark.functions.registry import get_kernel
+
+    exprs = []
+    for spec in aggregations:
+        name = spec["id"]
+        kname = spec.get("kernel", "size" if not spec.get("inputs") else "sum")
+        k = get_kernel(kname)
+        cols = [F.col(c) for c in spec.get("inputs", [])]
+        exprs.append(k.agg(cols, **spec.get("model", {})).alias(name))
+    if gid_col:
+        exprs.insert(0, F.grouping_id().cast("long").alias(gid_col))
+    grouped = df.rollup(*keys) if mode == "rollup" else df.cube(*keys)
+    return grouped.agg(*exprs)
+
+
 def union_tables(dfs: Sequence[DataFrame], distinct: bool = False) -> DataFrame:
     """Set op the reference lacks (SURVEY §2.4 'Set ops: none');
     by-name union so column order differences don't corrupt data."""

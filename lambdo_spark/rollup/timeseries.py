@@ -1,0 +1,286 @@
+"""Timeseries operators beyond the tier rollups: sessionization,
+counter delta/rate, fill strategies (LOCF / linear interpolation),
+exact per-bucket order statistics, distinct counts, heavy hitters.
+
+The reference's window surface is row-count trailing frames only
+(/root/reference/lambdo/Column.py:561-611) and its gap semantics is a
+scalar ``fillna_value`` (/root/reference/lambdo/Column.py:495-496);
+this module supplies the standard continuous-aggregate toolkit a
+retention engine needs on top of that — each op a composition of
+built-in window/aggregate expressions (whole-stage codegen, no Python
+in the hot path).
+
+Scale notes (every op is one shuffle on its key, or reuses one):
+
+* ``sessionize`` / ``delta`` / ``rate`` / LOCF / interpolation are
+  window passes over ``partitionBy(key).orderBy(ts)`` — a single hash
+  shuffle per key; consecutive ops over the same (key, order) reuse
+  the exchange (Catalyst collapses identical window specs into one
+  Window physical node).
+* ``order_stat`` is sort-based and exact: rows shuffle once on the
+  group key, each group sorts locally; no driver-side collect and no
+  approximation (contrast percentile_approx, which is available via
+  the same signature with exact=False).
+* ``heavy_hitters`` pre-aggregates counts (map-side combine) before
+  the per-bucket top-k window, so the window input is |distinct
+  items| per bucket, not raw rows.
+* ``distinct_per_bucket`` offers exact (count_distinct — expands to
+  a two-phase distinct aggregate) and approx (HLL++,
+  approx_count_distinct — algebraic, single pass) forms; at the 30d
+  tier over 10^12 rows the approx form is the scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _ordered_window(partition_by: Sequence[str], order_by: Sequence[str]):
+    return Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_by])
+
+
+# ----------------------------------------------------------- sessions
+
+def sessionize(
+    df: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign per-key session ids: a new session starts when the gap
+    to the previous event exceeds ``gap_seconds``.
+
+    Classic lag → boundary-flag → running-sum composition (two window
+    passes over ONE exchange on ``key``). ``session_id`` is 1-based
+    and dense per key.
+    """
+    w = _ordered_window(key, [ts_col, *order_tiebreak])
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(ts_s).over(w)
+    new_session = F.when(
+        prev.isNull() | ((ts_s - prev) > F.lit(gap_seconds)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(out_col, F.sum(new_session).over(w).cast("long"))
+
+
+def session_table(
+    df: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Sessions as rows: ``key..., session_id, start_s, end_s,
+    duration_s, n_events`` (sessionize + one groupBy)."""
+    s = sessionize(df, key, ts_col, gap_seconds, order_tiebreak)
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    out = (
+        s.groupBy(*key, "session_id")
+        .agg(
+            F.min(ts_s).alias("start_s"),
+            F.max(ts_s).alias("end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
+    )
+    return out
+
+
+# ------------------------------------------------- counter delta/rate
+
+def delta(
+    df: DataFrame,
+    output: str,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Difference vs the previous row per key (first row NULL) — the
+    counter-delta kernel (PromQL ``delta``-style, exact)."""
+    w = _ordered_window(partition_by, order_by)
+    v = F.col(value_col)
+    return df.withColumn(output, v - F.lag(v).over(w))
+
+
+def rate(
+    df: DataFrame,
+    output: str,
+    value_col: str,
+    ts_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    counter_reset: bool = False,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-second rate vs the previous sample, as an exact scaled
+    integer (``delta * scale div elapsed_s`` — integer division keeps
+    cross-engine parity; float division is one ``cast`` away).
+
+    With ``counter_reset=True``, a negative delta (counter restart) is
+    treated as the raw new value, PromQL ``rate``-style.
+    """
+    w = _ordered_window(partition_by, order_by)
+    v = F.col(value_col)
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    d = v - F.lag(v).over(w)
+    if counter_reset:
+        d = F.when(d < 0, v).otherwise(d)
+    elapsed = ts_s - F.lag(ts_s).over(w)
+    return df.withColumn(
+        output,
+        F.when(elapsed > 0, F.floor((d * F.lit(scale)) / elapsed))
+        .otherwise(F.lit(None))
+        .cast("long"),
+    )
+
+
+# ------------------------------------------------------ fill policies
+
+def locf(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward for NULL gaps (gap_fill's
+    "carry" policy): ``last(col, ignorenulls)`` over an unbounded
+    trailing frame. Leading NULLs (no prior observation) stay NULL.
+    """
+    w = (
+        _ordered_window(partition_by, order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    partition_by: Sequence[str],
+    output: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Linear interpolation across NULL gaps on a regular bucket grid
+    (gap_fill's "linear" policy).
+
+    Two window passes (backward last-known, forward next-known) over
+    one exchange — no self-join, no per-gap iteration:
+
+        interp = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+
+    Rows outside the observed range (no prev or no next) keep NULL;
+    observed rows keep their exact value.
+    """
+    output = output or value_col
+    v, b = F.col(value_col), F.col(bucket_col)
+    wb = (
+        _ordered_window(partition_by, [bucket_col])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        _ordered_window(partition_by, [bucket_col])
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_b = F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_b = F.first(F.when(v.isNotNull(), b), ignorenulls=True).over(wf)
+    interp = prev_v + (next_v - prev_v) * (b - prev_b) / (next_b - prev_b)
+    return df.withColumn(
+        output,
+        F.round(F.when(v.isNotNull(), v.cast("double")).otherwise(interp), ndigits),
+    )
+
+
+# ----------------------------------------------- exact order statistic
+
+def order_stat(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    q: float,
+    tiebreak: Sequence[str] = (),
+    output: str = "order_stat",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group q-quantile.
+
+    exact=True: the k-th order statistic with k = ceil(q * n) — a
+    deterministic, engine-independent definition (no interpolation
+    scheme to disagree on): shuffle once on ``keys``, rank within the
+    group, keep the k-th row. Ties broken by ``tiebreak`` for a stable
+    pick. exact=False: HLL-free single-pass approx via
+    ``percentile_approx`` (the 10^12-row path — no per-group sort).
+    """
+    if not exact:
+        return df.groupBy(*keys).agg(
+            F.percentile_approx(F.col(value_col), q).alias(output)
+        )
+    w = _ordered_window(keys, [value_col, *tiebreak])
+    wn = Window.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    k = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+    return (
+        ranked.where(F.col("_rn") == k)
+        .select(*keys, F.col(value_col).alias(output))
+    )
+
+
+# ------------------------------------------------------ distinct count
+
+def distinct_per_bucket(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    output: str = "n_distinct",
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct items per group — exact (two-phase distinct aggregate)
+    or HLL++ approx (algebraic single pass; the 100 TB path where the
+    distinct set per bucket no longer fits a shuffle)."""
+    agg = (
+        F.count_distinct(F.col(item_col))
+        if exact
+        else F.approx_count_distinct(F.col(item_col), rsd)
+    )
+    return df.groupBy(*keys).agg(agg.cast("long").alias(output))
+
+
+# -------------------------------------------------------- heavy hitters
+
+def heavy_hitters(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    k: int,
+    count_col: str = "n",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k items per group by frequency (deterministic ties: higher
+    count first, then item ascending).
+
+    Counts pre-aggregate with map-side combine before the window, so
+    the per-group sort ranks |distinct items|, not raw rows.
+    """
+    counts = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias(count_col))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(count_col).desc(), F.col(item_col).asc()
+    )
+    return (
+        counts.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

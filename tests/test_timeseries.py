@@ -1,0 +1,207 @@
+"""Timeseries toolkit: sessionize, delta/rate, LOCF, linear
+interpolation, exact order statistics, distinct counts, heavy
+hitters, grouping sets — golden values against tiny hand-computed
+frames (the reference's test style, SURVEY §5), plus a pandas
+cross-check for interpolation."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from lambdo_spark.operators.table_ops import aggregate_grouping_sets
+from lambdo_spark.rollup.timeseries import (
+    delta,
+    distinct_per_bucket,
+    heavy_hitters,
+    interpolate_linear,
+    locf,
+    order_stat,
+    rate,
+    session_table,
+    sessionize,
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    # gaps: 10s, 3600s (new), 5s, 7200s (new) -> sessions 1,1,2,2,3
+    df = spark.createDataFrame(
+        [("u", _ts(0)), ("u", _ts(10)), ("u", _ts(3610)), ("u", _ts(3615)),
+         ("u", _ts(10815)), ("v", _ts(0))],
+        "k string, ts timestamp",
+    )
+    out = (
+        sessionize(df, ["k"], "ts", gap_seconds=1800)
+        .toPandas()
+        .sort_values(["k", "ts"])
+    )
+    assert out["session_id"].tolist() == [1, 1, 2, 2, 3, 1]
+
+
+def test_session_table_durations(spark):
+    df = spark.createDataFrame(
+        [("u", _ts(0)), ("u", _ts(100)), ("u", _ts(5000)), ("u", _ts(5020))],
+        "k string, ts timestamp",
+    )
+    out = (
+        session_table(df, ["k"], "ts", gap_seconds=1800)
+        .toPandas()
+        .sort_values("session_id")
+    )
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["duration_s"].tolist() == [100, 20]
+    assert out["start_s"].tolist()[1] - out["start_s"].tolist()[0] == 5000
+
+
+def test_delta_and_rate(spark):
+    df = spark.createDataFrame(
+        [("u", _ts(0), 100), ("u", _ts(10), 150), ("u", _ts(30), 130),
+         ("v", _ts(0), 7)],
+        "k string, ts timestamp, v long",
+    )
+    out = delta(df, "d", "v", ["ts"], ["k"]).toPandas().sort_values(["k", "ts"])
+    assert out["d"].fillna(-999).tolist() == [-999, 50, -20, -999]
+
+    r = (
+        rate(df, "r", "v", "ts", ["ts"], ["k"], scale=100)
+        .toPandas()
+        .sort_values(["k", "ts"])
+    )
+    # 50/10s * 100 = 500; -20/20s * 100 = -100
+    assert r["r"].fillna(-999).tolist() == [-999, 500, -100, -999]
+
+
+def test_rate_counter_reset(spark):
+    df = spark.createDataFrame(
+        [("u", _ts(0), 100), ("u", _ts(10), 5)],
+        "k string, ts timestamp, v long",
+    )
+    r = (
+        rate(df, "r", "v", "ts", ["ts"], ["k"], counter_reset=True, scale=10)
+        .toPandas()
+        .sort_values("ts")
+    )
+    # reset: delta -95 -> treated as raw value 5 -> 5/10s * 10 = 5
+    assert r["r"].fillna(-999).tolist() == [-999, 5]
+
+
+def test_locf_carries_last_known(spark):
+    df = spark.createDataFrame(
+        [("u", 0, None), ("u", 1, 10.0), ("u", 2, None), ("u", 3, None),
+         ("u", 4, 40.0), ("v", 0, None)],
+        "k string, b long, v double",
+    )
+    out = locf(df, ["v"], ["b"], ["k"]).toPandas().sort_values(["k", "b"])
+    assert out["v"].fillna(-1).tolist() == [-1, 10.0, 10.0, 10.0, 40.0, -1]
+
+
+def test_interpolate_linear_golden_and_pandas(spark):
+    # u: known at b=0 (v=0) and b=4 (v=8) -> 2,4,6 interpolated
+    rows = [("u", 0, 0.0), ("u", 1, None), ("u", 2, None), ("u", 3, None),
+            ("u", 4, 8.0), ("u", 5, None)]  # trailing edge stays NULL
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    out = (
+        interpolate_linear(df, "v", "b", ["k"], output="vi")
+        .toPandas()
+        .sort_values("b")
+    )
+    assert out["vi"].fillna(-1).tolist() == [0.0, 2.0, 4.0, 6.0, 8.0, -1]
+
+    # cross-check the interior against pandas interpolate on a grid
+    pdf = pd.DataFrame({"b": [r[1] for r in rows], "v": [r[2] for r in rows]})
+    expected = pdf.set_index("b")["v"].interpolate(
+        method="index", limit_area="inside"
+    )
+    got = out.set_index("b")["vi"]
+    assert np.allclose(
+        got.dropna().values, expected.dropna().values
+    )
+
+
+def test_order_stat_exact_kth(spark):
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([5, 1, 9, 3, 7])]
+        + [("h", 0, 42)],
+        "k string, id long, v long",
+    )
+    # sorted g: 1,3,5,7,9; q=0.5 -> k=ceil(2.5)=3 -> 5; q=0.95 -> k=5 -> 9
+    med = order_stat(df, ["k"], "v", 0.5, tiebreak=["id"]).toPandas()
+    med = med.sort_values("k")
+    assert med["order_stat"].tolist() == [5, 42]
+    p95 = order_stat(df, ["k"], "v", 0.95, tiebreak=["id"]).toPandas()
+    assert sorted(p95["order_stat"].tolist()) == [9, 42]
+
+
+def test_order_stat_approx_close(spark):
+    vals = [("g", i, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(vals, "k string, id long, v double")
+    ap = order_stat(df, ["k"], "v", 0.5, exact=False).toPandas()
+    assert abs(ap["order_stat"].iloc[0] - 500.0) <= 25
+
+
+def test_distinct_exact_and_approx(spark):
+    rows = [("b1", f"u{i % 7}") for i in range(100)] + [("b2", "solo")]
+    df = spark.createDataFrame(rows, "bucket string, user string")
+    ex = distinct_per_bucket(df, ["bucket"], "user").toPandas().sort_values("bucket")
+    assert ex["n_distinct"].tolist() == [7, 1]
+    ap = (
+        distinct_per_bucket(df, ["bucket"], "user", exact=False, rsd=0.01)
+        .toPandas()
+        .sort_values("bucket")
+    )
+    assert ap["n_distinct"].tolist() == [7, 1]  # tiny cardinality: HLL exact
+
+
+def test_heavy_hitters_topk_ties(spark):
+    rows = (
+        [("b", "x")] * 5 + [("b", "y")] * 3 + [("b", "z")] * 3 + [("b", "w")] * 1
+    )
+    df = spark.createDataFrame(rows, "bucket string, item string")
+    out = (
+        heavy_hitters(df, ["bucket"], "item", k=3)
+        .toPandas()
+        .sort_values("rank")
+    )
+    # tie y/z at 3 -> item ascending: y before z
+    assert out["item"].tolist() == ["x", "y", "z"]
+    assert out["n"].tolist() == [5, 3, 3]
+
+
+def test_grouping_sets_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "g1 string, g2 string, v long",
+    )
+    out = aggregate_grouping_sets(
+        df, ["g1", "g2"],
+        [{"id": "s", "kernel": "sum", "inputs": ["v"]},
+         {"id": "n"}],
+        mode="rollup",
+    ).toPandas()
+    # levels: (g1,g2) x3 rows, (g1) x2, () x1 -> 6 rows
+    assert len(out) == 6
+    total = out[out["grouping_id"] == 3]
+    assert total["s"].tolist() == [7] and total["n"].tolist() == [3]
+    g1_level = out[out["grouping_id"] == 1].sort_values("g1")
+    assert g1_level["s"].tolist() == [3, 4]
+    leaf = out[out["grouping_id"] == 0]
+    assert sorted(leaf["s"].tolist()) == [1, 2, 4]
+
+
+def test_grouping_sets_cube_levels(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "g1 string, g2 string, v long",
+    )
+    out = aggregate_grouping_sets(
+        df, ["g1", "g2"], [{"id": "s", "kernel": "sum", "inputs": ["v"]}],
+        mode="cube",
+    ).toPandas()
+    # cube adds the (g2) level: 3 + 2 + 2 + 1 = 8 rows
+    assert len(out) == 8
+    g2_level = out[out["grouping_id"] == 2].sort_values("g2")
+    assert g2_level["s"].tolist() == [5, 2]

@@ -88,7 +88,10 @@ def expand_extensions(col_def: dict) -> list[dict]:
 def _table_deps(tdef: dict) -> set[str]:
     deps: set[str] = set()
     op = tdef.get("operation", "source")
-    if op in ("extend", "project", "map", "sink"):
+    if op in (
+        "extend", "project", "map", "sink", "grouping_sets", "sessions",
+        "order_stat", "distinct", "heavy_hitters",
+    ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except"):
         deps.update(tdef.get("inputs", []))
@@ -249,6 +252,42 @@ class Workflow:
                 tdef["values"],
                 tdef.get("direction", "backward"),
             )
+        if op == "grouping_sets":
+            return T.aggregate_grouping_sets(
+                self.tables[tdef["source"]], tdef["keys"], tdef["aggregations"],
+                mode=tdef.get("mode", "rollup"),
+                gid_col=tdef.get("gid_col", "grouping_id"),
+            )
+        if op == "sessions":
+            from lambdo_spark.rollup.timeseries import session_table
+
+            return session_table(
+                self.tables[tdef["source"]], tdef["keys"], tdef["ts"],
+                int(tdef["gap_seconds"]), tdef.get("tiebreak", ()),
+            )
+        if op == "order_stat":
+            from lambdo_spark.rollup.timeseries import order_stat
+
+            return order_stat(
+                self.tables[tdef["source"]], tdef["keys"], tdef["value"],
+                float(tdef["q"]), tdef.get("tiebreak", ()),
+                tdef.get("output", "order_stat"), tdef.get("exact", True),
+            )
+        if op == "distinct":
+            from lambdo_spark.rollup.timeseries import distinct_per_bucket
+
+            return distinct_per_bucket(
+                self.tables[tdef["source"]], tdef["keys"], tdef["item"],
+                tdef.get("output", "n_distinct"), tdef.get("exact", True),
+                tdef.get("rsd", 0.05),
+            )
+        if op == "heavy_hitters":
+            from lambdo_spark.rollup.timeseries import heavy_hitters
+
+            return heavy_hitters(
+                self.tables[tdef["source"]], tdef["keys"], tdef["item"],
+                int(tdef["k"]),
+            )
         if op == "sink":
             # reference parity: a function table doubling as a sink
             # (pandas:DataFrame.to_csv, examples/example1.json:14-22);
@@ -321,6 +360,41 @@ class Workflow:
                 df, out, self.tables[c["fact_table"]], c["keys"],
                 c["fact_keys"], c["kernel"], c.get("measure"),
                 c.get("fillna_value"), c.get("model"),
+            )
+        if op == "sessionize":
+            from lambdo_spark.rollup.timeseries import sessionize
+
+            return sessionize(
+                df, partition_by or [], c["ts"], int(c["gap_seconds"]),
+                c.get("tiebreak", ()), out,
+            )
+        if op == "delta":
+            from lambdo_spark.rollup.timeseries import delta
+
+            if not order_by:
+                raise ValueError(f"delta column '{out}' needs order_by")
+            return delta(df, out, c["inputs"][0], order_by, partition_by or [])
+        if op == "rate":
+            from lambdo_spark.rollup.timeseries import rate
+
+            if not order_by:
+                raise ValueError(f"rate column '{out}' needs order_by")
+            return rate(
+                df, out, c["inputs"][0], c["ts"], order_by, partition_by or [],
+                c.get("counter_reset", False), int(c.get("scale", 1_000_000)),
+            )
+        if op == "locf":
+            from lambdo_spark.rollup.timeseries import locf
+
+            if not order_by:
+                raise ValueError(f"locf column '{out}' needs order_by")
+            return locf(df, c["inputs"], order_by, partition_by or [])
+        if op == "interpolate":
+            from lambdo_spark.rollup.timeseries import interpolate_linear
+
+            return interpolate_linear(
+                df, c["inputs"][0], c["bucket"], partition_by or [], out,
+                int(c.get("ndigits", 6)),
             )
         raise ValueError(f"unknown column operation '{op}'")
 

@@ -137,3 +137,73 @@ def test_map_table_via_named_kernel(spark):
     }
     out = compile_workflow(spec, spark, data)["mapped"].toPandas().sort_values("a")
     assert out["b2"].tolist() == [20.0, 40.0]
+
+
+def test_workflow_timeseries_column_ops(spark):
+    """sessionize/delta/rate/locf as declarative column ops sharing
+    the table-level (partition_by, order_by) defaults."""
+    import datetime as dt
+
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 0), 100),
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 10), 150),
+        ("u", dt.datetime(2024, 1, 1, 2, 0, 0), 130),
+    ]
+    data = {"ev": spark.createDataFrame(rows, "k string, ts timestamp, v long")}
+    spec = {"tables": [
+        {"id": "ev", "operation": "data"},
+        {"id": "t", "operation": "extend", "source": "ev",
+         "order_by": ["ts"], "partition_by": ["k"],
+         "columns": [
+             {"id": "sid", "operation": "sessionize", "ts": "ts",
+              "gap_seconds": 1800},
+             {"id": "d", "operation": "delta", "inputs": ["v"]},
+             {"id": "r", "operation": "rate", "inputs": ["v"], "ts": "ts",
+              "scale": 100},
+         ]},
+    ]}
+    out = compile_workflow(spec, spark, data)["t"].toPandas().sort_values("ts")
+    assert out["sid"].tolist() == [1, 1, 2]
+    assert out["d"].fillna(-1).tolist() == [-1, 50, -20]
+    # rate row 3: floor(-20*100 / 7190s) == -1 (floor of negative)
+    assert out["r"].fillna(-999).tolist() == [-999, 500, -1]
+
+
+def test_workflow_timeseries_table_ops(spark):
+    """sessions/order_stat/distinct/heavy_hitters/grouping_sets as
+    declarative population ops."""
+    import datetime as dt
+
+    rows = [
+        ("u", "a", dt.datetime(2024, 1, 1, 0, 0, 0), 5),
+        ("u", "a", dt.datetime(2024, 1, 1, 0, 0, 10), 1),
+        ("u", "b", dt.datetime(2024, 1, 1, 2, 0, 0), 9),
+        ("v", "a", dt.datetime(2024, 1, 1, 0, 0, 0), 3),
+    ]
+    data = {"ev": spark.createDataFrame(
+        rows, "k string, cat string, ts timestamp, v long")}
+    spec = {"tables": [
+        {"id": "ev", "operation": "data"},
+        {"id": "sess", "operation": "sessions", "source": "ev",
+         "keys": ["k"], "ts": "ts", "gap_seconds": 1800},
+        {"id": "p50", "operation": "order_stat", "source": "ev",
+         "keys": ["k"], "value": "v", "q": 0.5, "output": "med"},
+        {"id": "nd", "operation": "distinct", "source": "ev",
+         "keys": ["k"], "item": "cat", "output": "n_cats"},
+        {"id": "hh", "operation": "heavy_hitters", "source": "ev",
+         "keys": ["k"], "item": "cat", "k": 1},
+        {"id": "gs", "operation": "grouping_sets", "source": "ev",
+         "keys": ["k", "cat"],
+         "aggregations": [{"id": "s", "kernel": "sum", "inputs": ["v"]}]},
+    ]}
+    out = compile_workflow(spec, spark, data)
+    sess = out["sess"].toPandas()
+    assert sorted(sess["n_events"].tolist()) == [1, 1, 2]
+    med = out["p50"].toPandas().sort_values("k")
+    assert med["med"].tolist() == [5, 3]
+    nd = out["nd"].toPandas().sort_values("k")
+    assert nd["n_cats"].tolist() == [2, 1]
+    hh = out["hh"].toPandas().sort_values("k")
+    assert hh["cat"].tolist() == ["a", "a"]
+    gs = out["gs"].toPandas()
+    assert gs[gs["grouping_id"] == 3]["s"].tolist() == [18]

@@ -49,29 +49,46 @@ def run_retention_pipeline(
                 "have non-byte-identical extracted text"
             )
 
-    p1h = partials_from_pages(pages, TIER_SECONDS["1h"])
+    # Persist the partial chain: p1h is consumed by SIX downstream
+    # plans (1h finalize×2-writes + the 1d downsample, which feeds
+    # 1d's and 30d's); without caching, every tier write re-runs the
+    # full pages scan — one pass vs ~nine at 100 TB. Partials are
+    # orders of magnitude smaller than raw pages (pre-aggregated per
+    # url×bucket×lang) and MEMORY_AND_DISK spills rather than OOMs.
+    p1h = partials_from_pages(pages, TIER_SECONDS["1h"]).persist()
     partials = {"1h": p1h}
-    partials["1d"] = downsample(p1h, TIER_SECONDS["1d"])
+    partials["1d"] = downsample(p1h, TIER_SECONDS["1d"]).persist()
     partials["30d"] = downsample(partials["1d"], TIER_SECONDS["30d"])
 
     result: dict = {}
-    for tier_name, part in partials.items():
-        tier_df = finalize(part)
-        filled = gap_fill(tier_df, TIER_SECONDS[tier_name])
-        table = IcebergLayoutTable(os.path.join(out_root, f"tier_{tier_name}"))
-        snap = table.write_tier(
-            with_part(filled), input_snapshot=f"pages@{tier_name}"
-        )
-        comp = compress_tier(
-            tier_df, value_col=compress_value_col,
-            tier_seconds=TIER_SECONDS[tier_name],
-        )
-        ctable = IcebergLayoutTable(
-            os.path.join(out_root, f"compressed_{tier_name}")
-        )
-        csnap = ctable.write_tier(
-            comp.withColumn("part", comp["chunk"]),
-            input_snapshot=f"tier_{tier_name}@{snap['snapshot_id']}",
-        )
-        result[tier_name] = {"tier": snap, "compressed": csnap}
+    try:
+        for tier_name, part in partials.items():
+            # finalized tier feeds both the gap-filled write and the
+            # compression write — cache so collect_list runs once
+            tier_df = finalize(part).persist()
+            try:
+                filled = gap_fill(tier_df, TIER_SECONDS[tier_name])
+                table = IcebergLayoutTable(
+                    os.path.join(out_root, f"tier_{tier_name}")
+                )
+                snap = table.write_tier(
+                    with_part(filled), input_snapshot=f"pages@{tier_name}"
+                )
+                comp = compress_tier(
+                    tier_df, value_col=compress_value_col,
+                    tier_seconds=TIER_SECONDS[tier_name],
+                )
+                ctable = IcebergLayoutTable(
+                    os.path.join(out_root, f"compressed_{tier_name}")
+                )
+                csnap = ctable.write_tier(
+                    comp.withColumn("part", comp["chunk"]),
+                    input_snapshot=f"tier_{tier_name}@{snap['snapshot_id']}",
+                )
+                result[tier_name] = {"tier": snap, "compressed": csnap}
+            finally:
+                tier_df.unpersist()
+    finally:
+        p1h.unpersist()
+        partials["1d"].unpersist()
     return result

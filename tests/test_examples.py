@@ -69,3 +69,20 @@ def test_rollup_pages_example(spark, tmp_path):
         .count()
     )
     assert len(tier) == lib
+
+
+def test_sessions_tiers_example(spark):
+    tables = Workflow(_load("sessions_tiers.json"), spark).execute()
+    ev = tables["events"].toPandas()
+    assert {"session_id", "d_value", "rate_x1m"} <= set(ev.columns)
+    assert (ev["session_id"] >= 1).all()
+    sess = tables["sessions"].toPandas()
+    # sessions partition the events exactly
+    assert sess["n_events"].sum() == len(ev)
+    p95 = tables["p95_by_user"].toPandas()
+    assert set(p95.columns) == {"user_id", "p95_value"}
+    hh = tables["top_event_types"].toPandas()
+    assert (hh.groupby("user_id")["rank"].max() <= 2).all()
+    cube = tables["spend_cube"].toPandas()
+    total = cube[cube["grouping_id"] == 3]
+    assert len(total) == 1 and total["n"].iloc[0] == len(ev)

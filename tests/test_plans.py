@@ -119,3 +119,45 @@ def test_gap_fill_no_cartesian(pages):
     plan = _plan(gap_fill(t, 3600))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_timeseries_window_stack_single_exchange(spark):
+    """sessionize + delta + rate over the same (key, ts order) must
+    collapse into ONE hash exchange on the key: Catalyst merges
+    identical window specs, so stacking toolkit columns costs one
+    shuffle total, not one per column."""
+    from lambdo_spark.rollup.timeseries import delta, rate, sessionize
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    out = sessionize(ev, ["user_id"], "ts", 1800, ["event_id"])
+    out = delta(out, "d", "value", ["ts", "event_id"], ["user_id"])
+    out = rate(out, "r", "value", "ts", ["ts", "event_id"], ["user_id"])
+    plan = _plan(out)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan}"
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_heavy_hitters_partial_agg_before_window(spark):
+    """heavy_hitters must pre-aggregate with map-side combine so the
+    top-k window ranks |distinct items| per group, not raw rows."""
+    from lambdo_spark.rollup.timeseries import heavy_hitters
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    plan = _plan(heavy_hitters(ev, ["user_id"], "event_type", k=3))
+    assert "partial_count" in plan, plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """ROLLUP computes every level via one Expand + one aggregate —
+    not one scan per level."""
+    from lambdo_spark.operators.table_ops import aggregate_grouping_sets
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    plan = _plan(aggregate_grouping_sets(
+        ev, ["event_type", "user_id"],
+        [{"id": "s", "kernel": "sum", "inputs": ["value"]}],
+    ))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan

@@ -1,0 +1,117 @@
+"""Streaming sessionization (streaming/sessions.py): closed sessions
+must carry exactly the batch session_table's values and dense per-key
+numbering; state must survive a checkpointed restart; idle keys must
+close via event-time timeout once the watermark passes."""
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+from lambdo_spark.rollup.timeseries import session_table
+from lambdo_spark.streaming.sessions import streaming_sessionizer
+
+GAP = 600  # 10 min
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+def _land(df, staging: str, src: str, name: str) -> str:
+    tmp = os.path.join(staging, name)
+    df.write.parquet(tmp)
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))):
+        shutil.copy(f, os.path.join(src, f"{name}-{i}.parquet"))
+    return tmp
+
+
+def _start(spark, src, out, ckpt, schema):
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = (
+        streaming_sessionizer(stream, GAP, key_col="k", ts_col="ts",
+                              watermark_delay="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+
+def test_streaming_sessions_match_batch_and_resume(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    staging = str(tmp_path / "staging")
+
+    # file 1: u has two sessions (split at >10min gap), v one;
+    # in-batch splits and the open tail both exercised
+    rows1 = [
+        ("u", _ts(0)), ("u", _ts(5)), ("u", _ts(9)),      # session 1
+        ("u", _ts(30)), ("u", _ts(32)),                    # session 2 (open)
+        ("v", _ts(0)), ("v", _ts(3)),                      # session 1 (open)
+    ]
+    f1 = _land(
+        spark.createDataFrame(rows1, "k string, ts timestamp"), staging, src, "f1"
+    )
+    schema = spark.read.parquet(f1).schema
+    _start(spark, src, out, ckpt, schema)
+    got1 = spark.read.parquet(out).toPandas()
+
+    # only u's first session is certainly closed by data (v idle; u's
+    # 2nd open); timeout may also close sessions whose deadline the
+    # watermark (max_ts - 1min) passed: u#1 deadline 0:19, wm 0:31 →
+    # closed by gap anyway; v#1 deadline 0:13 < wm → timeout-closed
+    assert ("u", 1) in set(zip(got1["key"], got1["session_id"]))
+    u1 = got1[(got1["key"] == "u") & (got1["session_id"] == 1)].iloc[0]
+    assert (u1["n_events"], u1["duration_s"]) == (3, 540)
+
+    # file 2 (after restart, state carried): u continues session 2
+    # within the gap, then everything closes as the watermark jumps
+    rows2 = [
+        ("u", _ts(40)),                                    # extends session 2
+        ("u", _ts(600)), ("w", _ts(600)),                  # far future: wm jump
+    ]
+    _land(
+        spark.createDataFrame(rows2, "k string, ts timestamp"), staging, src, "f2"
+    )
+    _start(spark, src, out, ckpt, schema)
+    got2 = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["key", "session_id"])
+        .reset_index(drop=True)
+    )
+
+    # batch oracle over ALL events; every session except each key's
+    # last (u@600, w@600 — deadlines past the final watermark? wm =
+    # 600-1min = 599 < 600+gap → still open) must be emitted closed
+    all_rows = spark.createDataFrame(rows1 + rows2, "k string, ts timestamp")
+    batch = (
+        session_table(all_rows, ["k"], "ts", GAP)
+        .toPandas()
+        .sort_values(["k", "session_id"])
+    )
+    last = batch.groupby("k")["session_id"].max().rename("last_sid")
+    batch = batch.join(last, on="k")
+    expected_closed = batch[batch["session_id"] < batch["last_sid"]]
+
+    got_keys = set(zip(got2["key"], got2["session_id"]))
+    for _, r in expected_closed.iterrows():
+        assert (r["k"], r["session_id"]) in got_keys
+    # and every emitted session matches the batch oracle exactly
+    m = got2.merge(
+        batch, left_on=["key", "session_id"], right_on=["k", "session_id"],
+        suffixes=("_got", "_exp"),
+    )
+    assert len(m) == len(got2)
+    for c in ("start_s", "end_s", "duration_s", "n_events"):
+        assert (m[f"{c}_got"] == m[f"{c}_exp"]).all(), c
+
+    # u's session 2 must span the restart: events at 0:30..0:40
+    u2 = got2[(got2["key"] == "u") & (got2["session_id"] == 2)]
+    assert len(u2) == 1 and u2.iloc[0]["n_events"] == 3
+    assert u2.iloc[0]["duration_s"] == 600

@@ -153,6 +153,25 @@ def _q_compressed_chunks(spark, sf_dir):
     )
 
 
+def _q_compressed_roundtrip(spark, sf_dir):
+    """Gorilla/delta-of-delta codecs pinned END-TO-END against an
+    independent engine: tier → compress_tier → decompress_tier must
+    equal the tier DuckDB computes directly from raw rows. Values are
+    integer cent-sums carried in float64 (exact ≤ 2^53), so the
+    lossless codec round-trip is hash-identical."""
+    from lambdo_spark.rollup.compress_stage import decompress_tier
+
+    t = _event_partials(spark, sf_dir, 3600).groupBy("url", "bucket_s").agg(
+        F.sum("sum_len").cast("double").alias("sum_c")
+    )
+    comp = compress_tier(t, value_col="sum_c", tier_seconds=3600)
+    out = decompress_tier(comp, value_col="sum_c")
+    return out.select(
+        F.col("url").alias("user_id"), "bucket_s",
+        F.col("sum_c").cast("long").alias("sum_c"),
+    )
+
+
 def _q_asof_snapshot(spark, sf_dir):
     """As-of join (operators/table_ops.py:asof_join — timeseries join
     the reference lacks): each event picks the most recent hourly
@@ -699,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gapfill_1h": _q_rollup_gapfill_1h,
         "hist_1d": _q_hist_1d,
         "compressed_chunks": _q_compressed_chunks,
+        "compressed_roundtrip": _q_compressed_roundtrip,
         "salted_agg": _q_salted_agg,
         # relational operators (SURVEY §2)
         "calc_revenue": _q_calc_revenue,
@@ -807,7 +827,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points
             FROM events GROUP BY 1, 2, 3
         """,
-        # compressed_chunks: rows-only (binary codec output)
+        # compressed_chunks: rows-only (binary codec output); the codec
+        # itself is oracled via compressed_roundtrip below
+        "compressed_roundtrip": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                   CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+            FROM events GROUP BY 1, 2
+        """,
         "salted_agg": """
             SELECT user_id, count(*) AS n_events,
                    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)

@@ -119,3 +119,43 @@ def compress_tier(
         .sortWithinPartitions("url", "_chunk", "bucket_s")
     )
     return prepared.mapInPandas(kernel, schema=_compressed_schema(tier))
+
+
+def decompress_tier(compressed: DataFrame, value_col: str = "value") -> DataFrame:
+    """Inverse of :func:`compress_tier`: blobs → (url, bucket_s, value)
+    point rows — the read path for time-travel / backfill queries over
+    compressed retention data.
+
+    One Python decode call per (url, chunk) ROW, not per point: a blob
+    holds up to ``chunk_buckets`` points, so the per-call overhead
+    amortizes ~4096×; rows distribute across whatever partitioning the
+    compressed table already has (no shuffle — decompression is
+    embarrassingly parallel). Codecs are lossless (delta-of-delta longs,
+    Gorilla XOR on the float64 bit pattern), so the round trip is exact
+    — pinned bit-for-bit by tests and, end-to-end, by the
+    ``compressed_roundtrip`` DuckDB oracle query.
+    """
+    from lambdo_spark.functions.compress import decode_timestamps, decode_values
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            urls, ts, vals = [], [], []
+            for url, tb, vb in zip(b["url"], b["ts_blob"], b["val_blob"]):
+                t = decode_timestamps(bytes(tb))
+                urls.append(np.repeat(url, len(t)))
+                ts.append(t)
+                vals.append(decode_values(bytes(vb)))
+            yield pd.DataFrame(
+                {
+                    "url": np.concatenate(urls),
+                    "bucket_s": np.concatenate(ts),
+                    value_col: np.concatenate(vals),
+                }
+            )
+
+    key_type = dict(compressed.dtypes)["url"]
+    return compressed.mapInPandas(
+        kernel, schema=f"url {key_type}, bucket_s long, {value_col} double"
+    )

@@ -93,3 +93,36 @@ def test_grouped_encoders_byte_identical():
             decode_values(mv[i]).view(np.uint64),
             vals[s : s + c].view(np.uint64),
         )
+
+
+def test_decompress_tier_roundtrip_distributed(spark):
+    """compress_tier → decompress_tier must reproduce the tier rows
+    exactly (bit-for-bit doubles), across chunk boundaries."""
+    import pandas as pd
+
+    from lambdo_spark.rollup.compress_stage import compress_tier, decompress_tier
+
+    rows = []
+    for u in ("a", "b"):
+        # 5000 buckets → spans two 4096-bucket chunks; irregular gaps
+        for i in range(5000):
+            if i % 7 == 3:
+                continue
+            rows.append((u, 3600 * (i * 2 if i % 11 == 0 else i), float(i) * 1.25 - 17.5))
+    tier = spark.createDataFrame(rows, "url string, bucket_s long, v double")
+    comp = compress_tier(tier, value_col="v", chunk_buckets=4096)
+    got = (
+        decompress_tier(comp, value_col="v")
+        .toPandas()
+        .sort_values(["url", "bucket_s"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(rows, columns=["url", "bucket_s", "v"])
+        .sort_values(["url", "bucket_s"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["url"] == exp["url"]).all()
+    assert (got["bucket_s"] == exp["bucket_s"]).all()
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()  # exact, not approx

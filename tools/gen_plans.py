@@ -103,7 +103,26 @@ What to look for: `BroadcastHashJoin` — Catalyst broadcasts the
 """,
             fmt(C.link(cust, "nat", ["c_nationkey"], nation, ["n_nationkey"])),
         ),
+        (
+            "timeseries window stack (sessionize + delta + rate)",
+            """
+What to look for: ONE `Exchange hashpartitioning(user_id)` feeding a
+single `Window` operator chain — Catalyst merges the identical
+(partitionBy, orderBy) specs of sessionize's lag/sum, delta's lag and
+rate's lag into one shuffle + one sort. Stacking toolkit columns is
+O(1) shuffles, and there is no Python anywhere (`BatchEvalPython` /
+`ArrowEvalPython` absent).
+""",
+            None,  # filled below (needs the timeseries module)
+        ),
     ]
+    from lambdo_spark.rollup.timeseries import delta, rate, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stacked = sessionize(ev, ["user_id"], "ts", 1800, ["event_id"])
+    stacked = delta(stacked, "d", "value", ["ts", "event_id"], ["user_id"])
+    stacked = rate(stacked, "r", "value", "ts", ["ts", "event_id"], ["user_id"])
+    sections[-1] = (sections[-1][0], sections[-1][1], fmt(stacked))
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(

@@ -79,10 +79,44 @@ def _run_retention(args) -> int:
         spark.stop()
 
 
+def _run_refresh(args) -> int:
+    from lambdo_spark.rollup.incremental import refresh_from_pages
+    from lambdo_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="lambdo_spark:refresh", master=args.master)
+    try:
+        if args.synthesize:
+            pages = generate_pages(spark, args.synthesize, seed=args.seed)
+        elif args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            print("refresh: need --pages PATH or --synthesize N", file=sys.stderr)
+            return 2
+        result = refresh_from_pages(
+            spark, pages, args.out, delta_tag=args.delta_tag
+        )
+        print(
+            json.dumps(
+                {
+                    "skipped": result.get("skipped"),
+                    "affected_parts": {
+                        k: len(v) for k, v in result["affected_parts"].items()
+                    },
+                }
+                if "affected_parts" in result
+                else result,
+                indent=1,
+            )
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy form: `python -m lambdo_spark workflow.json [...]`
-    if argv and argv[0] != "retention":
+    if argv and argv[0] not in ("retention", "refresh"):
         argv = ["run", *argv]
 
     ap = argparse.ArgumentParser(prog="lambdo_spark")
@@ -103,8 +137,24 @@ def main(argv: list[str] | None = None) -> int:
     ret.add_argument("--no-audit", action="store_true")
     ret.add_argument("--master", default=None)
 
+    ref = sub.add_parser(
+        "refresh",
+        help="incremental tier refresh: merge a pages delta, rebuild "
+        "only affected partitions (exactly-once per --delta-tag)",
+    )
+    ref.add_argument("--pages", default=None, help="delta pages parquet path")
+    ref.add_argument("--synthesize", type=int, default=0)
+    ref.add_argument("--seed", type=int, default=42)
+    ref.add_argument("--out", required=True, help="tier root (shared with retention)")
+    ref.add_argument("--delta-tag", default="", help="idempotency key for this delta")
+    ref.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
-    return _run_workflow(args) if args.cmd == "run" else _run_retention(args)
+    if args.cmd == "run":
+        return _run_workflow(args)
+    if args.cmd == "refresh":
+        return _run_refresh(args)
+    return _run_retention(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,191 @@
+"""Incremental tier refresh — continuous-aggregate maintenance.
+
+``run_retention_pipeline`` recomputes every tier from the full pages
+table; at 10^12 rows a daily crawl delta is ~0.1% of that, so the
+steady-state operation must touch only what changed. This module
+maintains the tiers incrementally and EXACTLY, leaning on the same
+algebra that makes downsampling exact (SURVEY §7.3: partial+final —
+carry (sum, count), min/max, per-lang partial rows; never averages):
+
+* The **durable unit is the 1h partials store** (an Iceberg-layout
+  table of ``(url, bucket_s, lang, n_points, sum_len, min_ts,
+  max_ts)`` rows, weekly-partitioned on bucket). New pages aggregate
+  into *delta partials* (one shuffle over just the delta), which merge
+  with the stored partials of the affected weekly partitions only —
+  an algebraic groupBy, exact regardless of how many deltas arrived
+  or in what order.
+* Finalized tiers (1h/1d/30d) are then **rebuilt only for affected
+  partitions**, reading the partials store with a partition filter
+  (parquet `part=` directory pruning — the unaffected 99.9% is never
+  opened). A 30d bucket overlapping a changed week is recomputed from
+  ALL its constituent weeks' partials, so cross-partition buckets stay
+  exact.
+* Every rewrite goes through ``IcebergLayoutTable.overwrite_parts``:
+  dynamic partition overwrite + fresh manifest + new snapshot, so a
+  crash mid-refresh leaves the previous snapshot readable and the
+  refresh idempotently re-runnable (re-merging the same delta into an
+  already-merged store would double-count — hence the store commit
+  carries the delta tag in ``input_snapshot`` for dedup by the
+  caller's orchestration).
+
+Late data needs no special path: a page for any historical bucket
+lands in its week's partition and that week (plus any coarser bucket
+covering it) is rebuilt — same mechanics as fresh data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lambdo_spark.rollup.tiers import (
+    TIER_SECONDS,
+    downsample,
+    finalize,
+    partials_from_pages,
+)
+from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+PART_SECONDS = 7 * 86400  # weekly partitions, matching with_part()
+
+PARTIAL_KEYS = ["url", "bucket_s", "lang"]
+
+
+def _merge_partials(a: DataFrame) -> DataFrame:
+    """Algebraic merge of partial rows sharing (url, bucket, lang)."""
+    return a.groupBy(*PARTIAL_KEYS).agg(
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_len").alias("sum_len"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+    )
+
+
+def _partials_store(root: str) -> IcebergLayoutTable:
+    return IcebergLayoutTable(os.path.join(root, "partials_1h"))
+
+
+def _tier_table(root: str, tier_name: str) -> IcebergLayoutTable:
+    return IcebergLayoutTable(os.path.join(root, f"tier_{tier_name}"))
+
+
+def _read_store_parts(
+    spark: SparkSession, store: IcebergLayoutTable, parts: set[str]
+) -> DataFrame | None:
+    committed = store.committed_parts() & parts
+    if not committed:
+        return None
+    df = spark.read.parquet(store.data_dir)
+    return df.where(F.col("part").cast("string").isin(sorted(committed)))
+
+
+def _parts_containing_overlapping_buckets(
+    aff_weeks: set[int], tsec: int
+) -> set[int]:
+    """Weekly partitions holding any tier bucket that OVERLAPS an
+    affected week. For tsec ≤ a week (1h/1d, which divide 604800) that
+    is the affected weeks themselves; a 30d bucket is not week-aligned,
+    so data in one week can change a bucket whose start (= partition)
+    lies weeks earlier."""
+    parts: set[int] = set()
+    for w in aff_weeks:
+        b = (w // tsec) * tsec  # first bucket overlapping the week
+        while b < w + PART_SECONDS:
+            parts.add((b // PART_SECONDS) * PART_SECONDS)
+            b += tsec
+    return parts
+
+
+def refresh_from_pages(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    root: str,
+    delta_tag: str = "",
+) -> dict:
+    """Merge a pages delta into the partials store and rebuild only
+    the affected partitions of every finalized tier.
+
+    Returns {"affected_parts": {...}, "snapshots": {...}} per tier.
+    """
+    store = _partials_store(root)
+    # exactly-once per delta_tag: the store snapshot carries the list
+    # of applied tags; a retried/duplicated delta is a no-op instead
+    # of double-counting (refresh is NOT idempotent without this)
+    prev = store.current_snapshot() or {}
+    applied = list(prev.get("applied_deltas", []))
+    if delta_tag and delta_tag in applied:
+        return {"affected_parts": {}, "snapshots": {}, "skipped": delta_tag}
+
+    delta = with_part(
+        partials_from_pages(new_pages, TIER_SECONDS["1h"]),
+        part_seconds=PART_SECONDS,
+    ).persist()
+    affected = {str(r[0]) for r in delta.select("part").distinct().collect()}
+    result: dict = {"affected_parts": {}, "snapshots": {}}
+    try:
+        if not affected:
+            return result
+
+        # 1. merge delta into the stored partials of affected weeks
+        existing = _read_store_parts(spark, store, affected)
+        merged = delta.drop("part")
+        if existing is not None:
+            merged = merged.unionByName(existing.drop("part"))
+        merged = with_part(_merge_partials(merged), part_seconds=PART_SECONDS)
+        snap = store.overwrite_parts(
+            merged,
+            sorted(affected),
+            input_snapshot=f"delta:{delta_tag}",
+            extra={"applied_deltas": applied + ([delta_tag] if delta_tag else [])},
+        )
+        result["affected_parts"]["partials_1h"] = sorted(affected)
+        result["snapshots"]["partials_1h"] = snap
+
+        # 2. rebuild affected partitions of each finalized tier from
+        #    the (now-merged) store, reading only the weeks needed.
+        # A tier row's partition is the week of its bucket START, and
+        # dynamic overwrite replaces whole partitions — so every
+        # partition containing an affected bucket is rebuilt IN FULL
+        # (all its buckets), never partially.
+        aff_weeks = {int(p) for p in affected}
+        for tier_name, tsec in TIER_SECONDS.items():
+            parts_to_rewrite = _parts_containing_overlapping_buckets(
+                aff_weeks, tsec
+            )
+            # source weeks: a bucket starting in a rewritten week ends
+            # at most tsec past that week (30d buckets span ~5 weeks)
+            need_weeks = set()
+            for p in parts_to_rewrite:
+                w = p
+                while w < p + PART_SECONDS + tsec:
+                    need_weeks.add(str(w))
+                    w += PART_SECONDS
+            src = _read_store_parts(spark, store, need_weeks)
+            if src is None:
+                continue
+            part1h = src.drop("part")
+            tier_partials = (
+                part1h if tsec == TIER_SECONDS["1h"] else downsample(part1h, tsec)
+            )
+            out = with_part(finalize(tier_partials), part_seconds=PART_SECONDS)
+            out = out.where(
+                F.col("part").isin(sorted(parts_to_rewrite))
+            )
+            tsnap = _tier_table(root, tier_name).overwrite_parts(
+                out,
+                [str(p) for p in sorted(parts_to_rewrite)],
+                input_snapshot=f"partials@{snap['snapshot_id']}",
+            )
+            result["affected_parts"][tier_name] = sorted(
+                str(p) for p in parts_to_rewrite
+            )
+            result["snapshots"][tier_name] = tsnap
+    finally:
+        delta.unpersist()
+    return result
+
+
+def read_finalized_tier(spark: SparkSession, root: str, tier_name: str) -> DataFrame:
+    """Committed snapshot view of an incrementally-maintained tier."""
+    return _tier_table(root, tier_name).read_tier(spark).drop("part")

@@ -98,12 +98,50 @@ class IcebergLayoutTable:
         ``df`` must carry ``part_col`` (string-able partition value).
         Returns the committed snapshot dict.
         """
-        spark = df.sparkSession
         done = self.committed_parts()
         all_parts = {
             str(r[0]) for r in df.select(part_col).distinct().collect()
         }
         missing = sorted(all_parts - done)
+        self._write_parts(df, missing, part_col, input_snapshot)
+        return self._commit(
+            done | set(missing),
+            {
+                "input_snapshot": input_snapshot,
+                "new_parts": missing,
+                "part_col": part_col,
+            },
+        )
+
+    def overwrite_parts(
+        self,
+        df: DataFrame,
+        parts: list[str],
+        part_col: str = "part",
+        input_snapshot: str = "",
+        extra: dict | None = None,
+    ) -> dict:
+        """Force-rewrite the given partitions (committed or not) —
+        the incremental-refresh primitive: a changed partition is
+        dynamically overwritten and its manifest/lineage replaced,
+        then a new snapshot commits. Unlisted partitions are untouched
+        (readers on the old snapshot stay consistent)."""
+        parts = sorted({str(p) for p in parts})
+        self._write_parts(df, parts, part_col, input_snapshot)
+        return self._commit(
+            self.committed_parts() | set(parts),
+            {
+                "input_snapshot": input_snapshot,
+                "new_parts": parts,
+                "part_col": part_col,
+                **(extra or {}),
+            },
+        )
+
+    def _write_parts(
+        self, df: DataFrame, missing: list[str], part_col: str, input_snapshot: str
+    ) -> None:
+        spark = df.sparkSession
         if missing:
             t0 = time.time()
             pending = df.where(F.col(part_col).cast("string").isin(missing))
@@ -151,14 +189,6 @@ class IcebergLayoutTable:
                         "written_at": time.time(),
                     },
                 )
-        return self._commit(
-            done | set(missing),
-            {
-                "input_snapshot": input_snapshot,
-                "new_parts": missing,
-                "part_col": part_col,
-            },
-        )
 
     def read_tier(self, spark: SparkSession) -> DataFrame:
         """Read only committed partitions (snapshot-isolated view)."""

@@ -1,0 +1,99 @@
+"""Incremental tier refresh (rollup/incremental.py): merging deltas
+must reproduce the full-recompute tiers EXACTLY at every tier
+(including 30d buckets that straddle weekly partitions), rewrite only
+affected partitions, and ignore a duplicated delta."""
+
+import pandas as pd
+import pytest
+
+from lambdo_spark.rollup.incremental import (
+    PART_SECONDS,
+    _parts_containing_overlapping_buckets,
+    refresh_from_pages,
+    read_finalized_tier,
+)
+from lambdo_spark.rollup.tiers import TIER_SECONDS, rollup_all_tiers
+from lambdo_spark.sources.pages import generate_pages
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    if "lang_hist" in pdf.columns:
+        pdf["lang_hist"] = pdf["lang_hist"].map(
+            lambda m: tuple(sorted(m.items())) if m is not None else None
+        )
+    return (
+        pdf.sort_values(["url", "bucket_s"])
+        .reset_index(drop=True)
+        .drop(columns=["bucket"], errors="ignore")
+    )
+
+
+def test_parts_overlap_math():
+    week = PART_SECONDS
+    # 1h/1d divide the week: only the affected week is rewritten
+    assert _parts_containing_overlapping_buckets({3 * week}, 3600) == {3 * week}
+    assert _parts_containing_overlapping_buckets({3 * week}, 86400) == {3 * week}
+    # a 30d bucket overlapping week 3 can START weeks earlier — its
+    # partition (start week) must be rewritten too
+    tsec = TIER_SECONDS["30d"]
+    parts = _parts_containing_overlapping_buckets({3 * week}, tsec)
+    b0 = (3 * week // tsec) * tsec  # bucket containing week-3 start
+    assert (b0 // week) * week in parts
+    assert all(p <= 3 * week for p in parts)
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path):
+    root = str(tmp_path / "tiers")
+    # two disjoint-seed deltas; seeds give overlapping (url, bucket)
+    # pairs so the algebraic merge is actually exercised
+    d1 = generate_pages(spark, 2500, seed=21)
+    d2 = generate_pages(spark, 2500, seed=22)
+
+    r1 = refresh_from_pages(spark, d1, root, delta_tag="d1")
+    assert r1["affected_parts"]["partials_1h"]
+    r2 = refresh_from_pages(spark, d2, root, delta_tag="d2")
+
+    full = rollup_all_tiers(d1.unionByName(d2))
+    for tier_name in ("1h", "1d", "30d"):
+        got = _canon(read_finalized_tier(spark, root, tier_name))
+        exp = _canon(full[tier_name])
+        assert len(got) == len(exp), tier_name
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_duplicate_delta_is_noop(spark, tmp_path):
+    root = str(tmp_path / "tiers")
+    d1 = generate_pages(spark, 1500, seed=31)
+    refresh_from_pages(spark, d1, root, delta_tag="d1")
+    before = _canon(read_finalized_tier(spark, root, "1h"))
+    r = refresh_from_pages(spark, d1, root, delta_tag="d1")  # retry
+    assert r.get("skipped") == "d1"
+    after = _canon(read_finalized_tier(spark, root, "1h"))
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_refresh_rewrites_only_affected_partitions(spark, tmp_path):
+    root = str(tmp_path / "tiers")
+    base = generate_pages(spark, 4000, seed=41)
+    refresh_from_pages(spark, base, root, delta_tag="base")
+
+    # a late delta confined to ONE week of the base range
+    lo = base.selectExpr("min(unix_timestamp(warc_ts)) AS lo").collect()[0]["lo"]
+    week0 = (int(lo) // PART_SECONDS) * PART_SECONDS
+    late = base.where(
+        f"unix_timestamp(warc_ts) >= {week0} AND "
+        f"unix_timestamp(warc_ts) < {week0 + PART_SECONDS}"
+    ).limit(200)
+    r = refresh_from_pages(spark, late, root, delta_tag="late")
+
+    all_1h_parts = {
+        m["part"]
+        for m in __import__("lambdo_spark.rollup.incremental", fromlist=["x"])
+        ._tier_table(root, "1h").lineage()
+    }
+    assert r["affected_parts"]["partials_1h"] == [str(week0)]
+    assert r["affected_parts"]["1h"] == [str(week0)]
+    assert len(all_1h_parts) > 1  # base spans several weeks
+    # 30d rewrites a handful of partitions, not the whole table
+    assert len(r["affected_parts"]["30d"]) <= 6

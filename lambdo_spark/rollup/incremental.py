@@ -73,11 +73,15 @@ def _tier_table(root: str, tier_name: str) -> IcebergLayoutTable:
 def _read_store_parts(
     spark: SparkSession, store: IcebergLayoutTable, parts: set[str]
 ) -> DataFrame | None:
-    committed = store.committed_parts() & parts
-    if not committed:
+    """Committed snapshot versions of the requested partitions only —
+    via the store's MVCC path list, so stale rewritten versions are
+    never double-read."""
+    versions = {
+        p: v for p, v in store.part_versions().items() if p in parts
+    }
+    if not versions:
         return None
-    df = spark.read.parquet(store.data_dir)
-    return df.where(F.col("part").cast("string").isin(sorted(committed)))
+    return store._read_versions(spark, versions).drop("snapv")
 
 
 def _parts_containing_overlapping_buckets(

@@ -1,31 +1,44 @@
-"""Iceberg-layout checkpointed, resumable tier writer.
+"""Iceberg-layout checkpointed, resumable, snapshot-isolated writer.
 
 No Iceberg runtime jar exists in this sandbox (BASELINE.md), so this
-implements the *protocol* Iceberg provides — snapshot isolation via an
-atomic metadata pointer, per-partition manifests with lineage +
-metrics, idempotent partition rewrites — over partitioned Parquet:
+implements the *protocol* Iceberg provides — MVCC snapshot isolation
+via an atomic metadata pointer over immutable data, per-partition
+manifests with lineage + metrics, idempotent partition rewrites —
+over partitioned Parquet:
 
-    <root>/data/part=<p>/*.parquet          (dynamic-overwrite units)
-    <root>/metadata/manifest-<p>.json       (lineage row per partition)
-    <root>/metadata/snapshot-<n>.json       (committed partition set)
-    <root>/metadata/CURRENT                 (atomic pointer, tmp+rename)
+    <root>/data/part=<p>/snapv=<v>/*.parquet   (immutable once committed)
+    <root>/metadata/manifest-<p>-v<v>.json     (lineage row per part version)
+    <root>/metadata/snapshot-<n>.json          (maps part -> version)
+    <root>/metadata/CURRENT                    (atomic pointer, tmp+rename)
+
+**MVCC**: a rewrite of partition p writes a NEW ``snapv`` directory
+(version = the snapshot id being produced) and the new snapshot points
+at it; the previous version's files are untouched, so a reader that
+resolved an older snapshot keeps reading consistent data for as long
+as it runs (until ``expire_snapshots`` garbage-collects). This is what
+in-place dynamic overwrite cannot give — there, the old snapshot's
+"committed" partition is deleted mid-rewrite under the reader.
 
 Resume: a killed run leaves data files but no manifest/snapshot for
 incomplete partitions; the next run lists committed partitions from
-CURRENT's snapshot, recomputes ONLY the missing ones (pushed down as a
-partition filter), overwrites their directories (idempotent — Spark
-dynamic partition overwrite), and commits a new snapshot. Readers only
-ever follow CURRENT → committed data.
+CURRENT's snapshot, recomputes ONLY the missing ones, writes them
+under the next version (clobbering only same-version leftovers —
+idempotent), and commits. Readers only ever follow CURRENT → committed
+versions.
+
+Time travel: ``read_tier(spark, snapshot_id=n)`` reads the exact
+partition-version set snapshot n committed.
 
 Where a real Iceberg catalog exists this module is replaced by
 ``df.writeTo(table).overwritePartitions()`` — the pipeline code only
-depends on ``write_tier``/``read_tier``.
+depends on ``write_tier``/``overwrite_parts``/``read_tier``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -59,25 +72,49 @@ class IcebergLayoutTable:
         cur = _read_json(os.path.join(self.meta_dir, "CURRENT"))
         if not cur:
             return None
-        return _read_json(os.path.join(self.meta_dir, cur["snapshot"]))
+        return self.snapshot(None, cur["snapshot"])
 
-    def committed_parts(self) -> set[str]:
-        snap = self.current_snapshot()
+    def snapshot(self, snapshot_id: int | None, name: str | None = None) -> dict | None:
+        if name is None:
+            name = f"snapshot-{snapshot_id}.json"
+        snap = _read_json(os.path.join(self.meta_dir, name))
+        if snap and isinstance(snap.get("parts"), list):
+            # pre-MVCC layout: unversioned parts lived directly under
+            # part=<p>; treat as version -1 (sentinel, no snapv dir)
+            snap["parts"] = {p: -1 for p in snap["parts"]}
+        return snap
+
+    def committed_parts(self, snapshot_id: int | None = None) -> set[str]:
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
         return set(snap["parts"]) if snap else set()
 
-    def lineage(self) -> list[dict]:
-        return [
-            m
-            for p in sorted(self.committed_parts())
-            if (m := _read_json(os.path.join(self.meta_dir, f"manifest-{p}.json")))
-        ]
+    def part_versions(self, snapshot_id: int | None = None) -> dict[str, int]:
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
+        return dict(snap["parts"]) if snap else {}
 
-    def _commit(self, parts: set[str], extra: dict) -> dict:
+    def lineage(self) -> list[dict]:
+        out = []
+        for p, v in sorted(self.part_versions().items()):
+            m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json"))
+            if m is None:  # pre-MVCC manifest name
+                m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}.json"))
+            if m:
+                out.append(m)
+        return out
+
+    def _next_snapshot_id(self) -> int:
         snap = self.current_snapshot()
-        n = (snap["snapshot_id"] + 1) if snap else 0
+        return (snap["snapshot_id"] + 1) if snap else 0
+
+    def _commit(self, parts: dict[str, int], extra: dict) -> dict:
+        n = self._next_snapshot_id()
         new = {
             "snapshot_id": n,
-            "parts": sorted(parts),
+            "parts": parts,
             "committed_at": time.time(),
             **extra,
         }
@@ -98,14 +135,15 @@ class IcebergLayoutTable:
         ``df`` must carry ``part_col`` (string-able partition value).
         Returns the committed snapshot dict.
         """
-        done = self.committed_parts()
+        versions = self.part_versions()
         all_parts = {
             str(r[0]) for r in df.select(part_col).distinct().collect()
         }
-        missing = sorted(all_parts - done)
-        self._write_parts(df, missing, part_col, input_snapshot)
+        missing = sorted(all_parts - set(versions))
+        version = self._next_snapshot_id()
+        self._write_parts(df, missing, version, part_col, input_snapshot)
         return self._commit(
-            done | set(missing),
+            {**versions, **{p: version for p in missing}},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": missing,
@@ -122,14 +160,15 @@ class IcebergLayoutTable:
         extra: dict | None = None,
     ) -> dict:
         """Force-rewrite the given partitions (committed or not) —
-        the incremental-refresh primitive: a changed partition is
-        dynamically overwritten and its manifest/lineage replaced,
-        then a new snapshot commits. Unlisted partitions are untouched
-        (readers on the old snapshot stay consistent)."""
+        the incremental-refresh primitive. MVCC: the rewrite lands in
+        a fresh ``snapv`` directory, so readers holding the previous
+        snapshot keep a consistent view; only the new snapshot points
+        at the new version."""
         parts = sorted({str(p) for p in parts})
-        self._write_parts(df, parts, part_col, input_snapshot)
+        version = self._next_snapshot_id()
+        self._write_parts(df, parts, version, part_col, input_snapshot)
         return self._commit(
-            self.committed_parts() | set(parts),
+            {**self.part_versions(), **{p: version for p in parts}},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": parts,
@@ -139,63 +178,137 @@ class IcebergLayoutTable:
         )
 
     def _write_parts(
-        self, df: DataFrame, missing: list[str], part_col: str, input_snapshot: str
+        self,
+        df: DataFrame,
+        missing: list[str],
+        version: int,
+        part_col: str,
+        input_snapshot: str,
     ) -> None:
         spark = df.sparkSession
-        if missing:
-            t0 = time.time()
-            pending = df.where(F.col(part_col).cast("string").isin(missing))
-            (
-                pending.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(part_col)
-                .parquet(self.data_dir)
+        if not missing:
+            return
+        t0 = time.time()
+        pending = df.where(F.col(part_col).cast("string").isin(missing)).withColumn(
+            "snapv", F.lit(version)
+        )
+        # dynamic overwrite touches only (part, snapv=version) dirs:
+        # never any committed version (ids strictly increase), but a
+        # crashed attempt at THIS version is clobbered -> idempotent
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col, "snapv")
+            .parquet(self.data_dir)
+        )
+        wall = time.time() - t0
+        # per-partition lineage metrics from what was actually written
+        written = self._read_versions(
+            spark, {p: version for p in missing}, part_col
+        )
+        # maps/structs are not hashable by xxhash64 → stable JSON
+        # form; combine with bit_xor (order-insensitive, no overflow)
+        hashable = [
+            F.to_json(F.col(c)) if t.startswith(("map", "struct", "array")) else F.col(c)
+            for c, t in written.dtypes
+            if c not in (part_col, "snapv")
+        ]
+        stats = {
+            str(r["p"]): r
+            for r in written.select(
+                F.col(part_col).cast("string").alias("p"),
+                F.xxhash64(*hashable).alias("_h"),
             )
-            wall = time.time() - t0
-            # per-partition lineage metrics from what was actually written
-            written = spark.read.parquet(self.data_dir).where(
-                F.col(part_col).cast("string").isin(missing)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.expr("bit_xor(_h)").alias("value_hash"),
             )
-            # maps/structs are not hashable by xxhash64 → stable JSON
-            # form; combine with bit_xor (order-insensitive, no overflow)
-            hashable = [
-                F.to_json(F.col(c)) if t.startswith(("map", "struct", "array")) else F.col(c)
-                for c, t in written.dtypes
-                if c != part_col
-            ]
-            stats = {
-                str(r["p"]): r
-                for r in written.select(
-                    F.col(part_col).cast("string").alias("p"),
-                    F.xxhash64(*hashable).alias("_h"),
-                )
-                .groupBy("p")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.expr("bit_xor(_h)").alias("value_hash"),
-                )
-                .collect()
-            }
-            for p in missing:
-                s = stats.get(p)
-                _atomic_write_json(
-                    os.path.join(self.meta_dir, f"manifest-{p}.json"),
-                    {
-                        "part": p,
-                        "rows": int(s["rows"]) if s else 0,
-                        "value_hash": int(s["value_hash"]) if s else 0,
-                        "wall_time_share_s": wall / len(missing),
-                        "input_snapshot": input_snapshot,
-                        "written_at": time.time(),
-                    },
-                )
+            .collect()
+        }
+        for p in missing:
+            s = stats.get(p)
+            _atomic_write_json(
+                os.path.join(self.meta_dir, f"manifest-{p}-v{version}.json"),
+                {
+                    "part": p,
+                    "version": version,
+                    "rows": int(s["rows"]) if s else 0,
+                    "value_hash": int(s["value_hash"]) if s else 0,
+                    "wall_time_share_s": wall / len(missing),
+                    "input_snapshot": input_snapshot,
+                    "written_at": time.time(),
+                },
+            )
 
-    def read_tier(self, spark: SparkSession) -> DataFrame:
-        """Read only committed partitions (snapshot-isolated view)."""
-        parts = sorted(self.committed_parts())
-        df = spark.read.parquet(self.data_dir)
-        part_col = self.current_snapshot().get("part_col", "part")
-        return df.where(F.col(part_col).cast("string").isin(parts))
+    def _version_dir(self, part: str, version: int, part_col: str = "part") -> str:
+        base = os.path.join(self.data_dir, f"{part_col}={part}")
+        return base if version == -1 else os.path.join(base, f"snapv={version}")
+
+    def _read_versions(
+        self, spark: SparkSession, versions: dict[str, int], part_col: str = "part"
+    ) -> DataFrame:
+        paths = [
+            self._version_dir(p, v, part_col)
+            for p, v in sorted(versions.items())
+            if os.path.exists(self._version_dir(p, v, part_col))
+        ]
+        if not paths:
+            return spark.read.parquet(self.data_dir).limit(0)
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def read_tier(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Snapshot-isolated view: exactly the partition versions the
+        (current or time-travel) snapshot committed, read as explicit
+        directories — partition pruning by construction, and immune to
+        concurrent rewrites of newer versions."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
+        if snap is None:
+            raise FileNotFoundError(
+                f"no snapshot {'CURRENT' if snapshot_id is None else snapshot_id} "
+                f"in {self.meta_dir}"
+            )
+        part_col = snap.get("part_col", "part")
+        return self._read_versions(spark, snap["parts"], part_col).drop("snapv")
+
+    # ------------------------------------------------------------ expire
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Garbage-collect partition versions referenced only by
+        snapshots older than the ``keep_last`` most recent. Returns the
+        deleted data directories. CURRENT and the kept snapshots stay
+        fully readable (Iceberg's expire_snapshots)."""
+        snaps = sorted(
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        )
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live: set[tuple[str, int]] = set()
+        part_col = "part"
+        for n in keep:
+            s = self.snapshot(n)
+            part_col = s.get("part_col", part_col)
+            live |= {(p, v) for p, v in s["parts"].items()}
+        deleted = []
+        for n in drop:
+            s = self.snapshot(n)
+            for p, v in s["parts"].items():
+                if (p, v) in live:
+                    continue
+                d = self._version_dir(p, v, s.get("part_col", part_col))
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+                    deleted.append(d)
+                m = os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json")
+                if os.path.exists(m):
+                    os.remove(m)
+                live.add((p, v))  # only delete once
+            os.remove(os.path.join(self.meta_dir, f"snapshot-{n}.json"))
+        return deleted
 
 
 def with_part(df: DataFrame, bucket_col: str = "bucket_s", part_seconds: int = 7 * 86400) -> DataFrame:

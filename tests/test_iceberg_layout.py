@@ -81,3 +81,61 @@ def test_full_pipeline_runs_and_resumes(spark, tmp_path):
     for tier in r2.values():
         assert tier["tier"]["new_parts"] == []
     assert os.path.exists(os.path.join(out, "tier_30d", "metadata", "CURRENT"))
+
+
+def test_mvcc_time_travel_and_reader_isolation(spark, tmp_path):
+    """A rewrite must not disturb the previous snapshot: time-travel
+    reads return the exact pre-rewrite rows (old version dirs are
+    immutable), and expire_snapshots garbage-collects only versions no
+    kept snapshot references."""
+    import os
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    df1 = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 20, "c")], "part long, k long, v string"
+    )
+    s1 = t.write_tier(df1)
+    v1 = t.read_tier(spark).toPandas().sort_values("k")
+
+    # rewrite partition 1 with different content
+    df2 = spark.createDataFrame(
+        [(1, 99, "z")], "part long, k long, v string"
+    )
+    s2 = t.overwrite_parts(df2, ["1"])
+    assert s2["snapshot_id"] == s1["snapshot_id"] + 1
+
+    cur = t.read_tier(spark).toPandas().sort_values("k")
+    assert sorted(cur["v"]) == ["c", "z"]
+    # time travel to snapshot 0: the original three rows, bit-exact
+    old = t.read_tier(spark, snapshot_id=s1["snapshot_id"]).toPandas().sort_values("k")
+    assert old.reset_index(drop=True).equals(v1.reset_index(drop=True))
+
+    # both versions exist on disk (immutability), then expire drops
+    # only the version snapshot 0 exclusively references
+    p1_versions = os.listdir(os.path.join(root, "data", "part=1"))
+    assert len(p1_versions) == 2, p1_versions
+    deleted = t.expire_snapshots(keep_last=1)
+    assert len(deleted) == 1 and "part=1" in deleted[0]
+    # current snapshot still fully readable; old one is gone
+    cur2 = t.read_tier(spark).toPandas()
+    assert sorted(cur2["v"]) == ["c", "z"]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read_tier(spark, snapshot_id=s1["snapshot_id"])
+
+
+def test_mvcc_lineage_tracks_versions(spark, tmp_path):
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t2")
+    t = IcebergLayoutTable(root)
+    t.write_tier(spark.createDataFrame([(1, 1)], "part long, k long"))
+    t.overwrite_parts(
+        spark.createDataFrame([(1, 2), (1, 3)], "part long, k long"), ["1"]
+    )
+    lin = t.lineage()
+    assert len(lin) == 1 and lin[0]["rows"] == 2 and lin[0]["version"] == 1

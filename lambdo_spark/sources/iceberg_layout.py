@@ -275,6 +275,32 @@ class IcebergLayoutTable:
         part_col = snap.get("part_col", "part")
         return self._read_versions(spark, snap["parts"], part_col).drop("snapv")
 
+    # -------------------------------------------------------- maintenance
+    def compact_parts(
+        self,
+        spark: SparkSession,
+        parts: list[str] | None = None,
+        target_files: int = 1,
+    ) -> dict:
+        """Rewrite partitions into ``target_files`` files each
+        (Iceberg's rewrite_data_files): reads the committed version,
+        coalesces, lands as a NEW version via :meth:`overwrite_parts` —
+        so readers on the old snapshot are untouched and the rewrite
+        is crash-safe. Row content is byte-identical (verified by the
+        lineage value_hash carrying over)."""
+        versions = self.part_versions()
+        todo = sorted(versions) if parts is None else sorted(
+            {str(p) for p in parts} & set(versions)
+        )
+        snap = self.current_snapshot()
+        part_col = snap.get("part_col", "part") if snap else "part"
+        df = self._read_versions(
+            spark, {p: versions[p] for p in todo}, part_col
+        ).drop("snapv").coalesce(max(1, target_files))
+        return self.overwrite_parts(
+            df, todo, part_col=part_col, input_snapshot="compaction"
+        )
+
     # ------------------------------------------------------------ expire
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Garbage-collect partition versions referenced only by

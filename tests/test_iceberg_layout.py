@@ -139,3 +139,37 @@ def test_mvcc_lineage_tracks_versions(spark, tmp_path):
     )
     lin = t.lineage()
     assert len(lin) == 1 and lin[0]["rows"] == 2 and lin[0]["version"] == 1
+
+
+def test_compaction_preserves_content_hash(spark, tmp_path):
+    """compact_parts: many small files → 1 per partition, identical
+    rows (lineage value_hash must carry over), old snapshot intact."""
+    import glob
+    import os
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t3")
+    t = IcebergLayoutTable(root)
+    df = spark.createDataFrame(
+        [(p, i, f"v{p}_{i}") for p in (1, 2) for i in range(200)],
+        "part long, k long, v string",
+    ).repartition(16)
+    s1 = t.write_tier(df)
+    hashes_before = {m["part"]: m["value_hash"] for m in t.lineage()}
+    files_before = len(glob.glob(os.path.join(root, "data", "part=*", "*", "*.parquet")))
+    assert files_before > 2
+
+    s2 = t.compact_parts(spark)
+    assert s2["snapshot_id"] == s1["snapshot_id"] + 1
+    hashes_after = {m["part"]: m["value_hash"] for m in t.lineage()}
+    assert hashes_after == hashes_before  # byte-identical content
+    # current version dirs hold exactly one file per partition
+    for p in ("1", "2"):
+        v = t.part_versions()[p]
+        files = glob.glob(
+            os.path.join(root, "data", f"part={p}", f"snapv={v}", "*.parquet")
+        )
+        assert len(files) == 1, files
+    assert t.read_tier(spark).count() == 400
+    assert t.read_tier(spark, snapshot_id=s1["snapshot_id"]).count() == 400

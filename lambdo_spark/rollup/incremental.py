@@ -101,11 +101,57 @@ def _parts_containing_overlapping_buckets(
     return parts
 
 
+def _recompress_chunks(
+    spark: SparkSession,
+    root: str,
+    tier_name: str,
+    tsec: int,
+    rewritten_weeks: set[int],
+    chunk_buckets: int,
+) -> dict | None:
+    from lambdo_spark.rollup.compress_stage import compress_tier
+
+    span = chunk_buckets * tsec
+    chunks: set[int] = set()
+    for w in rewritten_weeks:
+        c = w // span
+        while c * span < w + PART_SECONDS:
+            chunks.add(c)
+            c += 1
+    tier_table = _tier_table(root, tier_name)
+    versions = tier_table.part_versions()
+    need = {
+        p: v
+        for p, v in versions.items()
+        if any(
+            int(p) < (c + 1) * span and int(p) + PART_SECONDS > c * span
+            for c in chunks
+        )
+    }
+    if not need:
+        return None
+    src = tier_table._read_versions(spark, need).drop("snapv", "part")
+    src = src.where(
+        F.floor(F.col("bucket_s") / F.lit(span)).isin(sorted(chunks))
+    )
+    comp = compress_tier(
+        src, value_col="mean_len", chunk_buckets=chunk_buckets, tier_seconds=tsec
+    ).withColumn("part", F.col("chunk"))
+    ctable = IcebergLayoutTable(os.path.join(root, f"compressed_{tier_name}"))
+    return ctable.overwrite_parts(
+        comp,
+        [str(c) for c in sorted(chunks)],
+        input_snapshot=f"tier_{tier_name}:incremental",
+    )
+
+
 def refresh_from_pages(
     spark: SparkSession,
     new_pages: DataFrame,
     root: str,
     delta_tag: str = "",
+    compress: bool = True,
+    chunk_buckets: int = 4096,
 ) -> dict:
     """Merge a pages delta into the partials store and rebuild only
     the affected partitions of every finalized tier.
@@ -185,6 +231,28 @@ def refresh_from_pages(
                 str(p) for p in parts_to_rewrite
             )
             result["snapshots"][tier_name] = tsnap
+
+        # 3. recompress only the chunks whose buckets changed — the
+        # compressed tables partition on chunk id, and a chunk blob
+        # covers its whole span, so affected chunks rebuild in full
+        # from the (just-refreshed) finalized tier
+        if compress:
+            for tier_name, tsec in TIER_SECONDS.items():
+                if tier_name not in result["affected_parts"]:
+                    continue
+                csnap = _recompress_chunks(
+                    spark,
+                    root,
+                    tier_name,
+                    tsec,
+                    {int(p) for p in result["affected_parts"][tier_name]},
+                    chunk_buckets,
+                )
+                if csnap is not None:
+                    result["affected_parts"][f"compressed_{tier_name}"] = csnap[
+                        "new_parts"
+                    ]
+                    result["snapshots"][f"compressed_{tier_name}"] = csnap
     finally:
         delta.unpersist()
     return result

@@ -97,3 +97,43 @@ def test_refresh_rewrites_only_affected_partitions(spark, tmp_path):
     assert len(all_1h_parts) > 1  # base spans several weeks
     # 30d rewrites a handful of partitions, not the whole table
     assert len(r["affected_parts"]["30d"]) <= 6
+
+
+def test_incremental_compression_matches_full(spark, tmp_path):
+    """After two deltas, decompressing the incrementally-maintained
+    compressed tables must equal compressing the full-recompute tiers
+    (lossless codecs + identical inputs => identical points)."""
+    from lambdo_spark.rollup.compress_stage import compress_tier, decompress_tier
+
+    root = str(tmp_path / "tiers")
+    d1 = generate_pages(spark, 2000, seed=51)
+    d2 = generate_pages(spark, 2000, seed=52)
+    refresh_from_pages(spark, d1, root, delta_tag="d1")
+    r2 = refresh_from_pages(spark, d2, root, delta_tag="d2")
+    assert "compressed_1h" in r2["affected_parts"]
+
+    full = rollup_all_tiers(d1.unionByName(d2))
+    for tier_name, tsec in TIER_SECONDS.items():
+        from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+        import os as _os
+
+        ctable = IcebergLayoutTable(_os.path.join(root, f"compressed_{tier_name}"))
+        got = (
+            decompress_tier(ctable.read_tier(spark).drop("part"), "v")
+            .toPandas()
+            .sort_values(["url", "bucket_s"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            decompress_tier(
+                compress_tier(full[tier_name], value_col="mean_len", tier_seconds=tsec),
+                "v",
+            )
+            .toPandas()
+            .sort_values(["url", "bucket_s"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), tier_name
+        assert (got["url"] == exp["url"]).all()
+        assert (got["bucket_s"] == exp["bucket_s"]).all()
+        assert (got["v"].to_numpy() == exp["v"].to_numpy()).all(), tier_name

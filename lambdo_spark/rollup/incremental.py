@@ -152,12 +152,22 @@ def refresh_from_pages(
     delta_tag: str = "",
     compress: bool = True,
     chunk_buckets: int = 4096,
+    enforce_audit: bool = True,
 ) -> dict:
     """Merge a pages delta into the partials store and rebuild only
     the affected partitions of every finalized tier.
 
     Returns {"affected_parts": {...}, "snapshots": {...}} per tier.
     """
+    if enforce_audit:
+        from lambdo_spark.rollup.audit import audit_summary
+
+        a = audit_summary(new_pages).collect()[0]
+        if a["violations"]:
+            raise ValueError(
+                f"hash audit failed on delta: {a['violations']}/"
+                f"{a['total_rows']} rows have non-byte-identical text"
+            )
     store = _partials_store(root)
     # exactly-once per delta_tag: the store snapshot carries the list
     # of applied tags; a retried/duplicated delta is a no-op instead

@@ -137,3 +137,13 @@ def test_incremental_compression_matches_full(spark, tmp_path):
         assert (got["url"] == exp["url"]).all()
         assert (got["bucket_s"] == exp["bucket_s"]).all()
         assert (got["v"].to_numpy() == exp["v"].to_numpy()).all(), tier_name
+
+
+def test_refresh_audit_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    bad = generate_pages(spark, 300, seed=61).withColumn(
+        "text", F.concat(F.col("text"), F.lit("TAMPERED"))
+    )
+    with pytest.raises(ValueError, match="hash audit"):
+        refresh_from_pages(spark, bad, str(tmp_path / "t"), delta_tag="x")

@@ -113,10 +113,30 @@ def _run_refresh(args) -> int:
         spark.stop()
 
 
+def _run_maintain(args) -> int:
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    spark = get_spark(app_name="lambdo_spark:maintain", master=args.master)
+    try:
+        t = IcebergLayoutTable(args.table)
+        out: dict = {"table": args.table}
+        if args.compact:
+            snap = t.compact_parts(spark, target_files=args.target_files)
+            out["compacted_parts"] = len(snap["new_parts"])
+            out["snapshot_id"] = snap["snapshot_id"]
+        if args.expire_keep is not None:
+            deleted = t.expire_snapshots(keep_last=args.expire_keep)
+            out["expired_version_dirs"] = len(deleted)
+        print(json.dumps(out, indent=1))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy form: `python -m lambdo_spark workflow.json [...]`
-    if argv and argv[0] not in ("retention", "refresh"):
+    if argv and argv[0] not in ("retention", "refresh", "maintain"):
         argv = ["run", *argv]
 
     ap = argparse.ArgumentParser(prog="lambdo_spark")
@@ -149,11 +169,25 @@ def main(argv: list[str] | None = None) -> int:
     ref.add_argument("--delta-tag", default="", help="idempotency key for this delta")
     ref.add_argument("--master", default=None)
 
+    mnt = sub.add_parser(
+        "maintain",
+        help="table maintenance: compact small files and/or expire old "
+        "snapshot versions of one Iceberg-layout table",
+    )
+    mnt.add_argument("--table", required=True, help="table root (e.g. .../tier_1h)")
+    mnt.add_argument("--compact", action="store_true")
+    mnt.add_argument("--target-files", type=int, default=1)
+    mnt.add_argument("--expire-keep", type=int, default=None,
+                     help="keep only the N most recent snapshots")
+    mnt.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
     if args.cmd == "run":
         return _run_workflow(args)
     if args.cmd == "refresh":
         return _run_refresh(args)
+    if args.cmd == "maintain":
+        return _run_maintain(args)
     return _run_retention(args)
 
 

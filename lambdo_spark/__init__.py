@@ -18,8 +18,12 @@ Layout
                   (delta-of-delta, Gorilla XOR), text analysis,
                   dedup, similarity search
 - ``plans``     : JSON workflow spec -> topo-sorted DataFrame stages
-- ``rollup``    : 1h/1d/30d continuous aggregates, gap-fill, salting
-- ``streaming`` : Structured Streaming variant of the 1h tier
+- ``rollup``    : 1h/1d/30d continuous aggregates, gap-fill, salting,
+                  timeseries toolkit (sessions/delta/rate/fill/
+                  order-stat/distinct/heavy-hitters), incremental
+                  refresh, Gorilla compression stage + read path
+- ``streaming`` : Structured Streaming 1h tier, punctuation-based
+                  stateful finalizer, streaming sessionization
 """
 
 __version__ = "0.1.0"

@@ -6,6 +6,20 @@ from lambdo_spark.rollup.tiers import (
     finalize,
     gap_fill,
 )
+from lambdo_spark.rollup.timeseries import (
+    delta,
+    distinct_per_bucket,
+    heavy_hitters,
+    interpolate_linear,
+    locf,
+    order_stat,
+    rate,
+    session_table,
+    sessionize,
+)
+from lambdo_spark.rollup.incremental import refresh_from_pages, read_finalized_tier
+from lambdo_spark.rollup.compress_stage import compress_tier, decompress_tier
+from lambdo_spark.rollup.pipeline import run_retention_pipeline
 
 __all__ = [
     "TIER_SECONDS",
@@ -14,4 +28,18 @@ __all__ = [
     "downsample",
     "finalize",
     "gap_fill",
+    "delta",
+    "distinct_per_bucket",
+    "heavy_hitters",
+    "interpolate_linear",
+    "locf",
+    "order_stat",
+    "rate",
+    "session_table",
+    "sessionize",
+    "refresh_from_pages",
+    "read_finalized_tier",
+    "compress_tier",
+    "decompress_tier",
+    "run_retention_pipeline",
 ]

@@ -557,13 +557,23 @@ def _q_row_filter_slice(spark, sf_dir):
 
 
 def _q_topk_orders(spark, sf_dir):
-    """top-k (sort/limit analog, SURVEY §2.4): 100 priciest orders."""
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
+    """top-k (sort/limit analog, SURVEY §2.4): 100 priciest orders.
+
+    Plan shape: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — each task keeps its local top-k, the
+    driver merges k·tasks candidates — instead of a row_number over a
+    single-partition global sort. The rank window then runs over only
+    the k surviving rows."""
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    top = (
         _t(spark, sf_dir, "orders")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 100)
-        .select("rank", "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(*order)
+        .limit(100)
+    )
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "o_orderkey"
     )
 
 
@@ -599,6 +609,130 @@ def _q_workflow_compiled(spark, sf_dir):
                 ],
                 "column_filter": ["event_id", "cents", "roll_mean_3", "roll_mean_5"],
             }
+        ]
+    }
+    return compile_workflow(spec, spark)["events"]
+
+
+_CENTS_COLS = [
+    {"id": "v100", "operation": "calculate", "kernel": "mul",
+     "inputs": ["value"], "model": {"value": 100}, "exclude": True},
+    {"id": "v100r", "operation": "calculate", "kernel": "round",
+     "inputs": ["v100"], "exclude": True},
+    {"id": "cents", "operation": "calculate", "kernel": "int",
+     "inputs": ["v100r"]},
+]
+
+
+def _q_extend_table(spark, sf_dir):
+    """T2 extend — dedicated driver row (reference Table.py:435-445):
+    a second table whose rows are the previous table's, with its own
+    derived columns, through the workflow language (including the
+    reference's *implicit* extend: no operation + a predecessor)."""
+    spec = {
+        "tables": [
+            {"id": "base", "operation": "source", "format": "parquet",
+             "path": os.path.join(sf_dir, "events.parquet")},
+            # no "operation", has a predecessor → extend (Table.py:177-190)
+            {"id": "ext",
+             "columns": list(_CENTS_COLS),
+             "column_filter": ["event_id", "cents"]},
+        ]
+    }
+    return compile_workflow(spec, spark)["ext"]
+
+
+def _q_column_noop(spark, sf_dir):
+    """C7 noop column — dedicated driver row (reference
+    Column.py:106-110): a column def with no operation references an
+    existing physical column; later defs consume it."""
+    spec = {
+        "tables": [
+            {"id": "events", "operation": "source", "format": "parquet",
+             "path": os.path.join(sf_dir, "events.parquet"),
+             "columns": [
+                 {"id": "value"},  # noop — reference existing column
+                 {"id": "dbl", "operation": "calculate", "kernel": "mul",
+                  "inputs": ["value"], "model": {"value": 2}},
+             ],
+             "column_filter": ["event_id", "dbl"]},
+        ]
+    }
+    return compile_workflow(spec, spark)["events"]
+
+
+def _q_rename_fillna(spark, sf_dir):
+    """C9 outputs/rename/fillna — dedicated driver row (reference
+    Column.py:437-496): aggregate column with fillna for empty groups,
+    then T4 project with output renames."""
+    spec = {
+        "tables": [
+            {"id": "orders_c", "operation": "source", "format": "parquet",
+             "path": os.path.join(sf_dir, "orders.parquet"),
+             "columns": [
+                 {"id": "p100", "operation": "calculate", "kernel": "mul",
+                  "inputs": ["o_totalprice"], "model": {"value": 100},
+                  "exclude": True},
+                 {"id": "p100r", "operation": "calculate", "kernel": "round",
+                  "inputs": ["p100"], "exclude": True},
+                 {"id": "price_c", "operation": "calculate", "kernel": "int",
+                  "inputs": ["p100r"]},
+             ]},
+            {"id": "cust", "operation": "source", "format": "parquet",
+             "path": os.path.join(sf_dir, "customer.parquet"),
+             "columns": [
+                 {"id": "total_c", "operation": "aggregate",
+                  "fact_table": "orders_c", "keys": ["c_custkey"],
+                  "fact_keys": ["o_custkey"], "kernel": "sum",
+                  "measure": "price_c", "fillna_value": 0},
+             ]},
+            {"id": "out", "operation": "project", "source": "cust",
+             "inputs": ["c_custkey", "total_c"],
+             "outputs": ["custkey", "total_cents"]},
+        ]
+    }
+    return compile_workflow(spec, spark)["out"]
+
+
+def _q_roll_mad_w7(spark, sf_dir):
+    """User-kernel escape hatch through the workflow language: rolling
+    median-absolute-deviation (no JVM expression exists) runs as an
+    Arrow GROUPED_AGG pandas kernel over the bounded window — the
+    reference's arbitrary-callable roll (Column.py:584-590),
+    vectorized. Oracle: DuckDB's native mad() window aggregate."""
+    spec = {
+        "tables": [
+            {"id": "events", "operation": "source", "format": "parquet",
+             "path": os.path.join(sf_dir, "events.parquet"),
+             "order_by": ["ts", "event_id"],
+             "partition_by": ["user_id"],
+             "columns": [
+                 *_CENTS_COLS,
+                 {"id": "roll_mad", "operation": "roll", "kernel": "mad",
+                  "inputs": ["cents"], "window": 7},
+             ],
+             "column_filter": ["event_id", "roll_mad"]},
+        ]
+    }
+    out = compile_workflow(spec, spark)["events"]
+    return out.select("event_id", F.round("roll_mad", 6).alias("roll_mad"))
+
+
+def _q_calc_user_sqrt(spark, sf_dir):
+    """module:attr user kernel (reference resolve.py:14-49) through
+    calculate's SCALAR pandas_udf fallback: numpy.sqrt over the cents
+    column. IEEE sqrt is correctly rounded, so numpy and DuckDB agree
+    bit-for-bit — no rounding needed."""
+    spec = {
+        "tables": [
+            {"id": "events", "operation": "source", "format": "parquet",
+             "path": os.path.join(sf_dir, "events.parquet"),
+             "columns": [
+                 *_CENTS_COLS,
+                 {"id": "root_c", "operation": "calculate",
+                  "function": "numpy:sqrt", "inputs": ["cents"]},
+             ],
+             "column_filter": ["event_id", "root_c"]},
         ]
     }
     return compile_workflow(spec, spark)["events"]
@@ -653,9 +787,36 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
+    """Low-threshold regime → exact all-pairs baseline (the auto rule:
+    at cosine 0.4 the pair set is inherently ~quadratic, no candidate
+    scheme helps; the bucketed scale path is _q_dedup_embedding_lsh)."""
     return dedup_embedding_cosine(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     ).select("id_a", "id_b")  # cosine float kept out of the value-hash
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """The BUCKETED default on real near-dups: augment the corpus with
+    a deterministic perturbed copy of every vector (w_j = v_j +
+    0.02·v_{(j+1) mod d} → cosine(v,w) ≈ 0.999; replicable in SQL), so
+    the LSH-candidates + exact-re-rank path must recover exactly the
+    500 (v, v') pairs. Oracle computes the same pairs by brute force —
+    a full-recall check of the scale path, hash-matched by DuckDB."""
+    d = 64
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.lit(0.02) * F.element_at(
+                F.col("embedding"), ((i + F.lit(1)) % F.lit(d)) + F.lit(1)
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    return dedup_embedding_cosine(corpus, threshold=0.99).select("id_a", "id_b")
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -702,12 +863,29 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing over a binary column (decode stubbed —
-    rows-only; determinism pinned by tests/test_multimodal.py)."""
+    """Multimodal plumbing over a binary column (decode stubbed).
+
+    The library API keeps ``features array<float>``; the *query*
+    projects each dim as a quantized BIGINT (f*2^32 — exact, because
+    the fake extractor's floats are float32(raw_uint32)/2^32) so the
+    driver canonicalizer can sort/hash it and DuckDB can recompute it
+    from sha256 hex (full oracle row instead of rows-only)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )
-    return extract_media_features(docs, id_col="doc_id", binary_col="blob")
+    feats = extract_media_features(docs, id_col="doc_id", binary_col="blob")
+    q32 = F.lit(4294967296.0)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            (F.col("features")[i].cast("double") * q32)
+            .cast("long")
+            .alias(f"f{i}_q32")
+            for i in range(8)
+        ],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -734,6 +912,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_filter_slice": _q_row_filter_slice,
         "topk_orders": _q_topk_orders,
         "workflow_compiled": _q_workflow_compiled,
+        "extend_table": _q_extend_table,
+        "column_noop": _q_column_noop,
+        "rename_fillna": _q_rename_fillna,
+        "roll_mad_w7": _q_roll_mad_w7,
+        "calc_user_sqrt": _q_calc_user_sqrt,
         "train_predict": _q_train_predict,
         "asof_snapshot": _q_asof_snapshot,
         "roll_range_1h": _q_roll_range_1h,
@@ -755,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -781,6 +965,33 @@ _SQL_MARKER = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> l
 
 def _marker(langs: list[str]) -> str:
     return _SQL_MARKER.format(",".join(f"'{w}'" for w in langs))
+
+
+def _media_features_oracle() -> str:
+    """fake_features in DuckDB: sha256 hex → 8 little-endian uint32 →
+    float32 rounding (CAST AS FLOAT) → exact ×2^32 quantization.
+    Parity with numpy float32 verified (round-to-nearest-even both)."""
+    cols = []
+    for i in range(8):
+        raw = " + ".join(
+            f"CAST(concat('0x', substr(hx, {2 * (4 * i + k) + 1}, 2)) AS BIGINT)"
+            f" * {256 ** k}"
+            for k in range(4)
+        )
+        cols.append(
+            f"CAST(CAST(CAST({raw} AS FLOAT) AS DOUBLE) AS BIGINT) AS f{i}_q32"
+        )
+    sel = ",\n                   ".join(cols)
+    return f"""
+        WITH h AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+                 strlen(text) AS n_bytes, sha256(text) AS hx
+          FROM documents
+        )
+        SELECT media_id, kind, n_bytes,
+                   {sel}
+        FROM h
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1150,6 +1361,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_orderstatus = 'O'
             )
         """,
+        "extend_table": """
+            SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        """,
+        "column_noop": """
+            SELECT event_id, value * 2 AS dbl FROM events
+        """,
+        "rename_fillna": """
+            SELECT c.c_custkey AS custkey,
+                   CAST(coalesce(s.t, 0) AS BIGINT) AS total_cents
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS t
+              FROM orders GROUP BY o_custkey
+            ) s ON c.c_custkey = s.o_custkey
+        """,
+        "roll_mad_w7": """
+            SELECT event_id, round(CAST(m AS DOUBLE), 6) AS roll_mad FROM (
+              SELECT event_id,
+                     CASE WHEN row_number() OVER w >= 7
+                          THEN mad(CAST(round(value * 100, 0) AS BIGINT))
+                               OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     END AS m
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        """,
+        "calc_user_sqrt": """
+            SELECT event_id,
+                   sqrt(CAST(round(value * 100, 0) AS BIGINT)) AS root_c
+            FROM events
+        """,
         "train_predict": """
             WITH li AS (
               SELECT l_orderkey, l_linenumber,
@@ -1217,6 +1461,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
+        "dedup_embedding_lsh": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), pert AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(generate_series(1, 64),
+                                    j -> v[j] + 0.02 * v[(j % 64) + 1]) AS v
+              FROM base
+            ), corpus AS (
+              SELECT * FROM base UNION ALL SELECT * FROM pert
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1248,7 +1507,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_guess
             FROM documents
         """,
-        # fingerprint / media_features: rows-only (FNV-1a, binary stub)
+        # fingerprint: rows-only (FNV-1a, pinned vs pure-Python in pytest)
+        "media_features": _media_features_oracle(),
         "doc_quality": f"""
             SELECT doc_id,
                    round(

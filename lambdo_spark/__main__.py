@@ -67,7 +67,11 @@ def _run_retention(args) -> int:
                     tier: {
                         "snapshot_id": r["tier"]["snapshot_id"],
                         "new_parts": len(r["tier"]["new_parts"]),
-                        "compressed_snapshot_id": r["compressed"]["snapshot_id"],
+                        **(
+                            {"compressed_snapshot_id": r["compressed"]["snapshot_id"]}
+                            if "compressed" in r
+                            else {}
+                        ),
                     }
                     for tier, r in result.items()
                 },

@@ -32,8 +32,24 @@ class Kernel:
     name: str
     expr: Callable[..., Column] | None = None  # scalar expression builder
     agg: Callable[..., Column] | None = None  # aggregate expression builder
-    pandas_fn: Callable | None = None  # pd.Series list -> pd.Series (vectorized)
+    # escape hatch: Arrow-vectorized fallback used when expr/agg is
+    # missing — signature pandas_fn(cols: list[pd.Series], **model).
+    # Scalar use (calculate) must return a pd.Series; aggregate use
+    # (roll / all / aggregate column) must return a scalar.
+    pandas_fn: Callable | None = None
+    returns: str = "double"  # Spark SQL type of the pandas_fn result
     doc: str = ""
+
+
+def user_kernel(
+    fn: Callable, name: str = "user", returns: str = "double"
+) -> Kernel:
+    """Wrap an arbitrary user callable as an ad-hoc (unregistered)
+    kernel — the reference's any-Python-callable contract
+    (/root/reference/lambdo/resolve.py:14-49) kept alive, but
+    Arrow-vectorized instead of row-at-a-time
+    (Column.py:552-554, :584-590)."""
+    return Kernel(name=name, pandas_fn=fn, returns=returns)
 
 
 _REGISTRY: dict[str, Kernel] = {}
@@ -136,6 +152,37 @@ register(
         agg=_mean_weighted_expr,
         pandas_fn=lambda s: (s[0] * s[1]).sum() / s[1].sum(),
         doc="weighted mean (reference lambdo/std.py:136-152)",
+    )
+)
+
+
+# ------------------------------------------------- holistic (pandas-only)
+# aggregates with no algebraic JVM form — these run through the
+# pandas_fn escape hatch (Arrow GROUPED_AGG over window frames /
+# groups), exactly the path user kernels take
+
+register(
+    Kernel(
+        "median",
+        pandas_fn=lambda s: s[0].median(),
+        doc="exact median — holistic, no partial-agg form; exercises "
+        "the pandas escape hatch (reference's custom-callable roll, "
+        "Column.py:584-590)",
+    )
+)
+register(
+    Kernel(
+        "mad",
+        pandas_fn=lambda s: (s[0] - s[0].median()).abs().median(),
+        doc="median absolute deviation — no Spark built-in at all; "
+        "DuckDB mad() is the oracle",
+    )
+)
+register(
+    Kernel(
+        "quantile",
+        pandas_fn=lambda s, q=0.5: s[0].quantile(q),
+        doc="exact linear-interpolation quantile (pandas default)",
     )
 )
 

@@ -23,7 +23,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
-from lambdo_spark.functions.registry import get_kernel
+from lambdo_spark.functions.registry import Kernel, get_kernel
 
 
 def _window(partition_by: Sequence[str] | None, order_by: Sequence[str]) -> WindowSpec:
@@ -31,19 +31,50 @@ def _window(partition_by: Sequence[str] | None, order_by: Sequence[str]) -> Wind
     return w.orderBy(*[F.col(c) for c in order_by])
 
 
+def _resolve_kernel(kernel: "str | Kernel") -> Kernel:
+    """Registry name, or an ad-hoc Kernel (user callables wrapped by
+    registry.user_kernel / the workflow compiler)."""
+    return kernel if isinstance(kernel, Kernel) else get_kernel(kernel)
+
+
+def _pandas_scalar_udf(k: Kernel, model: dict | None):
+    """Arrow-vectorized scalar fallback (SCALAR pandas_udf): the
+    reference's arbitrary-callable calculate (Column.py:552-554),
+    batch-vectorized instead of row-at-a-time."""
+    fn, kw = k.pandas_fn, dict(model or {})
+    return F.pandas_udf(lambda *cols: fn(list(cols), **kw), k.returns)
+
+
+def _pandas_agg_udf(k: Kernel, model: dict | None):
+    """Arrow-vectorized aggregate fallback (GROUPED_AGG pandas_udf):
+    works over groupBy AND over bounded/unbounded window frames
+    (SPARK-24561) — the escape hatch for holistic kernels (median,
+    MAD, user callables) the JVM has no expression for. The frame is
+    materialized per row, so this is O(n·w) per partition — the slow
+    path by design; kernels with an ``agg`` form never come here."""
+    fn, kw = k.pandas_fn, dict(model or {})
+    return F.pandas_udf(
+        lambda *cols: fn(list(cols), **kw), k.returns, F.PandasUDFType.GROUPED_AGG
+    )
+
+
 def calculate(
     df: DataFrame,
     output: str,
-    kernel: str,
+    kernel: "str | Kernel",
     inputs: Sequence[str],
     model: dict | None = None,
 ) -> DataFrame:
     """C1 — per-row scalar (reference Column.py:524-559), compiled to a
-    built-in JVM expression (never row-at-a-time Python)."""
-    k = get_kernel(kernel)
-    if k.expr is None:
-        raise ValueError(f"kernel '{kernel}' has no scalar form")
-    return df.withColumn(output, k.expr([F.col(c) for c in inputs], **(model or {})))
+    built-in JVM expression; user/holistic kernels fall back to an
+    Arrow-vectorized pandas_udf (never row-at-a-time)."""
+    k = _resolve_kernel(kernel)
+    cols = [F.col(c) for c in inputs]
+    if k.expr is not None:
+        return df.withColumn(output, k.expr(cols, **(model or {})))
+    if k.pandas_fn is None:
+        raise ValueError(f"kernel '{k.name}' has no scalar form")
+    return df.withColumn(output, _pandas_scalar_udf(k, model)(*cols))
 
 
 def roll(
@@ -61,13 +92,22 @@ def roll(
 
     min_periods defaults to the window size (reference semantics:
     first N-1 rows NULL, tests/test_roll.py:46-48).
+
+    Kernels without a JVM aggregate form (median, MAD, user
+    callables) run through the GROUPED_AGG pandas fallback over the
+    same bounded frame — the reference's rolling-apply generality
+    (Column.py:584-590), Arrow-vectorized.
     """
-    k = get_kernel(kernel)
-    if k.agg is None:
-        raise ValueError(f"kernel '{kernel}' has no aggregate form")
+    k = _resolve_kernel(kernel)
     mp = window if min_periods is None else min_periods
     w = _window(partition_by, order_by).rowsBetween(-(window - 1), 0)
-    value = k.agg([F.col(c) for c in inputs], over=w, **(model or {}))
+    cols = [F.col(c) for c in inputs]
+    if k.agg is not None:
+        value = k.agg(cols, over=w, **(model or {}))
+    elif k.pandas_fn is not None:
+        value = _pandas_agg_udf(k, model)(*cols).over(w)
+    else:
+        raise ValueError(f"kernel '{k.name}' has no aggregate form")
     if mp > 1:
         have = F.count(F.lit(1)).over(w)
         value = F.when(have >= F.lit(mp), value)
@@ -94,18 +134,19 @@ def roll_range(
     Implemented as ``rangeBetween`` over epoch seconds — pure JVM,
     one sort per partition, no per-row Python.
     """
-    k = get_kernel(kernel)
-    if k.agg is None:
-        raise ValueError(f"kernel '{kernel}' has no aggregate form")
+    k = _resolve_kernel(kernel)
     sec = F.unix_timestamp(F.col(ts_col))
     w = (
         Window.partitionBy(*(partition_by or []))
         .orderBy(sec)
         .rangeBetween(-(int(range_seconds) - 1), 0)
     )
-    return df.withColumn(
-        output, k.agg([F.col(c) for c in inputs], over=w, **(model or {}))
-    )
+    cols = [F.col(c) for c in inputs]
+    if k.agg is not None:
+        return df.withColumn(output, k.agg(cols, over=w, **(model or {})))
+    if k.pandas_fn is None:
+        raise ValueError(f"kernel '{k.name}' has no aggregate form")
+    return df.withColumn(output, _pandas_agg_udf(k, model)(*cols).over(w))
 
 
 def shift(
@@ -136,17 +177,18 @@ def window_all(
     """C3 — whole-table function (reference Column.py:498-522), here a
     whole-*group* aggregate broadcast back onto every row via an
     unbounded window (e.g. zscore scaling uses mean/std over all)."""
-    k = get_kernel(kernel)
-    if k.agg is None:
-        raise ValueError(f"kernel '{kernel}' has no aggregate form")
+    k = _resolve_kernel(kernel)
     w = Window.partitionBy(*(partition_by or []))
     if order_by:
         w = w.orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-    return df.withColumn(
-        output, k.agg([F.col(c) for c in inputs], over=w, **(model or {}))
-    )
+    cols = [F.col(c) for c in inputs]
+    if k.agg is not None:
+        return df.withColumn(output, k.agg(cols, over=w, **(model or {})))
+    if k.pandas_fn is None:
+        raise ValueError(f"kernel '{k.name}' has no aggregate form")
+    return df.withColumn(output, _pandas_agg_udf(k, model)(*cols).over(w))
 
 
 def link(
@@ -205,13 +247,17 @@ def aggregate_column(
     Column.py:613-668): aggregate facts per key, LEFT-join back onto
     the group table so empty groups survive, fillna for them
     (tests/test_aggregate.py:77-79)."""
-    k = get_kernel(kernel)
-    if k.agg is None:
-        raise ValueError(f"kernel '{kernel}' has no aggregate form")
+    k = _resolve_kernel(kernel)
     cols = [F.col(measure)] if measure else []
+    if k.agg is not None:
+        agg_col = k.agg(cols, **(model or {}))
+    elif k.pandas_fn is not None and cols:
+        agg_col = _pandas_agg_udf(k, model)(*cols)
+    else:
+        raise ValueError(f"kernel '{k.name}' has no aggregate form")
     agg = (
         fact_df.groupBy(*[F.col(c) for c in fact_keys])
-        .agg(k.agg(cols, **(model or {})).alias(output))
+        .agg(agg_col.alias(output))
         .select(*[F.col(c).alias(f"__fk{i}__") for i, c in enumerate(fact_keys)], output)
     )
     cond = [group_df[g] == agg[f"__fk{i}__"] for i, g in enumerate(group_keys)]

@@ -58,6 +58,61 @@ def product(dfs: Sequence[DataFrame]) -> DataFrame:
     return out
 
 
+def global_ordinal(
+    df: DataFrame,
+    order_by: Sequence[str] | None,
+    out_col: str = "__rn__",
+    zero_based: bool = False,
+) -> DataFrame:
+    """Dense global row ordinal WITHOUT a one-reducer sort.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` forces a
+    single-partition Exchange — the canonical 100-TB scale-killer.
+    Two-phase instead: (1) distributed range-partition sort (or the
+    existing physical partitioning when ``order_by`` is None — the
+    reference's implicit frame order, std.py:27-28), (2) per-partition
+    counts → cumulative offsets (O(#partitions) driver rows), (3)
+    partition-local row_number + offset. The sorted frame is persisted
+    so the count job and the final job pin the SAME range boundaries
+    (repartitionByRange samples; re-evaluation could move them).
+    """
+    if order_by:
+        cols = [F.col(c) for c in order_by]
+        sdf = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        local_order = cols
+    else:
+        # physical order: monotonically_increasing_id is (partition
+        # index << 33) | local offset — already globally ordered by
+        # (pid, local position); no shuffle needed before numbering
+        sdf = df.withColumn("__mid__", F.monotonically_increasing_id())
+        local_order = [F.col("__mid__")]
+    sdf = sdf.withColumn("__pid__", F.spark_partition_id()).persist()
+    counts = {
+        r["__pid__"]: r["n"]
+        for r in sdf.groupBy("__pid__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return (
+            sdf.withColumn(out_col, F.lit(None).cast("long"))
+            .drop("__pid__", "__mid__")
+        )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(p)) for p in offsets]),
+            F.array(*[F.lit(int(o)) for o in offsets.values()]),
+        ),
+        F.col("__pid__"),
+    )
+    w = Window.partitionBy("__pid__").orderBy(*local_order)
+    rn = (F.row_number().over(w) - F.lit(1) + off).cast("long")
+    out = sdf.withColumn(out_col, rn if zero_based else rn + F.lit(1))
+    return out.drop("__pid__", "__mid__") if not order_by else out.drop("__pid__")
+
+
 def join_tables(
     dfs: Sequence[DataFrame],
     keys: Sequence[Sequence[str] | None],
@@ -66,7 +121,8 @@ def join_tables(
     """T6 — left-join a list of tables onto the first (reference
     lambdo/std.py:15-57). ``keys[i]`` are the join columns for table
     i+1; None means join-by-row-number (std.py:27-28 index join),
-    realized as a row_number over an explicit deterministic order.
+    realized via the two-phase :func:`global_ordinal` (per-partition
+    counts + offsets — no single-partition sort).
 
     Column collisions on the right side get ``suffixes[i]`` appended
     (std.py suffix renaming). Catalyst picks broadcast vs sort-merge.
@@ -74,8 +130,7 @@ def join_tables(
     suffixes = suffixes or [f"_{i+1}" for i in range(len(dfs) - 1)]
 
     def with_rn(d: DataFrame) -> DataFrame:
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return d.withColumn("__rn__", F.row_number().over(w))
+        return global_ordinal(d, None, out_col="__rn__")
 
     left = dfs[0]
     for i, right in enumerate(dfs[1:]):
@@ -249,24 +304,43 @@ def row_filter(
     dropped) → sample → slice.
 
     slice needs explicit order (reference relies on physical row
-    order): row_number over ``order_by``; [start, end) step k matches
-    tests/test_table_filter.py:105-108.
+    order): [start, end) step k matches tests/test_table_filter.py:105-108.
+    Plan shapes: a bounded ``end`` compiles to ``orderBy().limit(end)``
+    (TakeOrderedAndProject — a distributed partial top-k) + a window
+    over only the surviving ≤end rows; an unbounded slice uses the
+    two-phase :func:`global_ordinal` — neither sorts the full table
+    in one partition.
+
+    ``sample: true`` (no fraction) reproduces the reference's
+    full-frame shuffle (utils.py:266-320 sample branch): a seeded
+    random reordering of all rows, not a pass-through.
     """
     if dropna:
         df = df.na.drop(subset=None if dropna is True else list(dropna))
     for p in predicate or []:
         df = df.filter(F.col(p)).drop(p)
     if sample:
-        frac = 1.0 if sample is True else float(sample.get("frac", 1.0))
-        df = df.sample(fraction=frac, seed=int(sample.get("seed", 42)) if isinstance(sample, dict) else 42)
+        seed = int(sample.get("seed", 42)) if isinstance(sample, dict) else 42
+        frac = None if sample is True else sample.get("frac")
+        if frac is None:
+            # reference semantics: sample of the WHOLE frame == seeded
+            # shuffle/permutation (distributed range sort on rand)
+            df = df.orderBy(F.rand(seed))
+        else:
+            df = df.sample(fraction=float(frac), seed=seed)
     if slice_spec:
         if not order_by:
             raise ValueError("slice requires explicit order_by in Spark")
         start = int(slice_spec.get("start", 0))
         end = slice_spec.get("end")
         step = int(slice_spec.get("step", 1))
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        df = df.withColumn("__rn0__", F.row_number().over(w) - 1)
+        # bounded end: distributed top-(end) — never a global window
+        if end is not None and int(end) <= 10_000_000:
+            top = df.orderBy(*[F.col(c) for c in order_by]).limit(int(end))
+            w = Window.orderBy(*[F.col(c) for c in order_by])
+            df = top.withColumn("__rn0__", F.row_number().over(w) - 1)
+        else:
+            df = global_ordinal(df, order_by, out_col="__rn0__", zero_based=True)
         cond = F.col("__rn0__") >= start
         if end is not None:
             cond = cond & (F.col("__rn0__") < int(end))

@@ -62,6 +62,45 @@ def resolve_callable(ref: str):
     return obj
 
 
+def import_modules(imports: list[str], spark: SparkSession | None = None) -> list:
+    """Workflow-level ``imports`` (reference Workflow.py:40-41 /
+    resolve.py:98-130): each entry is a module name, a dotted path
+    mapping to a source file, or an explicit ``*.py`` path; loaded
+    modules are registered in ``sys.modules`` so ``module:attr``
+    kernel refs resolve against them.
+
+    File-based imports are also shipped to EXECUTORS via
+    ``addPyFile`` (the ``spark-submit --py-files`` equivalent) —
+    cloudpickle serializes module-level functions by reference, so a
+    pandas-UDF kernel from a user file would otherwise throw
+    ModuleNotFoundError the moment a worker deserializes it."""
+    import importlib
+    import importlib.util
+    import os as _os
+    import sys
+
+    mods = []
+    for name in imports or []:
+        if not name.endswith(".py"):
+            try:
+                mods.append(importlib.import_module(name))
+                continue
+            except ImportError:
+                pass
+        path = name if name.endswith(".py") else name.replace(".", "/") + ".py"
+        base = _os.path.basename(path)[:-3]
+        spec = importlib.util.spec_from_file_location(base, path)
+        if spec is None or spec.loader is None:
+            raise ImportError(f"workflow import {name!r}: no module and no file {path!r}")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules[base] = mod
+        if spark is not None:
+            spark.sparkContext.addPyFile(path)
+        mods.append(mod)
+    return mods
+
+
 def strip_comments(text: str) -> str:
     """`//` line comments, as the reference CLI accepts
     (/root/reference/lambdo/main.py:23)."""
@@ -147,20 +186,97 @@ class Workflow:
     results — except 'execute' just *builds plans*; Spark actions
     happen when the caller collects/writes."""
 
-    def __init__(self, spec: dict | str, spark: SparkSession, data: dict[str, DataFrame] | None = None):
+    def __init__(
+        self,
+        spec: dict | str,
+        spark: SparkSession,
+        data: dict[str, DataFrame] | None = None,
+        allow_lambda: bool = False,
+    ):
         if isinstance(spec, str):
             spec = json.loads(strip_comments(spec))
         self.spec = spec
         self.spark = spark
+        self.allow_lambda = allow_lambda
         self.tables: dict[str, DataFrame] = dict(data or {})
-        self.layers = stratify(spec)
+        import_modules(spec.get("imports", []), spark)
+        self._order = [t["id"] for t in spec["tables"]]
         self._tdefs = {t["id"]: t for t in spec["tables"]}
+        self._normalize_operations()
+        self.layers = stratify(self.spec)
+
+    def _normalize_operations(self) -> None:
+        """Reference default-operation rules (Table.py:162-190): no
+        ``operation`` means noop for the FIRST table and extend-of-the-
+        previous-table for later ones; ``noop`` is a data-bound table.
+        Normalizing up front keeps stratify()'s dependency extraction
+        exact for reference-style specs."""
+        for i, tid in enumerate(self._order):
+            td = self._tdefs[tid]
+            op = td.get("operation")
+            if op == "noop":
+                td["operation"] = "data"
+            elif op is None and "path" not in td:
+                if i == 0 or tid in self.tables:
+                    td["operation"] = "data"
+                else:
+                    td["operation"] = "extend"
+                    td.setdefault("source", self._order[i - 1])
+            elif op == "extend" and "source" not in td:
+                td["source"] = self._order[max(0, i - 1)]
 
     def execute(self) -> dict[str, DataFrame]:
         for layer in self.layers:
             for tid in layer:
                 self.tables[tid] = self._build_table(self._tdefs[tid])
         return self.tables
+
+    # --------------------------------------------------- kernel resolution
+    def _eval_lambda(self, src: str):
+        """Inline lambda strings (reference resolve.py:24-31,
+        tests/test_table_populate.py:49-50) — eval of workflow-supplied
+        code, so gated behind the explicit ``allow_lambda`` opt-in."""
+        if not self.allow_lambda:
+            raise ValueError(
+                f"inline lambda kernels ({src!r}) require "
+                "Workflow(..., allow_lambda=True) — refusing to eval "
+                "workflow-supplied code by default"
+            )
+        return eval(src)  # noqa: S307 — explicit opt-in above
+
+    def _kernel_ref(self, c: dict):
+        """``kernel``/``function`` field → registry name (string,
+        resolved by column_ops) or an ad-hoc user Kernel wrapping a
+        ``module:attr`` callable / inline lambda (reference
+        resolve.py:14-49). User callables receive the input columns as
+        positional pd.Series (the reference's calling convention) and
+        must be vectorized: return a Series (calculate) or a scalar
+        (roll/all/aggregate)."""
+        from lambdo_spark.functions.registry import user_kernel
+
+        ref = c.get("kernel", c.get("function"))
+        if ref is None:
+            raise ValueError(f"column '{c.get('id')}' needs a kernel/function")
+        returns = c.get("returns", "double")
+        if callable(ref):
+            fn = ref
+        elif ref.strip().startswith("lambda "):
+            fn = self._eval_lambda(ref)
+        elif ":" in ref:
+            fn = resolve_callable(ref)
+        else:
+            return ref  # registry kernel name
+        return user_kernel(
+            lambda cols, **kw: fn(*cols, **kw),
+            name=str(c.get("id", "user")),
+            returns=returns,
+        )
+
+    def _batch_callable(self, ref: str):
+        """T3 map-table function: module:attr, or (opt-in) a lambda."""
+        if ref.strip().startswith("lambda "):
+            return self._eval_lambda(ref)
+        return resolve_callable(ref)
 
     # ------------------------------------------------------------ build
     def _build_table(self, tdef: dict) -> DataFrame:
@@ -228,7 +344,7 @@ class Workflow:
             # a named vectorized batch kernel over mapInPandas
             return T.map_table(
                 self.tables[tdef["source"]],
-                resolve_callable(tdef["function"]),
+                self._batch_callable(tdef["function"]),
                 tdef["schema"],
             )
         if op == "union":
@@ -304,6 +420,20 @@ class Workflow:
     def _eval_column(
         self, df: DataFrame, c: dict, t_order: list | None, t_part: list | None
     ) -> DataFrame:
+        out = self._eval_column_op(df, c, t_order, t_part)
+        # C9 — fillna applied post-attach for ANY column op (reference
+        # Column.py:437-496); the aggregate op also accepts it inline
+        fv = c.get("fillna_value")
+        if fv is not None and c.get("operation") != "aggregate":
+            from pyspark.sql import functions as F
+
+            cid = c["id"]
+            out = out.withColumn(cid, F.coalesce(F.col(cid), F.lit(fv)))
+        return out
+
+    def _eval_column_op(
+        self, df: DataFrame, c: dict, t_order: list | None, t_part: list | None
+    ) -> DataFrame:
         op = c.get("operation")
         if op is None:  # C7 noop — reference existing column
             return df
@@ -320,17 +450,17 @@ class Workflow:
                 from lambdo_spark.functions.train import resolve_model
 
                 model = resolve_model(model, df, c.get("train"))
-            return C.calculate(df, out, c["kernel"], c["inputs"], model)
+            return C.calculate(df, out, self._kernel_ref(c), c["inputs"], model)
         if op == "roll":
             if not order_by:
                 raise ValueError(f"roll column '{out}' needs order_by")
             return C.roll(
-                df, out, c["kernel"], c["inputs"], int(c["window"]),
+                df, out, self._kernel_ref(c), c["inputs"], int(c["window"]),
                 order_by, partition_by, c.get("model"), c.get("min_periods"),
             )
         if op == "roll_range":
             return C.roll_range(
-                df, out, c["kernel"], c["inputs"], int(c["range_seconds"]),
+                df, out, self._kernel_ref(c), c["inputs"], int(c["range_seconds"]),
                 c["ts"], partition_by, c.get("model"),
             )
         if op == "shift":
@@ -342,7 +472,7 @@ class Workflow:
             )
         if op == "all":
             return C.window_all(
-                df, out, c["kernel"], c["inputs"], partition_by, order_by,
+                df, out, self._kernel_ref(c), c["inputs"], partition_by, order_by,
                 c.get("model"),
             )
         if op == "link":
@@ -358,7 +488,7 @@ class Workflow:
         if op == "aggregate":
             return C.aggregate_column(
                 df, out, self.tables[c["fact_table"]], c["keys"],
-                c["fact_keys"], c["kernel"], c.get("measure"),
+                c["fact_keys"], self._kernel_ref(c), c.get("measure"),
                 c.get("fillna_value"), c.get("model"),
             )
         if op == "sessionize":

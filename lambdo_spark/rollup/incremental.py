@@ -145,6 +145,83 @@ def _recompress_chunks(
     )
 
 
+def _rebuild_tiers(
+    spark: SparkSession,
+    store: IcebergLayoutTable,
+    root: str,
+    affected: set[str],
+    store_snapshot_id: int,
+    compress: bool,
+    chunk_buckets: int,
+    result: dict,
+) -> None:
+    """Steps 2+3: rebuild affected tier partitions from the merged
+    store, then recompress affected chunks. Idempotent — safe to re-run
+    after a crash (reads the committed store, overwrites whole
+    partitions)."""
+    # 2. rebuild affected partitions of each finalized tier from
+    #    the (now-merged) store, reading only the weeks needed.
+    # A tier row's partition is the week of its bucket START, and
+    # dynamic overwrite replaces whole partitions — so every
+    # partition containing an affected bucket is rebuilt IN FULL
+    # (all its buckets), never partially.
+    aff_weeks = {int(p) for p in affected}
+    for tier_name, tsec in TIER_SECONDS.items():
+        parts_to_rewrite = _parts_containing_overlapping_buckets(
+            aff_weeks, tsec
+        )
+        # source weeks: a bucket starting in a rewritten week ends
+        # at most tsec past that week (30d buckets span ~5 weeks)
+        need_weeks = set()
+        for p in parts_to_rewrite:
+            w = p
+            while w < p + PART_SECONDS + tsec:
+                need_weeks.add(str(w))
+                w += PART_SECONDS
+        src = _read_store_parts(spark, store, need_weeks)
+        if src is None:
+            continue
+        part1h = src.drop("part")
+        tier_partials = (
+            part1h if tsec == TIER_SECONDS["1h"] else downsample(part1h, tsec)
+        )
+        out = with_part(finalize(tier_partials), part_seconds=PART_SECONDS)
+        out = out.where(
+            F.col("part").isin(sorted(parts_to_rewrite))
+        )
+        tsnap = _tier_table(root, tier_name).overwrite_parts(
+            out,
+            [str(p) for p in sorted(parts_to_rewrite)],
+            input_snapshot=f"partials@{store_snapshot_id}",
+        )
+        result["affected_parts"][tier_name] = sorted(
+            str(p) for p in parts_to_rewrite
+        )
+        result["snapshots"][tier_name] = tsnap
+
+    # 3. recompress only the chunks whose buckets changed — the
+    # compressed tables partition on chunk id, and a chunk blob
+    # covers its whole span, so affected chunks rebuild in full
+    # from the (just-refreshed) finalized tier
+    if compress:
+        for tier_name, tsec in TIER_SECONDS.items():
+            if tier_name not in result["affected_parts"]:
+                continue
+            csnap = _recompress_chunks(
+                spark,
+                root,
+                tier_name,
+                tsec,
+                {int(p) for p in result["affected_parts"][tier_name]},
+                chunk_buckets,
+            )
+            if csnap is not None:
+                result["affected_parts"][f"compressed_{tier_name}"] = csnap[
+                    "new_parts"
+                ]
+                result["snapshots"][f"compressed_{tier_name}"] = csnap
+
+
 def refresh_from_pages(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -156,6 +233,15 @@ def refresh_from_pages(
 ) -> dict:
     """Merge a pages delta into the partials store and rebuild only
     the affected partitions of every finalized tier.
+
+    Crash-safe two-commit protocol: the store's merge commit records
+    the delta tag (exactly-once — a retry never re-merges) AND a
+    ``pending`` marker with the affected weeks; after every tier /
+    compressed table committed, a metadata-only commit clears the
+    marker. A retry (same or any later delta) that finds a pending
+    marker re-runs the idempotent tier rebuild for those weeks before
+    (or along with) its own — finalized tiers can never be left
+    permanently stale by a crash between commits.
 
     Returns {"affected_parts": {...}, "snapshots": {...}} per tier.
     """
@@ -169,105 +255,119 @@ def refresh_from_pages(
                 f"{a['total_rows']} rows have non-byte-identical text"
             )
     store = _partials_store(root)
-    # exactly-once per delta_tag: the store snapshot carries the list
-    # of applied tags; a retried/duplicated delta is a no-op instead
-    # of double-counting (refresh is NOT idempotent without this)
-    prev = store.current_snapshot() or {}
+    prev = store.current_snapshot()
+    if prev is None:
+        # refuse to refresh a root whose tiers exist without a partials
+        # store: rebuilding from a delta-only store would overwrite
+        # committed partitions with delta-only aggregates (data loss).
+        # run_retention_pipeline persists the store; legacy roots need
+        # a one-time re-run of retention to bootstrap it.
+        existing_tiers = [
+            t for t in TIER_SECONDS
+            if os.path.exists(
+                os.path.join(root, f"tier_{t}", "metadata", "CURRENT")
+            )
+        ]
+        if existing_tiers:
+            raise ValueError(
+                f"tier tables {existing_tiers} exist under {root} but no "
+                "partials_1h store does — refresh would destroy base rows. "
+                "Re-run run_retention_pipeline once to bootstrap the store."
+            )
+    prev = prev or {}
     applied = list(prev.get("applied_deltas", []))
+    pending = prev.get("pending") or None
+    pending_parts: set[str] = set(pending["parts"]) if pending else set()
+
+    # exactly-once per delta_tag: the store's merge commit carries the
+    # ledger of applied tags; a retried/duplicated delta never
+    # re-merges (refresh is NOT idempotent without this)
     if delta_tag and delta_tag in applied:
-        return {"affected_parts": {}, "snapshots": {}, "skipped": delta_tag}
+        result: dict = {"affected_parts": {}, "snapshots": {}, "skipped": delta_tag}
+        if pending_parts:
+            # the merge committed but a crash interrupted the tier
+            # rebuild — finish it now from the already-merged store
+            result["resumed"] = pending["tag"]
+            result["affected_parts"]["partials_1h"] = sorted(pending_parts)
+            _rebuild_tiers(
+                spark, store, root, pending_parts, prev["snapshot_id"],
+                compress, chunk_buckets, result,
+            )
+            store.commit_metadata(
+                input_snapshot=f"refresh-complete:{pending['tag']}",
+                extra={"pending": None},
+            )
+        return result
 
     delta = with_part(
         partials_from_pages(new_pages, TIER_SECONDS["1h"]),
         part_seconds=PART_SECONDS,
     ).persist()
-    affected = {str(r[0]) for r in delta.select("part").distinct().collect()}
-    result: dict = {"affected_parts": {}, "snapshots": {}}
+    delta_parts = {str(r[0]) for r in delta.select("part").distinct().collect()}
+    # a crashed predecessor's pending weeks ride along with this delta
+    affected = delta_parts | pending_parts
+    result = {"affected_parts": {}, "snapshots": {}}
     try:
         if not affected:
             return result
 
         # 1. merge delta into the stored partials of affected weeks
-        existing = _read_store_parts(spark, store, affected)
-        merged = delta.drop("part")
-        if existing is not None:
-            merged = merged.unionByName(existing.drop("part"))
-        merged = with_part(_merge_partials(merged), part_seconds=PART_SECONDS)
-        snap = store.overwrite_parts(
-            merged,
-            sorted(affected),
-            input_snapshot=f"delta:{delta_tag}",
-            extra={"applied_deltas": applied + ([delta_tag] if delta_tag else [])},
-        )
+        #    (only the weeks the DELTA touches get rewritten — pending
+        #    weeks are already merged in the store)
+        if delta_parts:
+            existing = _read_store_parts(spark, store, delta_parts)
+            merged = delta.drop("part")
+            if existing is not None:
+                merged = merged.unionByName(existing.drop("part"))
+            merged = with_part(_merge_partials(merged), part_seconds=PART_SECONDS)
+            snap = store.overwrite_parts(
+                merged,
+                sorted(delta_parts),
+                input_snapshot=f"delta:{delta_tag}",
+                extra={
+                    "applied_deltas": applied
+                    + ([delta_tag] if delta_tag else []),
+                    "pending": {
+                        "tag": delta_tag or "untagged",
+                        "parts": sorted(affected),
+                    },
+                },
+            )
+        else:
+            snap = prev
         result["affected_parts"]["partials_1h"] = sorted(affected)
         result["snapshots"]["partials_1h"] = snap
 
-        # 2. rebuild affected partitions of each finalized tier from
-        #    the (now-merged) store, reading only the weeks needed.
-        # A tier row's partition is the week of its bucket START, and
-        # dynamic overwrite replaces whole partitions — so every
-        # partition containing an affected bucket is rebuilt IN FULL
-        # (all its buckets), never partially.
-        aff_weeks = {int(p) for p in affected}
-        for tier_name, tsec in TIER_SECONDS.items():
-            parts_to_rewrite = _parts_containing_overlapping_buckets(
-                aff_weeks, tsec
-            )
-            # source weeks: a bucket starting in a rewritten week ends
-            # at most tsec past that week (30d buckets span ~5 weeks)
-            need_weeks = set()
-            for p in parts_to_rewrite:
-                w = p
-                while w < p + PART_SECONDS + tsec:
-                    need_weeks.add(str(w))
-                    w += PART_SECONDS
-            src = _read_store_parts(spark, store, need_weeks)
-            if src is None:
-                continue
-            part1h = src.drop("part")
-            tier_partials = (
-                part1h if tsec == TIER_SECONDS["1h"] else downsample(part1h, tsec)
-            )
-            out = with_part(finalize(tier_partials), part_seconds=PART_SECONDS)
-            out = out.where(
-                F.col("part").isin(sorted(parts_to_rewrite))
-            )
-            tsnap = _tier_table(root, tier_name).overwrite_parts(
-                out,
-                [str(p) for p in sorted(parts_to_rewrite)],
-                input_snapshot=f"partials@{snap['snapshot_id']}",
-            )
-            result["affected_parts"][tier_name] = sorted(
-                str(p) for p in parts_to_rewrite
-            )
-            result["snapshots"][tier_name] = tsnap
+        _rebuild_tiers(
+            spark, store, root, affected, snap["snapshot_id"],
+            compress, chunk_buckets, result,
+        )
 
-        # 3. recompress only the chunks whose buckets changed — the
-        # compressed tables partition on chunk id, and a chunk blob
-        # covers its whole span, so affected chunks rebuild in full
-        # from the (just-refreshed) finalized tier
-        if compress:
-            for tier_name, tsec in TIER_SECONDS.items():
-                if tier_name not in result["affected_parts"]:
-                    continue
-                csnap = _recompress_chunks(
-                    spark,
-                    root,
-                    tier_name,
-                    tsec,
-                    {int(p) for p in result["affected_parts"][tier_name]},
-                    chunk_buckets,
-                )
-                if csnap is not None:
-                    result["affected_parts"][f"compressed_{tier_name}"] = csnap[
-                        "new_parts"
-                    ]
-                    result["snapshots"][f"compressed_{tier_name}"] = csnap
+        # all downstream tables committed — clear the pending marker
+        store.commit_metadata(
+            input_snapshot=f"refresh-complete:{delta_tag or 'untagged'}",
+            extra={"pending": None},
+        )
     finally:
         delta.unpersist()
     return result
 
 
-def read_finalized_tier(spark: SparkSession, root: str, tier_name: str) -> DataFrame:
-    """Committed snapshot view of an incrementally-maintained tier."""
-    return _tier_table(root, tier_name).read_tier(spark).drop("part")
+def read_finalized_tier(
+    spark: SparkSession, root: str, tier_name: str, gapfill: bool = False
+) -> DataFrame:
+    """Committed snapshot view of an incrementally-maintained tier.
+
+    ``gapfill=True`` densifies each key's bucket series at READ time
+    (TimescaleDB-style): stored tiers hold only real rows — both the
+    retention and refresh write paths — because materialized gap rows
+    cannot be maintained incrementally (a delta that extends a key's
+    max bucket would need gap rows inserted across arbitrarily many
+    *unaffected* old partitions) and inflate tier storage ~10×.
+    """
+    from lambdo_spark.rollup.tiers import gap_fill
+
+    df = _tier_table(root, tier_name).read_tier(spark).drop("part")
+    if gapfill:
+        df = gap_fill(df, TIER_SECONDS[tier_name])
+    return df

@@ -22,7 +22,6 @@ from lambdo_spark.rollup.tiers import (
     TIER_SECONDS,
     downsample,
     finalize,
-    gap_fill,
     partials_from_pages,
 )
 from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
@@ -40,6 +39,14 @@ def run_retention_pipeline(
     Each tier write is independently resumable: killing the job between
     tiers (or mid-write) and re-calling this function recomputes only
     partitions missing from each tier's committed snapshot.
+
+    The 1h **partials store** is persisted first — it is the durable
+    unit `refresh_from_pages` merges deltas into and rebuilds tiers
+    from, so retention and refresh can safely share one ``out_root``.
+    Tier tables hold only REAL rows (no materialized gap rows — gap
+    fill is a read-time transform, ``read_finalized_tier(...,
+    gapfill=True)``): identical shape to the refresh write path, and
+    the only form maintainable incrementally.
     """
     if enforce_audit:
         a = audit_summary(pages).collect()[0]
@@ -50,11 +57,12 @@ def run_retention_pipeline(
             )
 
     # Persist the partial chain: p1h is consumed by SIX downstream
-    # plans (1h finalize×2-writes + the 1d downsample, which feeds
-    # 1d's and 30d's); without caching, every tier write re-runs the
-    # full pages scan — one pass vs ~nine at 100 TB. Partials are
-    # orders of magnitude smaller than raw pages (pre-aggregated per
-    # url×bucket×lang) and MEMORY_AND_DISK spills rather than OOMs.
+    # plans (the store write, 1h finalize×2-writes + the 1d downsample,
+    # which feeds 1d's and 30d's); without caching, every tier write
+    # re-runs the full pages scan — one pass vs ~nine at 100 TB.
+    # Partials are orders of magnitude smaller than raw pages
+    # (pre-aggregated per url×bucket×lang) and MEMORY_AND_DISK spills
+    # rather than OOMs.
     p1h = partials_from_pages(pages, TIER_SECONDS["1h"]).persist()
     partials = {"1h": p1h}
     partials["1d"] = downsample(p1h, TIER_SECONDS["1d"]).persist()
@@ -62,17 +70,22 @@ def run_retention_pipeline(
 
     result: dict = {}
     try:
+        store = IcebergLayoutTable(os.path.join(out_root, "partials_1h"))
+        result["partials_1h"] = {
+            "tier": store.write_tier(
+                with_part(p1h), input_snapshot="pages@partials_1h"
+            )
+        }
         for tier_name, part in partials.items():
-            # finalized tier feeds both the gap-filled write and the
+            # finalized tier feeds both the tier write and the
             # compression write — cache so collect_list runs once
             tier_df = finalize(part).persist()
             try:
-                filled = gap_fill(tier_df, TIER_SECONDS[tier_name])
                 table = IcebergLayoutTable(
                     os.path.join(out_root, f"tier_{tier_name}")
                 )
                 snap = table.write_tier(
-                    with_part(filled), input_snapshot=f"pages@{tier_name}"
+                    with_part(tier_df), input_snapshot=f"pages@{tier_name}"
                 )
                 comp = compress_tier(
                     tier_df, value_col=compress_value_col,

@@ -110,12 +110,20 @@ class IcebergLayoutTable:
         snap = self.current_snapshot()
         return (snap["snapshot_id"] + 1) if snap else 0
 
+    # snapshot-level application state (e.g. the exactly-once
+    # applied-delta ledger) must survive maintenance commits like
+    # compaction — these keys carry forward unless explicitly replaced
+    CARRIED_EXTRA_KEYS = ("applied_deltas", "pending")
+
     def _commit(self, parts: dict[str, int], extra: dict) -> dict:
         n = self._next_snapshot_id()
+        prev = self.current_snapshot() or {}
+        carried = {k: prev[k] for k in self.CARRIED_EXTRA_KEYS if k in prev}
         new = {
             "snapshot_id": n,
             "parts": parts,
             "committed_at": time.time(),
+            **carried,
             **extra,
         }
         name = f"snapshot-{n}.json"
@@ -173,6 +181,21 @@ class IcebergLayoutTable:
                 "input_snapshot": input_snapshot,
                 "new_parts": parts,
                 "part_col": part_col,
+                **(extra or {}),
+            },
+        )
+
+    def commit_metadata(self, input_snapshot: str = "", extra: dict | None = None) -> dict:
+        """Metadata-only commit: same partition versions, new snapshot
+        carrying updated application state (e.g. clearing a pending
+        refresh marker after downstream tables committed)."""
+        snap = self.current_snapshot() or {}
+        return self._commit(
+            dict(snap.get("parts", {})),
+            {
+                "input_snapshot": input_snapshot,
+                "new_parts": [],
+                "part_col": snap.get("part_col", "part"),
                 **(extra or {}),
             },
         )
@@ -248,14 +271,44 @@ class IcebergLayoutTable:
     def _read_versions(
         self, spark: SparkSession, versions: dict[str, int], part_col: str = "part"
     ) -> DataFrame:
-        paths = [
-            self._version_dir(p, v, part_col)
-            for p, v in sorted(versions.items())
-            if os.path.exists(self._version_dir(p, v, part_col))
-        ]
-        if not paths:
+        # pre-MVCC parts (version -1) live as loose files directly
+        # under part=<p>; once a later MVCC rewrite adds snapv=<v>
+        # subdirs there, reading the bare directory would pick up BOTH
+        # — so legacy versions enumerate only the direct files
+        dir_paths: list[str] = []
+        legacy_files: list[str] = []
+        for p, v in sorted(versions.items()):
+            d = self._version_dir(p, v, part_col)
+            if not os.path.exists(d):
+                continue
+            if v == -1:
+                legacy_files.extend(
+                    sorted(
+                        os.path.join(d, f)
+                        for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                        and os.path.isfile(os.path.join(d, f))
+                    )
+                )
+            else:
+                dir_paths.append(d)
+        dfs = []
+        if dir_paths:
+            dfs.append(
+                spark.read.option("basePath", self.data_dir).parquet(*dir_paths)
+            )
+        if legacy_files:
+            dfs.append(
+                spark.read.option("basePath", self.data_dir)
+                .parquet(*legacy_files)
+                .withColumn("snapv", F.lit(-1))
+            )
+        if not dfs:
             return spark.read.parquet(self.data_dir).limit(0)
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def read_tier(
         self, spark: SparkSession, snapshot_id: int | None = None
@@ -327,11 +380,31 @@ class IcebergLayoutTable:
                     continue
                 d = self._version_dir(p, v, s.get("part_col", part_col))
                 if os.path.exists(d):
-                    shutil.rmtree(d)
-                    deleted.append(d)
-                m = os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json")
-                if os.path.exists(m):
-                    os.remove(m)
+                    if v == -1:
+                        # pre-MVCC version: the bare part=<p> directory
+                        # may ALSO hold live snapv=<v> subdirs from a
+                        # later rewrite — delete only the loose files,
+                        # never the versioned subdirectories
+                        removed = False
+                        for f in os.listdir(d):
+                            fp = os.path.join(d, f)
+                            if os.path.isfile(fp):
+                                os.remove(fp)
+                                removed = True
+                        if removed:
+                            deleted.append(d)
+                        if not os.listdir(d):
+                            os.rmdir(d)
+                    else:
+                        shutil.rmtree(d)
+                        deleted.append(d)
+                for m in (
+                    os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json"),
+                    *( [os.path.join(self.meta_dir, f"manifest-{p}.json")]
+                       if v == -1 else [] ),
+                ):
+                    if os.path.exists(m):
+                        os.remove(m)
                 live.add((p, v))  # only delete once
             os.remove(os.path.join(self.meta_dir, f"snapshot-{n}.json"))
         return deleted

@@ -66,9 +66,18 @@ def _make_sessionizer(gap_seconds: int, ts_col: str):
 
         if state.hasTimedOut:
             # watermark passed last_ts + gap: the open session can no
-            # longer be extended by on-time data — close it
+            # longer be extended by on-time data — close it. Do NOT
+            # state.remove(): that would discard n_closed, so a key
+            # that later receives events would restart numbering at 1
+            # and emit duplicate (key, session_id) pairs. Keep the
+            # counter with a no-open-session sentinel (start_s=NULL)
+            # and no timeout; the sentinel is treated as state-absent
+            # for session boundaries. Cost: one 4-long row per
+            # ever-seen key persists in the state store — the price of
+            # dense per-key numbering (same as the batch session_table
+            # contract).
             start, last, n, n_closed = state.get
-            state.remove()
+            state.update((None, None, 0, n_closed + 1))
             yield pd.DataFrame(
                 {
                     "key": [k],
@@ -102,7 +111,11 @@ def _make_sessionizer(gap_seconds: int, ts_col: str):
 
         if state.exists:
             start, last, n, n_closed = state.get
-            if int(ts[0]) - last > gap_seconds:
+            if start is None:
+                # sentinel left by a timeout-close: no open session,
+                # but the dense counter survives — resume numbering
+                start, last, n = int(ts[0]), int(ts[0]), 0
+            elif int(ts[0]) - last > gap_seconds:
                 # the stored open session closes untouched; the batch
                 # starts a fresh one at ts[0]
                 n_closed += 1

@@ -207,3 +207,106 @@ def test_workflow_timeseries_table_ops(spark):
     assert hh["cat"].tolist() == ["a", "a"]
     gs = out["gs"].toPandas()
     assert gs[gs["grouping_id"] == 3]["s"].tolist() == [18]
+
+
+def test_reference_style_spec_with_lambdas(spark):
+    """The reference's own spec shape runs unmodified (reference
+    tests/test_table_populate.py:49-50): noop first table, implicit
+    extend second table, inline-lambda 'function' columns — gated
+    behind allow_lambda."""
+    from lambdo_spark.plans.compiler import Workflow
+
+    wf_json = {
+        "id": "My workflow",
+        "tables": [
+            {
+                "id": "Base Table",
+                "operation": "noop",
+                "columns": [
+                    {"id": "B", "operation": "calculate",
+                     "function": "lambda x: x + 1", "inputs": ["A"]},
+                ],
+            },
+            {
+                "id": "Extended Table",
+                # "operation": "extend" — by default (Table.py:177-190)
+                "columns": [
+                    {"id": "C", "operation": "calculate",
+                     "function": "lambda x: x + 1", "inputs": ["B"]},
+                ],
+            },
+        ],
+    }
+    data = {"Base Table": spark.createDataFrame([(1.0,), (2.0,)], "A double")}
+    out = Workflow(wf_json, spark, data, allow_lambda=True).execute()
+    got = out["Extended Table"].toPandas().sort_values("A")
+    assert got["B"].tolist() == [2.0, 3.0]
+    assert got["C"].tolist() == [3.0, 4.0]
+
+    # lambda eval is OFF by default — workflow-supplied code never runs
+    with pytest.raises(ValueError, match="allow_lambda"):
+        Workflow(wf_json, spark, data).execute()["Extended Table"].collect()
+
+
+def test_workflow_imports_and_module_attr_kernel(spark, tmp_path):
+    """Workflow-level imports (reference Workflow.py:40-41,
+    resolve.py:98-130): a user module loaded from a source path whose
+    functions resolve as module:attr kernels."""
+    mod = tmp_path / "userkernels_t1.py"
+    mod.write_text(
+        "def double_it(s):\n    return s * 2\n"
+        "def span(s):\n    return s.max() - s.min()\n"
+    )
+    spec = {
+        "imports": [str(mod)],
+        "tables": [
+            {"id": "t", "operation": "data",
+             "order_by": ["i"],
+             "columns": [
+                 {"id": "d", "operation": "calculate",
+                  "function": "userkernels_t1:double_it", "inputs": ["v"]},
+                 {"id": "sp", "operation": "roll",
+                  "function": "userkernels_t1:span", "inputs": ["v"],
+                  "window": 2},
+             ]},
+        ],
+    }
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    try:
+        from lambdo_spark.plans.compiler import Workflow
+
+        data = {"t": spark.createDataFrame(
+            [(0, 3.0), (1, 7.0), (2, 4.0)], "i long, v double")}
+        got = (
+            Workflow(spec, spark, data).execute()["t"]
+            .toPandas().sort_values("i")
+        )
+        assert got["d"].tolist() == [6.0, 14.0, 8.0]
+        assert got["sp"].fillna(-1).tolist() == [-1.0, 4.0, 3.0]
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_holistic_kernels_and_fillna(spark):
+    """median/mad/quantile run via the pandas GROUPED_AGG escape hatch;
+    C9 fillna_value applies to ANY column op post-attach."""
+    from lambdo_spark.plans.compiler import compile_workflow as cw
+
+    data = {"t": spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 5.0), ("a", 2, 2.0), ("b", 0, 4.0)],
+        "g string, i long, v double")}
+    spec = {"tables": [
+        {"id": "t", "operation": "data",
+         "order_by": ["i"], "partition_by": ["g"],
+         "columns": [
+             {"id": "med", "operation": "roll", "kernel": "median",
+              "inputs": ["v"], "window": 3, "fillna_value": -1.0},
+             {"id": "q75", "operation": "all", "kernel": "quantile",
+              "inputs": ["v"], "model": {"q": 0.75}},
+         ]},
+    ]}
+    got = cw(spec, spark, data)["t"].toPandas().sort_values(["g", "i"])
+    assert got["med"].tolist() == [-1.0, -1.0, 2.0, -1.0]
+    assert got["q75"].tolist() == [3.5, 3.5, 3.5, 4.0]

@@ -97,13 +97,14 @@ def test_sigkill_midrun_then_resume(spark, tmp_path):
 
     pages = generate_pages(spark, 60000, seed=7)
     result = run_retention_pipeline(spark, pages, out, enforce_audit=False)
-    assert set(result) == {"1h", "1d", "30d"}
+    assert set(result) == {"partials_1h", "1h", "1d", "30d"}
 
     expected_1h = finalize(partials_from_pages(pages, 3600)).count()
     got = IcebergLayoutTable(os.path.join(out, "tier_1h")).read_tier(spark)
-    # gap-filled tier ⊇ raw tier rows; every (url,bucket) present once
+    # raw tier rows only (gap fill is read-time); every (url,bucket) once
     assert got.select("url", "bucket_s").distinct().count() == got.count()
     assert got.where(F.col("n_points") > 0).count() == expected_1h
+    assert got.count() == expected_1h
     # a second resume is a no-op
     again = run_retention_pipeline(spark, pages, out, enforce_audit=False)
     assert all(v["tier"]["new_parts"] == [] for v in again.values()), (

@@ -73,7 +73,7 @@ def test_full_pipeline_runs_and_resumes(spark, tmp_path):
     pages = generate_pages(spark, 600, seed=11)
     out = str(tmp_path / "pipe")
     r1 = run_retention_pipeline(spark, pages, out)
-    assert set(r1) == {"1h", "1d", "30d"}
+    assert set(r1) == {"partials_1h", "1h", "1d", "30d"}
     for tier in r1.values():
         assert tier["tier"]["parts"]
     # re-run is a no-op resume
@@ -81,6 +81,8 @@ def test_full_pipeline_runs_and_resumes(spark, tmp_path):
     for tier in r2.values():
         assert tier["tier"]["new_parts"] == []
     assert os.path.exists(os.path.join(out, "tier_30d", "metadata", "CURRENT"))
+    # the durable partials store exists — refresh can share this root
+    assert os.path.exists(os.path.join(out, "partials_1h", "metadata", "CURRENT"))
 
 
 def test_mvcc_time_travel_and_reader_isolation(spark, tmp_path):
@@ -139,6 +141,70 @@ def test_mvcc_lineage_tracks_versions(spark, tmp_path):
     )
     lin = t.lineage()
     assert len(lin) == 1 and lin[0]["rows"] == 2 and lin[0]["version"] == 1
+
+
+def test_pre_mvcc_layout_read_and_expire(spark, tmp_path):
+    """Legacy (pre-MVCC) partitions live as loose files directly under
+    part=<p>. After a later MVCC rewrite adds snapv=<v> subdirs there:
+    time-travel reads of the legacy snapshot must see ONLY the loose
+    files (no double-read), and expiring the legacy snapshot must
+    delete ONLY the loose files — never the live snapv directories."""
+    import glob
+    import json
+    import os
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t4")
+    t = IcebergLayoutTable(root)
+    # hand-build the legacy layout: files directly under part=1,
+    # snapshot with list-form "parts" (the pre-MVCC metadata shape)
+    spark.createDataFrame(
+        [(1, 10, "old_a"), (1, 11, "old_b")], "part long, k long, v string"
+    ).write.partitionBy("part").parquet(t.data_dir)
+    with open(os.path.join(t.meta_dir, "snapshot-0.json"), "w") as f:
+        json.dump({"snapshot_id": 0, "parts": ["1"], "part_col": "part"}, f)
+    with open(os.path.join(t.meta_dir, "CURRENT"), "w") as f:
+        json.dump({"snapshot": "snapshot-0.json"}, f)
+    assert t.part_versions() == {"1": -1}
+
+    # MVCC rewrite of the same partition — snapv subdir appears INSIDE part=1
+    s1 = t.overwrite_parts(
+        spark.createDataFrame([(1, 99, "new")], "part long, k long, v string"),
+        ["1"],
+    )
+    assert os.path.isdir(os.path.join(root, "data", "part=1", f"snapv={s1['snapshot_id']}"))
+
+    # legacy snapshot read: exactly the two old rows, not old+new
+    old = t.read_tier(spark, snapshot_id=0).toPandas()
+    assert sorted(old["v"]) == ["old_a", "old_b"]
+    assert t.read_tier(spark).toPandas()["v"].tolist() == ["new"]
+
+    # expire the legacy snapshot: loose files go, snapv=<v> survives
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted and all("snapv" not in d for d in deleted)
+    loose = [
+        f for f in glob.glob(os.path.join(root, "data", "part=1", "*"))
+        if os.path.isfile(f)
+    ]
+    assert loose == []
+    assert t.read_tier(spark).toPandas()["v"].tolist() == ["new"]
+
+
+def test_compaction_carries_applied_deltas(spark, tmp_path):
+    """compact_parts must not drop snapshot application state — the
+    exactly-once delta ledger survives maintenance commits."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t5")
+    t = IcebergLayoutTable(root)
+    df = spark.createDataFrame([(1, i) for i in range(50)], "part long, k long")
+    t.write_tier(df)
+    t.overwrite_parts(df, ["1"], extra={"applied_deltas": ["d1", "d2"]})
+    t.compact_parts(spark)
+    snap = t.current_snapshot()
+    assert snap["input_snapshot"] == "compaction"
+    assert snap["applied_deltas"] == ["d1", "d2"]
 
 
 def test_compaction_preserves_content_hash(spark, tmp_path):

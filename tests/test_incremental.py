@@ -139,6 +139,100 @@ def test_incremental_compression_matches_full(spark, tmp_path):
         assert (got["v"].to_numpy() == exp["v"].to_numpy()).all(), tier_name
 
 
+def test_retention_then_refresh_shared_root(spark, tmp_path):
+    """The README workflow: bootstrap with run_retention_pipeline, then
+    refresh deltas into the SAME root. The retention run must persist
+    the partials store so the refresh merges into the base (not a
+    delta-only store that would overwrite base rows)."""
+    from lambdo_spark.rollup.pipeline import run_retention_pipeline
+
+    root = str(tmp_path / "tiers")
+    base = generate_pages(spark, 2500, seed=71)
+    delta = generate_pages(spark, 2500, seed=72)
+    run_retention_pipeline(spark, base, root, enforce_audit=False)
+    refresh_from_pages(spark, delta, root, delta_tag="d1")
+
+    full = rollup_all_tiers(base.unionByName(delta))
+    for tier_name in ("1h", "1d", "30d"):
+        got = _canon(read_finalized_tier(spark, root, tier_name))
+        exp = _canon(full[tier_name])
+        assert len(got) == len(exp), tier_name
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_refresh_refuses_root_without_store(spark, tmp_path):
+    """Tier tables without a partials store (e.g. a root built by a
+    pre-fix retention run): refresh must refuse instead of silently
+    rebuilding tiers from a delta-only store."""
+    import os
+
+    root = str(tmp_path / "tiers")
+    t = __import__("lambdo_spark.rollup.incremental", fromlist=["x"])._tier_table(
+        root, "1h"
+    )
+    t.write_tier(spark.createDataFrame([(0, 1)], "part long, k long"))
+    assert os.path.exists(os.path.join(root, "tier_1h", "metadata", "CURRENT"))
+    d = generate_pages(spark, 200, seed=73)
+    with pytest.raises(ValueError, match="destroy base rows"):
+        refresh_from_pages(spark, d, root, delta_tag="x", enforce_audit=False)
+
+
+def test_crash_between_commits_resumes(spark, tmp_path, monkeypatch):
+    """Two-commit protocol: a crash AFTER the store's merge commit but
+    BEFORE the tier rebuild leaves a pending marker; the retry of the
+    same delta_tag must skip the merge (exactly-once) but FINISH the
+    rebuild — tiers end identical to a never-crashed run."""
+    import lambdo_spark.rollup.incremental as inc
+
+    root = str(tmp_path / "tiers")
+    d1 = generate_pages(spark, 1500, seed=81)
+    d2 = generate_pages(spark, 1500, seed=82)
+    refresh_from_pages(spark, d1, root, delta_tag="d1")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after store commit")
+
+    monkeypatch.setattr(inc, "_rebuild_tiers", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_from_pages(spark, d2, root, delta_tag="d2")
+    monkeypatch.undo()
+
+    # the merge committed with a pending marker; tiers are stale
+    store = inc._partials_store(root)
+    snap = store.current_snapshot()
+    assert "d2" in snap["applied_deltas"]
+    assert snap["pending"] and snap["pending"]["tag"] == "d2"
+
+    # retry: no re-merge (no double count), rebuild completes
+    r = refresh_from_pages(spark, d2, root, delta_tag="d2")
+    assert r.get("skipped") == "d2" and r.get("resumed") == "d2"
+    assert store.current_snapshot()["pending"] is None
+
+    full = rollup_all_tiers(d1.unionByName(d2))
+    for tier_name in ("1h", "1d", "30d"):
+        got = _canon(read_finalized_tier(spark, root, tier_name))
+        exp = _canon(full[tier_name])
+        assert len(got) == len(exp), tier_name
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # a further retry is now a pure no-op
+    r2 = refresh_from_pages(spark, d2, root, delta_tag="d2")
+    assert r2.get("skipped") == "d2" and "resumed" not in r2
+
+
+def test_read_finalized_tier_gapfill(spark, tmp_path):
+    """Read-time gap fill over the stored raw tier equals gap_fill of
+    the recomputed tier (both write paths store raw rows only)."""
+    from lambdo_spark.rollup.tiers import gap_fill
+
+    root = str(tmp_path / "tiers")
+    d1 = generate_pages(spark, 1200, seed=91)
+    refresh_from_pages(spark, d1, root, delta_tag="d1")
+    got = _canon(read_finalized_tier(spark, root, "1h", gapfill=True))
+    exp = _canon(gap_fill(rollup_all_tiers(d1)["1h"], TIER_SECONDS["1h"]))
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_refresh_audit_gate(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -161,3 +161,56 @@ def test_grouping_sets_single_expand(spark):
     ))
     assert plan.count("Expand") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_topk_plan_uses_take_ordered(spark):
+    """topk compiles to TakeOrderedAndProject (distributed partial
+    top-k per task), not a row_number over a 1-partition global sort."""
+    import __spark_entry__ as ent
+
+    plan = _plan(ent._q_topk_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_slice_bounded_plan_uses_take_ordered(spark):
+    from lambdo_spark.operators.table_ops import row_filter
+
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey"
+    )
+    df = row_filter(
+        orders,
+        slice_spec={"start": 10, "end": 200, "step": 7},
+        order_by=["o_orderkey"],
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_global_ordinal_two_phase_no_single_partition(spark):
+    """global_ordinal: range partition + per-partition offsets — the
+    plan must contain NO SinglePartition exchange, and the ordinal must
+    equal a sorted enumeration."""
+    from lambdo_spark.operators.table_ops import global_ordinal
+
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey"
+    )
+    df = global_ordinal(orders, ["o_orderkey"], out_col="rn")
+    assert "SinglePartition" not in _plan(df), _plan(df)
+    got = df.orderBy("rn").toPandas()
+    assert got["rn"].tolist() == list(range(1, len(got) + 1))
+    assert got["o_orderkey"].is_monotonic_increasing
+
+
+def test_join_by_rownumber_no_single_partition(spark):
+    """T6 index join: positional alignment via the two-phase ordinal —
+    no 1-partition sort; rows pair by physical position."""
+    from lambdo_spark.operators.table_ops import join_tables
+
+    a = spark.range(100).toDF("x")
+    b = spark.range(100).selectExpr("id * 2 AS y")
+    out = join_tables([a, b], [None])
+    assert "SinglePartition" not in _plan(out)
+    pdf = out.toPandas()
+    assert len(pdf) == 100
+    assert (pdf["y"] == pdf["x"] * 2).all()

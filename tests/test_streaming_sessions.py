@@ -73,6 +73,10 @@ def test_streaming_sessions_match_batch_and_resume(spark, tmp_path):
     # within the gap, then everything closes as the watermark jumps
     rows2 = [
         ("u", _ts(40)),                                    # extends session 2
+        # v got timeout-closed in run 1 (deadline 0:13 < wm 0:31);
+        # post-timeout events must CONTINUE numbering at session 2,
+        # not restart at 1 (the state.remove() bug)
+        ("v", _ts(40)), ("v", _ts(45)),
         ("u", _ts(600)), ("w", _ts(600)),                  # far future: wm jump
     ]
     _land(
@@ -115,3 +119,11 @@ def test_streaming_sessions_match_batch_and_resume(spark, tmp_path):
     u2 = got2[(got2["key"] == "u") & (got2["session_id"] == 2)]
     assert len(u2) == 1 and u2.iloc[0]["n_events"] == 3
     assert u2.iloc[0]["duration_s"] == 600
+
+    # v's post-timeout session is numbered 2 (dense continuation),
+    # never a duplicate (v, 1): timeout-close keeps n_closed in state
+    v = got2[got2["key"] == "v"]
+    assert sorted(v["session_id"]) == sorted(set(v["session_id"]))
+    v2 = v[v["session_id"] == 2]
+    assert len(v2) == 1 and v2.iloc[0]["n_events"] == 2
+    assert v2.iloc[0]["duration_s"] == 300

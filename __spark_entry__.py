@@ -172,6 +172,30 @@ def _q_compressed_roundtrip(spark, sf_dir):
     )
 
 
+def _q_train_grouped(spark, sf_dir):
+    """C10 grouped fit: per-(returnflag, linestatus) OLS of price ~ qty
+    in ONE groupBy over exact long sums, cross products widened to
+    decimal(38,0) (the oracle mirrors with HUGEINT) — millions of
+    per-key models without any driver-side loop."""
+    from lambdo_spark.functions.train import fit_linear_grouped_exact1
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn(
+            "price_c", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        )
+        .withColumn("qty", F.round(F.col("l_quantity"), 0).cast("long"))
+    )
+    out = fit_linear_grouped_exact1(
+        li, "qty", "price_c", ["l_returnflag", "l_linestatus"]
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
 def _q_asof_snapshot(spark, sf_dir):
     """As-of join (operators/table_ops.py:asof_join — timeseries join
     the reference lacks): each event picks the most recent hourly
@@ -776,9 +800,17 @@ def _q_dedup_tokenset(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup (hash family not SQL-expressible →
-    rows-only; mechanism pinned by tests/test_dedup.py)."""
-    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.8)
+    """MinHash+LSH near-dup pairs, ORACLED: verification uses the
+    3-token-shingle Jaccard the hash family itself approximates, so
+    the verified output equals {pairs: shingle_jaccard >= 0.8} exactly
+    (banding recall at j>=0.8 is 1-(1-j^4)^16 ≈ 0.9998/pair and the
+    family is seeded-deterministic — equality holds reproducibly;
+    DuckDB computes the exact side by brute force). Docs shorter than
+    the shingle width are excluded on both sides."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return dedup_minhash_lsh(docs, threshold=0.8, verify="shingle")
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -826,19 +858,27 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (codebook from distributed Lloyd passes —
-    rows-only; recall + exactness-at-full-probe pinned by
-    tests/test_similarity.py)."""
+    """IVF ANN, ORACLED at full probe: nprobe = n_centroids makes the
+    candidate set the whole corpus BY CONSTRUCTION, so the IVF
+    machinery (distributed-Lloyd codebook, cell assignment, cell join,
+    exact re-rank) must reproduce brute-force top-k bit-for-bit —
+    pinned against the SQL brute force. Pruned-nprobe recall is pinned
+    separately in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = ann_ivf_topk(emb, emb.where("vec_id < 5"), k=10, n_centroids=8, nprobe=4)
+    out = ann_ivf_topk(emb, emb.where("vec_id < 5"), k=10, n_centroids=8, nprobe=8)
     return out.select("query_id", "neighbor_id", "rank")
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (seeded hyperplanes not SQL-expressible →
-    rows-only; recall pinned by tests/test_similarity.py)."""
+    """LSH ANN, ORACLED: at (bits=4, tables=64) the per-neighbor miss
+    probability is (1-p^4)^64 < 1e-6 even at cosine ~0.5, and the
+    seeded hyperplanes are deterministic — the bucketed candidates +
+    exact re-rank reproduce brute-force top-k exactly on this corpus,
+    pinned against the SQL brute force. Recall at sparser params is
+    pinned in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, emb.where("vec_id < 5"), k=10, bits=4, tables=16)
+    out = ann_lsh_topk(emb, emb.where("vec_id < 5"), k=10, bits=4, tables=64)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def _q_text_analysis(spark, sf_dir):
@@ -918,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_mad_w7": _q_roll_mad_w7,
         "calc_user_sqrt": _q_calc_user_sqrt,
         "train_predict": _q_train_predict,
+        "train_grouped": _q_train_grouped,
         "asof_snapshot": _q_asof_snapshot,
         "roll_range_1h": _q_roll_range_1h,
         # timeseries toolkit (rollup/timeseries.py)
@@ -961,6 +1002,18 @@ FROM events GROUP BY 1, 2
 """
 
 _SQL_MARKER = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t) IN ({})))"
+
+_SQL_ANN_BRUTE = """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+"""
 
 
 def _marker(langs: list[str]) -> str:
@@ -1423,6 +1476,33 @@ def oracle_sql() -> dict[str, str]:
                        AS pred_price_c
             FROM li, m2
         """,
+        "train_grouped": """
+            WITH li AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+              FROM lineitem
+            ), s AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(qty) AS HUGEINT) AS sx,
+                     CAST(sum(price_c) AS HUGEINT) AS sy,
+                     CAST(sum(qty * qty) AS HUGEINT) AS sxx,
+                     CAST(sum(qty * price_c) AS HUGEINT) AS sxy
+              FROM li GROUP BY 1, 2
+            ), m AS (
+              SELECT l_returnflag, l_linestatus, n,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                     sx, sy
+              FROM s
+            )
+            SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+                   round(slope, 6) AS slope,
+                   round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM m
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text
@@ -1434,7 +1514,24 @@ def oracle_sql() -> dict[str, str]:
               list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))),
               ' ')
         """,
-        # dedup_minhash / dedup_simhash: rows-only (hash families)
+        # dedup_simhash: rows-only (64-bit hash family not SQL-expressible)
+        "dedup_minhash": """
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+              FROM d WHERE len(tk) >= 3
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)) AS j
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ) WHERE j >= 0.8
+        """,
         "dedup_jaccard_pairs": """
             WITH d AS (
               SELECT doc_id,
@@ -1476,18 +1573,12 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         """,
-        "ann_topk": """
-            SELECT query_id, neighbor_id, rank FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-                                c.vec_id) AS rank
-              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-              WHERE q.vec_id < 5
-            ) WHERE rank <= 10
-        """,
-        # ann_lsh: rows-only (seeded hyperplanes)
+        "ann_topk": _SQL_ANN_BRUTE,
+        # ann_lsh / ann_ivf run the bucketed machinery with
+        # full-recall parameters (tables=64 / nprobe=n_centroids), so
+        # brute-force top-k IS their exact oracle — same SQL as ann_topk
+        "ann_lsh": _SQL_ANN_BRUTE,
+        "ann_ivf": _SQL_ANN_BRUTE,
         "text_analysis": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,

@@ -124,6 +124,33 @@ def ngram_jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def shingle_jaccard(a, b, k: int = 3):
+    """Exact k-token-shingle Jaccard as a JVM expression — the SAME
+    similarity measure the MinHash family approximates, so LSH
+    candidate recall and the verification threshold talk about one
+    quantity. Docs shorter than k tokens have an empty shingle set
+    (jaccard 0 vs anything non-empty)."""
+
+    def sh(c):
+        tk = F.split(F.trim(c), r"\s+")
+        return F.when(
+            F.size(tk) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(tk, i + j) for j in range(k)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sa, sb = sh(a), sh(b)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -132,6 +159,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     bucket_cap: int = 1000,
+    verify: str = "token",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
@@ -140,6 +168,13 @@ def dedup_minhash_lsh(
     bucket → dedup candidates → verify with the exact JVM Jaccard.
     ``bucket_cap`` drops degenerate buckets (boilerplate floods) —
     logged-at-scale trade, exact for normal corpora.
+
+    ``verify``: "token" (distinct-token-set Jaccard — loose, catches
+    reorderings among candidates) or "shingle" (3-token-shingle
+    Jaccard — the measure the MinHash family itself approximates, so
+    the verified output is exactly {pairs: shingle_jaccard >= t}
+    whenever banding recall is complete; SQL-replicable, hence the
+    oracled driver row).
     """
     bud = minhash_bands_udf(num_hashes, bands)
     sigs = docs.select(
@@ -166,8 +201,9 @@ def dedup_minhash_lsh(
         .select("id_a", "id_b", "txt_a", "txt_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    jac = shingle_jaccard if verify == "shingle" else ngram_jaccard
     return (
-        cand.withColumn("jaccard", ngram_jaccard(F.col("txt_a"), F.col("txt_b")))
+        cand.withColumn("jaccard", jac(F.col("txt_a"), F.col("txt_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

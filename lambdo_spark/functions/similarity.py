@@ -203,6 +203,92 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_index_write(
+    emb: DataFrame,
+    root: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> dict:
+    """Build the IVF index ONCE and persist it: corpus cell
+    assignments land as an Iceberg-layout table PARTITIONED ON CELL
+    (so a query probing ``nprobe`` cells opens only those partition
+    directories), and the C×dim codebook rides in the snapshot
+    metadata. Repeated query batches then skip both the Lloyd passes
+    and the corpus re-assignment — the 10^12-vector contract
+    (COVERAGE.md: 'persisted with the table, a bucketed column')."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    codebook = ivf_codebook(emb, n_centroids, id_col, vec_col, iters)
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        ivf_assign_udf(codebook, 1)(F.col(vec_col))[0].alias("cell"),
+    ).withColumn("part", F.col("cell").cast("long"))
+    parts = [str(r[0]) for r in assigned.select("part").distinct().collect()]
+    table = IcebergLayoutTable(root)
+    return table.overwrite_parts(
+        assigned,
+        parts,
+        input_snapshot="ivf_index",
+        extra={
+            "codebook": [list(map(float, row)) for row in codebook],
+            "n_centroids": int(n_centroids),
+        },
+    )
+
+
+def ann_ivf_index_topk(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF index — join-only: the codebook
+    comes from the snapshot (no Lloyd), the corpus assignment from the
+    table (no re-assignment), and only the partitions of the cells the
+    queries actually probe are read (partition pruning by explicit
+    version dirs)."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    table = IcebergLayoutTable(root)
+    snap = table.current_snapshot()
+    if snap is None or "codebook" not in snap:
+        raise FileNotFoundError(f"no IVF index snapshot under {root}")
+    codebook = np.array(snap["codebook"], dtype=np.float64)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_assign_udf(codebook, nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    # queries are the small (broadcast) side — collecting their probed
+    # cells is O(Q·nprobe) and buys reading only those partitions
+    probed = {str(r[0]) for r in q.select("cell").distinct().collect()}
+    versions = {p: v for p, v in table.part_versions().items() if p in probed}
+    corpus = table._read_versions(spark, versions).drop("snapv", "part").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "cell",
+    )
+    cand = (
+        corpus.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

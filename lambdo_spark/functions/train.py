@@ -106,6 +106,135 @@ def fit_linear_exact1(df: DataFrame, x: str, label: str) -> dict:
     }
 
 
+def fit_ridge(df: DataFrame, inputs: list[str], label: str, alpha: float = 1.0) -> dict:
+    """Ridge regression via the SAME distributed normal equations as
+    :func:`fit_linear` — the executors ship only the p·(p+3)/2+2
+    aggregate sums; the driver solves (X'X + αI)w = X'y with the
+    intercept left unpenalized (standard ridge convention)."""
+    p = len(inputs)
+    xs = [F.col(c).cast("double") for c in inputs]
+    y = F.col(label).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy")]
+    for i in range(p):
+        aggs.append(F.sum(xs[i]).alias(f"sx{i}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"sxy{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"sxx{i}_{j}"))
+    r = df.agg(*aggs).collect()[0]
+    a = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    a[0, 0] = float(r["n"])
+    b[0] = r["sy"]
+    for i in range(p):
+        a[0, i + 1] = a[i + 1, 0] = r[f"sx{i}"]
+        b[i + 1] = r[f"sxy{i}"]
+        for j in range(i, p):
+            a[i + 1, j + 1] = a[j + 1, i + 1] = r[f"sxx{i}_{j}"]
+    a[1:, 1:] += np.eye(p) * float(alpha)  # penalize weights, not intercept
+    coef = np.linalg.solve(a, b)
+    return {
+        "kind": "linear",
+        "inputs": list(inputs),
+        "weights": [float(w) for w in coef[1:]],
+        "intercept": float(coef[0]),
+        "n": int(r["n"]),
+        "alpha": float(alpha),
+    }
+
+
+def fit_linear_grouped(
+    df: DataFrame, inputs: list[str], label: str, group_keys: list[str]
+) -> DataFrame:
+    """Per-key OLS at scale: ONE groupBy computes each group's
+    normal-equation sums (algebraic, map-side combined), then a
+    mapInPandas stage solves the tiny (p+1)×(p+1) systems in a single
+    BATCHED ``np.linalg.solve`` over stacked matrices — millions of
+    groups never touch the driver. Returns one row per group:
+    (keys..., intercept, weights array<double>, n).
+
+    The reference's per-group fit would call sklearn once per group in
+    the driver process (Column.py:879-956 has no grouping at all)."""
+    p = len(inputs)
+    xs = [F.col(c).cast("double") for c in inputs]
+    y = F.col(label).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy")]
+    for i in range(p):
+        aggs.append(F.sum(xs[i]).alias(f"sx{i}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"sxy{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"sxx{i}_{j}"))
+    sums = df.groupBy(*group_keys).agg(*aggs)
+
+    key_schema = ", ".join(
+        f"{k} {t}" for k, t in sums.dtypes if k in group_keys
+    )
+    out_schema = f"{key_schema}, intercept double, weights array<double>, n long"
+
+    def solve(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            g = len(pdf)
+            if g == 0:
+                continue
+            a = np.zeros((g, p + 1, p + 1))
+            b = np.zeros((g, p + 1))
+            a[:, 0, 0] = pdf["n"].to_numpy(dtype=np.float64)
+            b[:, 0] = pdf["sy"].to_numpy(dtype=np.float64)
+            for i in range(p):
+                sx = pdf[f"sx{i}"].to_numpy(dtype=np.float64)
+                a[:, 0, i + 1] = a[:, i + 1, 0] = sx
+                b[:, i + 1] = pdf[f"sxy{i}"].to_numpy(dtype=np.float64)
+                for j in range(i, p):
+                    sxx = pdf[f"sxx{i}_{j}"].to_numpy(dtype=np.float64)
+                    a[:, i + 1, j + 1] = a[:, j + 1, i + 1] = sxx
+            coef = np.linalg.solve(a, b)  # batched over the g systems
+            out = pdf[group_keys].copy()
+            out["intercept"] = coef[:, 0]
+            out["weights"] = list(coef[:, 1:])
+            out["n"] = pdf["n"].to_numpy(dtype=np.int64)
+            yield out
+
+    return sums.mapInPandas(solve, schema=out_schema)
+
+
+def fit_linear_grouped_exact1(
+    df: DataFrame, x: str, label: str, group_keys: list[str]
+) -> DataFrame:
+    """Per-key single-feature OLS over integer columns with EXACT long
+    sums — the grouped twin of :func:`fit_linear_exact1`; slope and
+    intercept derive from exact sums with two float divisions each, so
+    any exact-arithmetic engine (the DuckDB oracle via HUGEINT)
+    reproduces them bit-for-bit. Pure JVM: one groupBy, no Python."""
+    xc, yc = F.col(x).cast("long"), F.col(label).cast("long")
+    s = df.groupBy(*group_keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+    # cross products of the long sums can pass 2^63 (n·sxy ≈ 2e18 at
+    # sf0.1 already) — widen to decimal(38,0), the JVM twin of the
+    # oracle's HUGEINT, so the difference is exact and only the final
+    # cast-to-double rounds (identically in both engines)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (d(s["n"]) * d(s["sxy"]) - d(s["sx"]) * d(s["sy"])).cast("double")
+    den = (d(s["n"]) * d(s["sxx"]) - d(s["sx"]) * d(s["sx"])).cast("double")
+    slope = num / den
+    icept = (s["sy"].cast("double") - slope * s["sx"].cast("double")) / s["n"].cast("double")
+    return s.select(*group_keys, "n", slope.alias("slope"), icept.alias("intercept"))
+
+
+def predict_grouped_expr(weights_col, intercept_col, cols: list) -> "F.Column":
+    """Apply a grouped model after joining its table onto the facts:
+    intercept + Σ weights[i]·x_i, all built-in JVM arithmetic."""
+    out = intercept_col.cast("double")
+    for i, c in enumerate(cols):
+        out = out + F.element_at(weights_col, i + 1) * c.cast("double")
+    return out
+
+
 # --------------------------------------------------------- persistence
 
 def save_model(model: dict, path: str) -> str:
@@ -164,6 +293,27 @@ def resolve_model(model, df: DataFrame | None = None, train: dict | None = None)
         fitted = fit_linear(tdf, train["inputs"], label)
     elif fn == "fit_linear_exact1":
         fitted = fit_linear_exact1(tdf, train["inputs"][0], label)
+    elif fn == "fit_ridge":
+        fitted = fit_ridge(
+            tdf, train["inputs"], label, alpha=float(train.get("alpha", 1.0))
+        )
+    elif ":" in fn:
+        # arbitrary user estimator (the reference's any-sklearn shape,
+        # Column.py:879-956) with an explicit scale contract: the user
+        # fit function receives a driver-side pandas sample bounded by
+        # train["sample_rows"] (default 100k) and must return a
+        # JSON-serializable model dict. Estimators that can't fit on a
+        # sample belong in a distributed fit_* function instead.
+        from lambdo_spark.plans.compiler import resolve_callable
+
+        user = resolve_callable(fn)
+        cap = int(train.get("sample_rows", 100_000))
+        pdf = tdf.select(*train["inputs"], label).limit(cap).toPandas()
+        fitted = user(pdf, list(train["inputs"]), label)
+        if not isinstance(fitted, dict):
+            raise ValueError(
+                f"user fit {fn!r} must return a JSON-serializable dict model"
+            )
     else:
         raise ValueError(f"unknown train function '{fn}'")
     if path:

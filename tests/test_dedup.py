@@ -80,3 +80,26 @@ def test_dedup_embedding_cosine(spark):
     )
     out = dedup_embedding_cosine(emb, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_minhash_shingle_verify_matches_exact(spark):
+    """verify="shingle": the verified output equals the exact
+    brute-force {pairs: shingle_jaccard >= t} set (the measure the
+    MinHash family approximates — this is what makes the driver row
+    oracle-able)."""
+    from lambdo_spark.functions.dedup import shingle_jaccard
+
+    docs = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(docs, threshold=0.5, verify="shingle").collect()
+    }
+    exact_df = (
+        docs.selectExpr("doc_id AS id_a", "text AS ta")
+        .crossJoin(docs.selectExpr("doc_id AS id_b", "text AS tb"))
+        .where("id_a < id_b")
+        .withColumn("jaccard", F.round(shingle_jaccard(F.col("ta"), F.col("tb")), 6))
+        .where("jaccard >= 0.5")
+    )
+    exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in exact_df.collect()}
+    assert got == exact and (1, 2, 1.0) in got

@@ -95,3 +95,42 @@ def test_lsh_deterministic(spark):
     a = ann_lsh_topk(emb, q, k=5).toPandas().sort_values(["query_id", "rank"])
     b = ann_lsh_topk(emb, q, k=5).toPandas().sort_values(["query_id", "rank"])
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_ivf_persisted_index_skips_rebuild(spark, tmp_path, monkeypatch):
+    """ann_ivf_index_write persists assignments (cell-partitioned) +
+    codebook; ann_ivf_index_topk must answer repeated query batches
+    WITHOUT re-running Lloyd or re-assigning the corpus, reading only
+    the probed cells' partitions; full probe equals brute force."""
+    import os
+
+    import lambdo_spark.functions.similarity as sim
+    from lambdo_spark.functions.similarity import (
+        ann_ivf_index_topk,
+        ann_ivf_index_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf_index")
+    snap = ann_ivf_index_write(emb, root, n_centroids=4)
+    assert snap["n_centroids"] == 4 and len(snap["codebook"]) == 4
+    # cell-partitioned layout on disk
+    cells = [d for d in os.listdir(os.path.join(root, "data")) if d.startswith("part=")]
+    assert 1 <= len(cells) <= 4
+
+    # codebook building must NOT run again on the query path
+    def boom(*a, **k):
+        raise AssertionError("index query path rebuilt the codebook")
+
+    monkeypatch.setattr(sim, "ivf_codebook", boom)
+    queries = emb.where("vec_id < 3")
+    exact = ann_bruteforce_topk(emb, queries, k=5).toPandas()
+    full = ann_ivf_index_topk(spark, root, queries, k=5, nprobe=4).toPandas()
+    for qid in exact.query_id.unique():
+        e = exact[exact.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        f = full[full.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert e == f
+    # second batch, pruned probe: answers come from the stored index
+    again = ann_ivf_index_topk(spark, root, queries, k=5, nprobe=1).toPandas()
+    assert set(again.query_id) <= set(exact.query_id)
+    assert (again.groupby("query_id")["rank"].max() <= 5).all()

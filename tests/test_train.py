@@ -122,3 +122,92 @@ def test_workflow_train_predict_end_to_end(spark, tmp_path):
     assert np.allclose(out["resid"], 0.0, atol=1e-8)
     art = load_model(str(tmp_path / "wf_model.json"))
     assert abs(art["weights"][0] - 4.0) < 1e-9
+
+
+def test_fit_ridge_matches_closed_form(spark):
+    """Ridge via distributed normal equations == the driver-side
+    closed form (X'X + αI, intercept unpenalized) on the same data."""
+    from lambdo_spark.functions.train import fit_ridge
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(80, 2))
+    y = x @ np.array([1.5, -2.0]) + 3.0 + rng.normal(scale=0.1, size=80)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)]
+    df = _df(spark, rows, "a double, b double, y double")
+    m = fit_ridge(df, ["a", "b"], "y", alpha=2.5)
+
+    X = np.hstack([np.ones((80, 1)), x])
+    A = X.T @ X
+    A[1:, 1:] += 2.5 * np.eye(2)
+    coef = np.linalg.solve(A, X.T @ y)
+    assert abs(m["intercept"] - coef[0]) < 1e-9
+    assert np.allclose(m["weights"], coef[1:], atol=1e-9)
+    # alpha=0 degenerates to plain OLS
+    m0 = fit_ridge(df, ["a", "b"], "y", alpha=0.0)
+    ols = fit_linear(df, ["a", "b"], "y")
+    assert np.allclose(m0["weights"], ols["weights"], atol=1e-9)
+
+
+def test_fit_linear_grouped_matches_per_group_fit(spark):
+    """The one-shuffle grouped fit equals fit_linear run per group."""
+    from lambdo_spark.functions.train import fit_linear_grouped
+
+    rng = np.random.default_rng(5)
+    rows = []
+    truth = {"g1": (2.0, 1.0), "g2": (-0.5, 10.0), "g3": (4.0, -3.0)}
+    for g, (w, b) in truth.items():
+        for _ in range(40):
+            x = float(rng.normal())
+            rows.append((g, x, w * x + b + float(rng.normal(scale=0.01))))
+    df = _df(spark, rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["weights"][0], r["intercept"], r["n"])
+        for r in fit_linear_grouped(df, ["x"], "y", ["g"]).collect()
+    }
+    for g in truth:
+        ref = fit_linear(df.where(f"g = '{g}'"), ["x"], "y")
+        w, b, n = got[g]
+        assert n == 40
+        assert abs(w - ref["weights"][0]) < 1e-9
+        assert abs(b - ref["intercept"]) < 1e-9
+
+
+def test_grouped_predict_expr(spark):
+    from lambdo_spark.functions.train import (
+        fit_linear_grouped,
+        predict_grouped_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(20)] + [
+        ("b", float(x), -1.0 * x + 5.0) for x in range(20)
+    ]
+    df = _df(spark, rows, "g string, x double, y double")
+    models = fit_linear_grouped(df, ["x"], "y", ["g"])
+    scored = df.join(F.broadcast(models), "g").withColumn(
+        "pred", predict_grouped_expr(F.col("weights"), F.col("intercept"), [F.col("x")])
+    )
+    bad = scored.where(F.abs(F.col("pred") - F.col("y")) > 1e-6).count()
+    assert bad == 0
+
+
+def test_user_fit_escape_hatch(spark):
+    """train.function = module:attr runs an arbitrary user estimator on
+    a bounded driver-side sample (the reference's any-sklearn shape,
+    Column.py:879-956, with an explicit scale contract)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        df = _df(spark, [(float(x), 10.0) for x in range(50)], "x double, y double")
+        fitted = resolve_model(
+            "$file:" + "/tmp/userfit_model_test.json",
+            df,
+            {"function": "userfit_helper:fit_mean_model", "inputs": ["x"],
+             "label": "y", "sample_rows": 30},
+        )
+        assert fitted["intercept"] == 10.0 and fitted["n"] == 30
+        assert os.path.exists("/tmp/userfit_model_test.json")
+        os.remove("/tmp/userfit_model_test.json")
+    finally:
+        sys.path.remove(os.path.dirname(os.path.abspath(__file__)))

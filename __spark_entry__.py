@@ -882,11 +882,14 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_text_analysis(spark, sf_dir):
+    from lambdo_spark.functions.text import token_count_bpe
+
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
         token_count(c).alias("n_tokens"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
         F.round(punct_ratio(c), 6).alias("punct_ratio"),
         F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
         lang_id(c).alias("lang_guess"),
@@ -926,6 +929,48 @@ def _q_media_features(spark, sf_dir):
             for i in range(8)
         ],
     )
+
+
+def _q_media_frames(spark, sf_dir):
+    """Frame-sampling plumbing (video-like binary → n rows per input at
+    evenly spaced byte offsets), FULLY ORACLED: offsets are integer
+    arithmetic and the 64-byte-window signature is sha256-derived, so
+    DuckDB recomputes every output cell (document text is ASCII, so
+    char-based substr == byte slicing)."""
+    from lambdo_spark.functions.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return sample_frames(docs, id_col="doc_id", binary_col="blob", n_frames=4)
+
+
+def _media_frames_oracle() -> str:
+    """sample_frames in SQL: generate_series explosion + sha256-hex →
+    signed little-endian int64 (same reconstruction as media_features)."""
+    raw = " + ".join(
+        f"CAST(CAST(concat('0x', substr(hx, {2 * j + 1}, 2)) AS BIGINT) AS HUGEINT)"
+        f" * CAST({256 ** j} AS HUGEINT)"
+        for j in range(8)
+    )
+    return f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+                 strlen(text) AS n_bytes
+          FROM documents
+        ), f AS (
+          SELECT media_id, CAST(i AS INT) AS frame_ix,
+                 (i * n_bytes) // 4 AS byte_offset, n_bytes,
+                 sha256(substr(text, CAST((i * n_bytes) // 4 + 1 AS BIGINT), 64))
+                   AS hx
+          FROM d, generate_series(0, 3) t(i)
+        )
+        SELECT media_id, frame_ix, byte_offset, n_bytes,
+               CAST(({raw}) - CASE WHEN ({raw}) >= CAST(9223372036854775808 AS HUGEINT)
+                    THEN CAST(18446744073709551616 AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS frame_sig
+        FROM f
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -987,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -1582,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": f"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
                    round(CASE WHEN length(text) > 0 THEN
                      CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                        / length(text) ELSE 0.0 END, 6) AS punct_ratio,
@@ -1600,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # fingerprint: rows-only (FNV-1a, pinned vs pure-Python in pytest)
         "media_features": _media_features_oracle(),
+        "media_frames": _media_frames_oracle(),
         "doc_quality": f"""
             SELECT doc_id,
                    round(

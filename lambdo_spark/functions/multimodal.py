@@ -49,6 +49,104 @@ def fake_features(data: bytes) -> np.ndarray:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id string, frame_ix int, byte_offset long, n_bytes long, "
+    "frame_sig long"
+)
+
+RESIZE_SCHEMA = (
+    "media_id string, kind string, n_bytes long, target_w int, target_h int, "
+    "resized binary"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like binary columns: one input
+    row explodes into ``n_frames`` output rows at evenly spaced byte
+    offsets (offset_i = floor(i·n_bytes/n_frames)). A real decoder
+    would seek keyframes; the *Spark shape* — mapInPandas batch in,
+    multi-row Arrow batch out, stable row explosion — is exactly what
+    that decoder plugs into. ``frame_sig`` is a deterministic xxhash-
+    style signature of the 64-byte window at the offset (splitmix64
+    over sha256 prefix) so downstream dedup/tests can pin content."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ixs, offs, lens, sigs = [], [], [], [], []
+            for mid, blob in zip(b[id_col], b[binary_col]):
+                data = bytes(blob) if blob is not None else b""
+                n = len(data)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    window = data[off : off + 64]
+                    d = hashlib.sha256(window).digest()[:8]
+                    ids.append(str(mid))
+                    ixs.append(i)
+                    offs.append(off)
+                    lens.append(n)
+                    sigs.append(int.from_bytes(d, "little", signed=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype=object),
+                    "frame_ix": pd.Series(ixs, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "frame_sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    target_w: int = 64,
+    target_h: int = 64,
+    kind: str = "image",
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out with typed size
+    metadata, batched over Arrow. The decode+resample step is the
+    documented stub (`decode_image`); the deterministic stand-in emits
+    target_w·target_h bytes derived from the input's sha256 stream so
+    output size, schema, and partitioning behave exactly like a real
+    resizer (Pillow/opencv drops into the marked line)."""
+    out_len = target_w * target_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            blobs = b[binary_col]
+            resized = []
+            for blob in blobs:
+                data = bytes(blob) if blob is not None else b""
+                # REAL DECODER SLOT: decode_image(data) -> resample ->
+                # tobytes(). Stand-in: sha256-seeded deterministic bytes.
+                stream = bytearray()
+                seed = hashlib.sha256(data).digest()
+                while len(stream) < out_len:
+                    stream.extend(seed)
+                    seed = hashlib.sha256(seed).digest()
+                resized.append(bytes(stream[:out_len]))
+            yield pd.DataFrame(
+                {
+                    "media_id": b[id_col].astype(str),
+                    "kind": kind,
+                    "n_bytes": blobs.map(lambda x: len(x) if x is not None else 0),
+                    "target_w": pd.Series([target_w] * len(b), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(b), dtype="int32"),
+                    "resized": resized,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def extract_media_features(
     df: DataFrame,
     id_col: str,

@@ -39,6 +39,15 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish subword-boundary token count: runs of word chars plus
+    each punctuation mark as its own token (`\\w+|[^\\w\\s]`) — the
+    pre-tokenization most BPE vocabularies apply before merges, so it
+    tracks real tokenizer counts far better than whitespace splitting
+    on punctuated text. Pure JVM regex — whole-stage codegen."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+
+
 def punct_ratio(col: Column) -> Column:
     """punctuation chars / total chars (0 for empty)."""
     n = F.length(col)

@@ -86,3 +86,30 @@ def test_sessions_tiers_example(spark):
     cube = tables["spend_cube"].toPandas()
     total = cube[cube["grouping_id"] == 3]
     assert len(total) == 1 and total["n"].iloc[0] == len(ev)
+
+
+def test_user_kernels_example(spark):
+    """imports + module:attr scalar and holistic rolling kernels +
+    registry mad + fillna_value — the escape hatch, end-to-end from a
+    workflow JSON file (paths relative to the repo root, as the CLI
+    runs them)."""
+    import numpy as np
+
+    cwd = os.getcwd()
+    os.chdir(os.path.dirname(EXAMPLES))
+    try:
+        tables = Workflow(_load("user_kernels.json"), spark).execute()
+        pdf = (
+            tables["events"]
+            .toPandas()
+            .sort_values(["user_id", "event_id"])
+        )
+    finally:
+        os.chdir(cwd)
+    assert np.allclose(pdf["log_value"], np.log1p(pdf["value"]))
+    # fillna_value=0.0 filled the first 6 rows per key; later rows have
+    # a genuine IQR
+    one = pdf[pdf.user_id == pdf.user_id.iloc[0]]
+    assert (one["iqr_7"].iloc[: min(6, len(one))] == 0.0).all()
+    assert pdf["iqr_7"].notna().all()
+    assert pdf["mad_7"].isna().sum() > 0  # no fillna on mad_7

@@ -117,6 +117,43 @@ def _run_refresh(args) -> int:
         spark.stop()
 
 
+def _run_stream_refresh(args) -> int:
+    from lambdo_spark.streaming.continuous import continuous_refresh_writer
+
+    spark = get_spark(app_name="lambdo_spark:stream-refresh", master=args.master)
+    try:
+        schema = spark.read.parquet(args.src).schema
+        stream = spark.readStream.schema(schema).format("parquet").load(args.src)
+        writer = continuous_refresh_writer(
+            stream, args.out, args.checkpoint, tag_prefix=args.tag_prefix
+        )
+        if args.interval:
+            q = writer.trigger(processingTime=args.interval).start()
+            q.awaitTermination()  # live firehose: run until killed
+        else:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        q.stop()
+        from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+        import os as _os
+
+        snap = IcebergLayoutTable(
+            _os.path.join(args.out, "partials_1h")
+        ).current_snapshot() or {}
+        print(
+            json.dumps(
+                {
+                    "applied_deltas": snap.get("applied_deltas", []),
+                    "snapshot_id": snap.get("snapshot_id"),
+                },
+                indent=1,
+            )
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_maintain(args) -> int:
     from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
 
@@ -140,7 +177,7 @@ def _run_maintain(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy form: `python -m lambdo_spark workflow.json [...]`
-    if argv and argv[0] not in ("retention", "refresh", "maintain"):
+    if argv and argv[0] not in ("retention", "refresh", "maintain", "stream-refresh"):
         argv = ["run", *argv]
 
     ap = argparse.ArgumentParser(prog="lambdo_spark")
@@ -173,6 +210,21 @@ def main(argv: list[str] | None = None) -> int:
     ref.add_argument("--delta-tag", default="", help="idempotency key for this delta")
     ref.add_argument("--master", default=None)
 
+    srf = sub.add_parser(
+        "stream-refresh",
+        help="continuous-aggregate maintenance: watch a directory for "
+        "new pages parquet files and incrementally refresh the tiers "
+        "(exactly-once per micro-batch)",
+    )
+    srf.add_argument("--src", required=True, help="pages landing directory")
+    srf.add_argument("--out", required=True, help="tier root (shared with retention)")
+    srf.add_argument("--checkpoint", required=True)
+    srf.add_argument("--tag-prefix", default="stream")
+    srf.add_argument("--interval", default=None,
+                     help="processingTime trigger (e.g. '30 seconds'); "
+                     "default: availableNow catch-up then exit")
+    srf.add_argument("--master", default=None)
+
     mnt = sub.add_parser(
         "maintain",
         help="table maintenance: compact small files and/or expire old "
@@ -190,6 +242,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_workflow(args)
     if args.cmd == "refresh":
         return _run_refresh(args)
+    if args.cmd == "stream-refresh":
+        return _run_stream_refresh(args)
     if args.cmd == "maintain":
         return _run_maintain(args)
     return _run_retention(args)

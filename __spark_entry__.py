@@ -231,6 +231,26 @@ def _q_roll_range_1h(spark, sf_dir):
     return out.select("event_id", "sum_1h")
 
 
+def _q_window_agg_1h(spark, sf_dir):
+    """Tumbling event-time window aggregation (T.window_aggregate):
+    the batch/stream-unified rollup op — 1h event-time windows per
+    event_type, one map-side-combined shuffle; the same op runs
+    unchanged on a readStream source (tests/test_workflow_streaming)."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    out = T.window_aggregate(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            {"id": "n", "kernel": "count"},
+            {"id": "sum_cents", "kernel": "sum", "inputs": ["cents"]},
+            {"id": "max_cents", "kernel": "max", "inputs": ["cents"]},
+        ],
+    )
+    return out.select("bucket_s", "event_type", "n", "sum_cents", "max_cents")
+
+
 def _q_sessionize_30m(spark, sf_dir):
     """Sessionization (rollup/timeseries.py): per-user sessions split
     at >30 min inactivity — lag → boundary flag → running sum, one
@@ -1007,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_snapshot": _q_asof_snapshot,
         "roll_range_1h": _q_roll_range_1h,
         # timeseries toolkit (rollup/timeseries.py)
+        "window_agg_1h": _q_window_agg_1h,
         "sessionize_30m": _q_sessionize_30m,
         "delta_rate": _q_delta_rate,
         "gapfill_locf": _q_gapfill_locf,
@@ -1288,6 +1309,17 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS sum_1h
             FROM events
+        """,
+        "window_agg_1h": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
+                   CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS max_cents
+            FROM events
+            GROUP BY 1, 2
         """,
         "sessionize_30m": """
             WITH ev AS (

@@ -274,6 +274,71 @@ def aggregate_grouping_sets(
     return grouped.agg(*exprs)
 
 
+def window_aggregate(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    keys: Sequence[str],
+    aggregations: Sequence[dict],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """Tumbling event-time window aggregation — the tier-rollup shape
+    as ONE declarative op, valid on BOTH batch and streaming frames
+    (``F.window`` is streaming-state aware; on a stream, put a
+    watermark on the source for append-mode finality). Same
+    ``aggregations`` spec as :func:`aggregate_table`; kernels without
+    a JVM ``agg`` form fall back to the GROUPED_AGG pandas escape
+    hatch.
+
+    One shuffle on (window, keys), map-side combined. The bucket is
+    emitted as epoch SECONDS (long) — engine-stable for oracles
+    (window starts are whole-second aligned, so ``unix_timestamp``
+    truncation is exact).
+    """
+    from lambdo_spark.functions.registry import get_kernel
+    from lambdo_spark.operators.column_ops import _pandas_agg_udf
+
+    exprs = []
+    for spec in aggregations:
+        name = spec["id"]
+        kname = spec.get("kernel", "size" if not spec.get("inputs") else "sum")
+        k = get_kernel(kname)
+        cols = [F.col(c) for c in spec.get("inputs", [])]
+        if k.agg is not None:
+            exprs.append(k.agg(cols, **spec.get("model", {})).alias(name))
+        else:
+            exprs.append(_pandas_agg_udf(k, spec.get("model"))(*cols).alias(name))
+    out = df.groupBy(
+        F.window(F.col(ts), duration).alias("__w__"), *keys
+    ).agg(*exprs)
+    return out.select(
+        F.unix_timestamp(F.col("__w__.start")).alias(bucket_col),
+        *keys,
+        *[spec["id"] for spec in aggregations],
+    )
+
+
+def dedup_rows(
+    df: DataFrame,
+    keys: Sequence[str] | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Row dedup on a key subset. Batch: ``dropDuplicates`` (keeps an
+    arbitrary row per key — project/distinct is the deterministic
+    alternative when only the keys are wanted). Stream with
+    ``within_watermark=True``: first-seen emit with bounded state
+    (``dropDuplicatesWithinWatermark`` — the streaming-dedup ingest
+    contract, see streaming/dedup_stream.py)."""
+    key_list = list(keys) if keys else None
+    if within_watermark:
+        return (
+            df.dropDuplicatesWithinWatermark(key_list)
+            if key_list
+            else df.dropDuplicatesWithinWatermark()
+        )
+    return df.dropDuplicates(key_list) if key_list else df.dropDuplicates()
+
+
 def union_tables(dfs: Sequence[DataFrame], distinct: bool = False) -> DataFrame:
     """Set op the reference lacks (SURVEY §2.4 'Set ops: none');
     by-name union so column order differences don't corrupt data."""

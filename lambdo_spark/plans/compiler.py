@@ -130,6 +130,7 @@ def _table_deps(tdef: dict) -> set[str]:
     if op in (
         "extend", "project", "map", "sink", "grouping_sets", "sessions",
         "order_stat", "distinct", "heavy_hitters",
+        "window_aggregate", "dedup", "stream_sink",
     ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except"):
@@ -199,6 +200,7 @@ class Workflow:
         self.spark = spark
         self.allow_lambda = allow_lambda
         self.tables: dict[str, DataFrame] = dict(data or {})
+        self.streams: dict[str, Any] = {}  # stream_sink id → StreamingQuery
         import_modules(spec.get("imports", []), spark)
         self._order = [t["id"] for t in spec["tables"]]
         self._tdefs = {t["id"]: t for t in spec["tables"]}
@@ -230,6 +232,42 @@ class Workflow:
             for tid in layer:
                 self.tables[tid] = self._build_table(self._tdefs[tid])
         return self.tables
+
+    def await_streams(self, timeout: int | None = None) -> None:
+        """Block until every ``stream_sink`` query terminates (for
+        availableNow catch-up runs), then stop them. ``timeout`` is
+        per-query, in seconds."""
+        for q in self.streams.values():
+            q.awaitTermination(timeout)
+            q.stop()
+
+    # -------------------------------------------------------- streaming
+    def _stream_source(self, tdef: dict) -> DataFrame:
+        """``"stream": true`` source → readStream over the same path.
+        File streams need an explicit schema: take ``"schema"`` (DDL
+        string) or infer it from the existing batch files. An optional
+        ``"watermark": {"ts": col, "delay": "10 minutes"}`` arms
+        event-time finality for downstream window_aggregate / dedup /
+        append sinks."""
+        fmt = tdef.get("format", "parquet")
+        schema = tdef.get("schema")
+        if schema is None:
+            schema = self.spark.read.format(fmt).load(tdef["path"]).schema
+        reader = self.spark.readStream.schema(schema).format(fmt)
+        for k, v in (tdef.get("options") or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(tdef["path"])
+        wm = tdef.get("watermark")
+        if wm:
+            from pyspark.sql import functions as F
+
+            # withWatermark requires TIMESTAMP; parquet files written
+            # without a zone scan as TIMESTAMP_NTZ. The session zone is
+            # pinned to UTC (session.py), so the cast is epoch-exact.
+            if dict(df.dtypes).get(wm["ts"]) == "timestamp_ntz":
+                df = df.withColumn(wm["ts"], F.col(wm["ts"]).cast("timestamp"))
+            df = df.withWatermark(wm["ts"], wm["delay"])
+        return df
 
     # --------------------------------------------------- kernel resolution
     def _eval_lambda(self, src: str):
@@ -317,6 +355,8 @@ class Workflow:
                 raise ValueError(f"table '{tid}' declared as data but not bound")
             return self.tables[tid]
         if op == "source":
+            if tdef.get("stream"):
+                return self._stream_source(tdef)
             return T.source(
                 self.spark, tdef.get("format", "parquet"), tdef["path"],
                 tdef.get("options"),
@@ -404,6 +444,40 @@ class Workflow:
                 self.tables[tdef["source"]], tdef["keys"], tdef["item"],
                 int(tdef["k"]),
             )
+        if op == "window_aggregate":
+            return T.window_aggregate(
+                self.tables[tdef["source"]], tdef["ts"], tdef["duration"],
+                tdef.get("keys", []), tdef["aggregations"],
+                bucket_col=tdef.get("bucket_col", "bucket_s"),
+            )
+        if op == "dedup":
+            src = self.tables[tdef["source"]]
+            return T.dedup_rows(
+                src, tdef.get("keys"),
+                within_watermark=tdef.get(
+                    "within_watermark", src.isStreaming
+                ),
+            )
+        if op == "stream_sink":
+            src = self.tables[tdef["source"]]
+            if not src.isStreaming:
+                raise ValueError(
+                    f"stream_sink '{tid}': source '{tdef['source']}' is a "
+                    "batch table — use operation 'sink', or mark the "
+                    "source table with \"stream\": true"
+                )
+            writer = (
+                src.writeStream.format(tdef.get("format", "parquet"))
+                .option("path", tdef["path"])
+                .option("checkpointLocation", tdef["checkpoint"])
+                .outputMode(tdef.get("output_mode", "append"))
+            )
+            if tdef.get("interval"):
+                writer = writer.trigger(processingTime=tdef["interval"])
+            else:
+                writer = writer.trigger(availableNow=True)
+            self.streams[tid] = writer.start()
+            return src
         if op == "sink":
             # reference parity: a function table doubling as a sink
             # (pandas:DataFrame.to_csv, examples/example1.json:14-22);

@@ -1,0 +1,124 @@
+"""Streaming workflow language (plans/compiler.py): `stream: true`
+sources, window_aggregate (batch == stream on the same input), dedup,
+and stream_sink — the declarative spec runs unchanged in either mode."""
+
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from lambdo_spark.plans.compiler import Workflow
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _wf(src_extra: str, sink: str) -> str:
+    return (
+        '{"tables": ['
+        '{"id": "events", "operation": "source", "format": "parquet",'
+        f' "path": "%(path)s"{src_extra}}},'
+        '{"id": "hourly", "operation": "window_aggregate", "source": "events",'
+        ' "ts": "ts", "duration": "1 hour", "keys": ["event_type"],'
+        ' "aggregations": [{"id": "n", "kernel": "count"},'
+        '  {"id": "max_value", "kernel": "max", "inputs": ["value"]}]}'
+        f"{sink}]}}"
+    )
+
+
+def _batch_expected(spark):
+    return (
+        spark.read.parquet(EVENTS)
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket_s"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+    )
+
+
+def _canon(df_or_pdf):
+    pdf = df_or_pdf if hasattr(df_or_pdf, "sort_values") else df_or_pdf.toPandas()
+    return (
+        pdf.sort_values(["bucket_s", "event_type"])
+        .reset_index(drop=True)
+        .astype({"bucket_s": "int64", "n": "int64"})
+    )
+
+
+def test_window_aggregate_batch(spark):
+    spec = _wf("", "") % {"path": EVENTS}
+    tables = Workflow(spec, spark).execute()
+    got = _canon(tables["hourly"])
+    exp = _canon(_batch_expected(spark))
+    assert got.equals(exp)
+
+
+def test_window_aggregate_stream_parity(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(EVENTS, os.path.join(src, "e-0.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spec = _wf(
+        ', "stream": true, "watermark": {"ts": "ts", "delay": "0 seconds"}',
+        ', {"id": "to_parquet", "operation": "stream_sink", "source": "hourly",'
+        f' "path": "{out}", "checkpoint": "{ckpt}"}}',
+    ) % {"path": src}
+    wf = Workflow(spec, spark)
+    wf.execute()
+    assert "to_parquet" in wf.streams
+    wf.await_streams(timeout=300)
+
+    streamed = _canon(spark.read.parquet(out))
+    batch = _canon(_batch_expected(spark))
+    # append mode withholds windows the watermark has not passed —
+    # everything emitted must match batch exactly, and only the open
+    # tail may be held back
+    merged = streamed.merge(
+        batch, on=["bucket_s", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (merged["max_value_s"] == merged["max_value_b"]).all()
+    assert len(streamed) >= 0.8 * len(batch)
+
+
+def test_workflow_stream_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(EVENTS, os.path.join(src, "e-0.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spec = (
+        '{"tables": ['
+        '{"id": "events", "operation": "source", "format": "parquet",'
+        f' "path": "{src}", "stream": true,'
+        # delay spans the whole dataset: first-seen is global no matter
+        # how availableNow splits the files into micro-batches
+        ' "watermark": {"ts": "ts", "delay": "90 days"}},'
+        '{"id": "by_user", "operation": "dedup", "source": "events",'
+        ' "keys": ["user_id"]},'
+        '{"id": "sink", "operation": "stream_sink", "source": "by_user",'
+        f' "path": "{out}", "checkpoint": "{ckpt}"}}'
+        "]}"
+    )
+    wf = Workflow(spec, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+    got = spark.read.parquet(out)
+    users_all = spark.read.parquet(EVENTS).select("user_id").distinct().count()
+    assert got.count() == got.select("user_id").distinct().count() == users_all
+
+
+def test_stream_sink_rejects_batch_source(spark, tmp_path):
+    spec = (
+        '{"tables": ['
+        '{"id": "events", "operation": "source", "format": "parquet",'
+        f' "path": "{EVENTS}"}},'
+        '{"id": "sink", "operation": "stream_sink", "source": "events",'
+        f' "path": "{tmp_path}/o", "checkpoint": "{tmp_path}/c"}}'
+        "]}"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="batch table"):
+        Workflow(spec, spark).execute()

@@ -34,6 +34,9 @@ def _run_workflow(args) -> int:
     try:
         wf = Workflow(spec, spark)
         tables = wf.execute()
+        if wf.streams:
+            print(f"awaiting {len(wf.streams)} stream sink(s)...")
+            wf.await_streams()
         print(f"executed {len(tables)} tables in {len(wf.layers)} layers:")
         for layer in wf.layers:
             print("  layer:", ", ".join(layer))

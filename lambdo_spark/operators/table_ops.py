@@ -281,6 +281,7 @@ def window_aggregate(
     keys: Sequence[str],
     aggregations: Sequence[dict],
     bucket_col: str = "bucket_s",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time window aggregation — the tier-rollup shape
     as ONE declarative op, valid on BOTH batch and streaming frames
@@ -294,6 +295,11 @@ def window_aggregate(
     emitted as epoch SECONDS (long) — engine-stable for oracles
     (window starts are whole-second aligned, so ``unix_timestamp``
     truncation is exact).
+
+    ``slide`` (e.g. "30 minutes" with duration "1 hour") makes the
+    windows SLIDING: each row contributes to duration/slide
+    overlapping buckets (Spark expands them in one Expand node — no
+    self-joins, still a single shuffle).
     """
     from lambdo_spark.functions.registry import get_kernel
     from lambdo_spark.operators.column_ops import _pandas_agg_udf
@@ -308,9 +314,12 @@ def window_aggregate(
             exprs.append(k.agg(cols, **spec.get("model", {})).alias(name))
         else:
             exprs.append(_pandas_agg_udf(k, spec.get("model"))(*cols).alias(name))
-    out = df.groupBy(
-        F.window(F.col(ts), duration).alias("__w__"), *keys
-    ).agg(*exprs)
+    win = (
+        F.window(F.col(ts), duration, slide)
+        if slide
+        else F.window(F.col(ts), duration)
+    )
+    out = df.groupBy(win.alias("__w__"), *keys).agg(*exprs)
     return out.select(
         F.unix_timestamp(F.col("__w__.start")).alias(bucket_col),
         *keys,

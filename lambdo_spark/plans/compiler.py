@@ -449,6 +449,7 @@ class Workflow:
                 self.tables[tdef["source"]], tdef["ts"], tdef["duration"],
                 tdef.get("keys", []), tdef["aggregations"],
                 bucket_col=tdef.get("bucket_col", "bucket_s"),
+                slide=tdef.get("slide"),
             )
         if op == "dedup":
             src = self.tables[tdef["source"]]

@@ -109,6 +109,70 @@ def test_workflow_stream_dedup(spark, tmp_path):
     assert got.count() == got.select("user_id").distinct().count() == users_all
 
 
+def test_window_aggregate_sliding(spark):
+    """slide=30m, duration=1h: every event lands in exactly the two
+    windows starting at floor(ts/1800)*1800 and 1800 earlier."""
+    from lambdo_spark.operators.table_ops import window_aggregate
+
+    ev = spark.read.parquet(EVENTS)
+    got = _canon(
+        window_aggregate(
+            ev, "ts", "1 hour", ["event_type"],
+            [{"id": "n", "kernel": "count"},
+             {"id": "max_value", "kernel": "max", "inputs": ["value"]}],
+            slide="30 minutes",
+        )
+    )
+    half = (F.floor(F.unix_timestamp("ts") / 1800) * 1800).cast("long")
+    exp = _canon(
+        ev.withColumn(
+            "bucket_s", F.explode(F.array(half, half - 1800))
+        )
+        .groupBy("bucket_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+    )
+    assert got.equals(exp)
+
+
+def test_stream_static_link_compose(spark, tmp_path):
+    """link/compose against a static dim table works on a streaming
+    fact source (stream-static left join), as docs/workflow_spec.md
+    promises."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(EVENTS, os.path.join(src, "e-0.parquet"))
+    dim_path = str(tmp_path / "dim")
+    users = spark.read.parquet(EVENTS).select("user_id").distinct()
+    users.withColumn(
+        "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    ).write.parquet(dim_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spec = (
+        '{"tables": ['
+        f'{{"id": "dim", "operation": "source", "path": "{dim_path}"}},'
+        '{"id": "events", "operation": "source", "format": "parquet",'
+        f' "path": "{src}", "stream": true,'
+        ' "columns": ['
+        '  {"id": "u", "operation": "link", "keys": ["user_id"],'
+        '   "linked_table": "dim", "linked_keys": ["user_id"]},'
+        '  {"id": "tier", "operation": "compose", "link": "u",'
+        '   "linked_table": "dim", "linked_keys": ["user_id"],'
+        '   "target": "tier"}],'
+        ' "column_filter": ["event_id", "user_id", "tier"]},'
+        '{"id": "sink", "operation": "stream_sink", "source": "events",'
+        f' "path": "{out}", "checkpoint": "{ckpt}"}}'
+        "]}"
+    )
+    wf = Workflow(spec, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == spark.read.parquet(EVENTS).count()
+    assert (
+        got["tier"] == got["user_id"].map(lambda u: "even" if u % 2 == 0 else "odd")
+    ).all()
+
+
 def test_stream_sink_rejects_batch_source(spark, tmp_path):
     spec = (
         '{"tables": ['

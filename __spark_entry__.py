@@ -838,6 +838,16 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _q_dedup_simhash_md5(spark, sf_dir):
+    """SimHash with the md5 token-hash family — signatures built from
+    pure JVM expressions (explode → md5 → one groupBy with 64
+    algebraic sums), so DuckDB can recompute the exact pair set:
+    full hash-match oracle for the simhash operator."""
+    return dedup_simhash(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_family="md5"
+    )
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Low-threshold regime → exact all-pairs baseline (the auto rule:
     at cosine 0.4 the pair set is inherently ~quadratic, no candidate
@@ -1044,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_md5": _q_dedup_simhash_md5,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_topk": _q_ann_topk,
@@ -1592,7 +1603,37 @@ def oracle_sql() -> dict[str, str]:
               list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))),
               ' ')
         """,
-        # dedup_simhash: rows-only (64-bit hash family not SQL-expressible)
+        # dedup_simhash: rows-only (blake2b hash family not SQL-
+        # expressible); dedup_simhash_md5 is the fully-oracled variant
+        "dedup_simhash_md5": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks WHERE tok <> ''
+            ), bitv AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sig0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS s
+              FROM bitv GROUP BY doc_id
+            ), sigs AS (
+              SELECT d.doc_id, COALESCE(sg.s, 0::UBIGINT) AS s
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN sig0 sg USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.s, b.s)) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
         "dedup_minhash": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -231,17 +231,77 @@ def simhash_udf():
     return _udf
 
 
+def simhash_sigs_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash signatures with an md5 token-hash family,
+    computed entirely JVM-side (no Python in the path):
+
+    token hash = first 8 bytes of md5(token), big-endian — exactly
+    ``('0x' || substr(md5(tok),1,16))::UBIGINT`` in DuckDB, which is
+    what makes this family fully SQL-oracle-able (the blake2b default
+    in :func:`simhash_udf` is not expressible in SQL).
+
+    Plan shape: explode tokens → md5/conv scalar expressions → ONE
+    groupBy(id) with 64 algebraic SUM aggregates (map-side combined)
+    → bit-majority OR-fold. Docs with no tokens keep sig=0 via a
+    left join back onto the doc list (parity with simhash_py, where
+    an empty token set hashes to a single 0)."""
+    import functools
+
+    ids = docs.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hx = F.md5(F.col("tok"))
+    h = F.shiftleft(F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), 32).bitwiseOR(
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    )
+    th = tok.select("id", h.alias("h"))
+    bitv = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = functools.reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ],
+    )
+    sigs = bitv.select("id", sig.alias("sig"))
+    return ids.join(sigs, "id", "left").select(
+        "id", F.coalesce(F.col("sig"), F.lit(0).cast("long")).alias("sig")
+    )
+
+
 def dedup_simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4
     16-bit chunks; by pigeonhole any pair within hamming<=3 shares at
     least one exact chunk → equi-join per chunk, then exact hamming
-    filter via bit_count(xor)."""
-    sigs = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    filter via bit_count(xor).
+
+    hash_family: "blake2b" (default, Arrow pandas UDF) or "md5"
+    (pure JVM via :func:`simhash_sigs_md5`; DuckDB-oracle-able)."""
+    if hash_family == "md5":
+        sigs = simhash_sigs_md5(docs, id_col, text_col)
+    else:
+        sigs = docs.select(
+            F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
+        )
     chunks = sigs.select(
         "id", "sig",
         F.explode(

@@ -70,6 +70,47 @@ def test_dedup_simhash_pairs(spark):
     assert (1, 4) not in pairs
 
 
+def _simhash_md5_py(text: str) -> int:
+    """Pure-Python reference for the md5 hash family (big-endian
+    first 8 bytes of md5(token)) — mirrors simhash_sigs_md5's JVM
+    expressions and the DuckDB oracle SQL bit for bit."""
+    import hashlib
+
+    toks = text.split()
+    hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks] or [0]
+    sig = 0
+    for b in range(64):
+        v = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if v > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_md5_jvm_matches_python(spark):
+    from lambdo_spark.functions.dedup import simhash_sigs_md5
+
+    docs = _docs(spark).union(
+        spark.createDataFrame([(7, ""), (8, "   ")], "doc_id long, text string")
+    )
+    got = {r["id"]: r["sig"] for r in simhash_sigs_md5(docs).collect()}
+    want = {
+        1: _simhash_md5_py(BASE), 2: _simhash_md5_py(BASE),
+        3: _simhash_md5_py(NEAR), 4: _simhash_md5_py(FAR),
+        5: _simhash_md5_py("the quick brown fox"),
+        6: _simhash_md5_py(" ".join(reversed(BASE.split()))),
+        7: 0, 8: 0,  # token-less docs keep sig=0 (simhash_py parity)
+    }
+    assert got == want
+
+
+def test_dedup_simhash_md5_pairs(spark):
+    out = dedup_simhash(_docs(spark), max_hamming=3, hash_family="md5").collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 6)] == 0        # order-insensitive
+    assert (1, 4) not in pairs
+
+
 def test_dedup_embedding_cosine(spark):
     rng = np.random.default_rng(0)
     v1 = rng.standard_normal(16).tolist()

@@ -79,11 +79,26 @@ def import_modules(imports: list[str], spark: SparkSession | None = None) -> lis
     import os as _os
     import sys
 
+    def _by_value(mod):
+        # ship kernels from workflow-imported modules BY VALUE inside
+        # the task pickle: executors then never need the module on
+        # their own import path (addPyFile stays as belt-and-braces
+        # for file imports, but name imports from arbitrary sys.path
+        # locations — e.g. the reference's examples.example3 — would
+        # otherwise ModuleNotFoundError in the python worker)
+        try:
+            from pyspark import cloudpickle
+
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+        return mod
+
     mods = []
     for name in imports or []:
         if not name.endswith(".py"):
             try:
-                mods.append(importlib.import_module(name))
+                mods.append(_by_value(importlib.import_module(name)))
                 continue
             except ImportError:
                 pass
@@ -97,8 +112,63 @@ def import_modules(imports: list[str], spark: SparkSession | None = None) -> lis
         sys.modules[base] = mod
         if spark is not None:
             spark.sparkContext.addPyFile(path)
-        mods.append(mod)
+        mods.append(_by_value(mod))
     return mods
+
+
+_STRFTIME_TO_SPARK = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"),
+    ("%j", "DDD"),
+]
+
+
+def strftime_to_spark(fmt: str) -> str:
+    """Python strftime directives -> JVM DateTimeFormatter pattern
+    (the subset the reference examples use)."""
+    for py, jvm in _STRFTIME_TO_SPARK:
+        fmt = fmt.replace(py, jvm)
+    return fmt
+
+
+# Reference workflows name stock pandas/builtins callables
+# (examples/example2.json:16, tests/test_calculate.py:23-26). These
+# have native JVM kernels here — rewrite in place so reference specs
+# stay on the fast path instead of a driver-shipped pandas UDF.
+_WELLKNOWN_FUNCTIONS = {
+    "pandas:to_datetime": "to_timestamp",
+    "pandas.core.tools.datetimes:to_datetime": "to_timestamp",
+    "builtins:float": "float",
+    "builtins:int": "int",
+    "builtins:str": "str",
+    "numpy:mean": "mean",
+    "numpy.core.fromnumeric:mean": "mean",
+    "numpy:sum": "sum",
+    "numpy.core.fromnumeric:sum": "sum",
+    "numpy:amin": "min",
+    "numpy:amax": "max",
+}
+
+
+def _rewrite_wellknown_function(c: dict) -> None:
+    ref = c.get("kernel") or c.get("function")
+    if ref in ("pandas.core.series:Series.shift", "pandas:Series.shift"):
+        # whole-column shift (reference tests/test_calculate.py:54-89)
+        # is a dedicated operation here, not a kernel
+        c["operation"] = "shift"
+        c["periods"] = int((c.get("model") or {}).get("periods", 1))
+        c.pop("function", None)
+        return
+    name = _WELLKNOWN_FUNCTIONS.get(ref)
+    if name is None:
+        return
+    c["kernel"] = name
+    c.pop("function", None)
+    if name == "to_timestamp":
+        m = c.get("model") or {}
+        c["model"] = (
+            {"fmt": strftime_to_spark(m["format"])} if "format" in m else None
+        )
 
 
 def strip_comments(text: str) -> str:
@@ -193,12 +263,24 @@ class Workflow:
         spark: SparkSession,
         data: dict[str, DataFrame] | None = None,
         allow_lambda: bool = False,
+        reference_compat: bool = False,
     ):
         if isinstance(spec, str):
             spec = json.loads(strip_comments(spec))
         self.spec = spec
         self.spark = spark
         self.allow_lambda = allow_lambda
+        # reference_compat reproduces two reference behaviors its
+        # workflows rely on that are deliberately NOT default here:
+        # (1) order-sensitive column ops without order_by use implicit
+        #     physical row order (README.md:109-121) via a hidden
+        #     __row_order__ = monotonically_increasing_id() column —
+        #     sound only for small single-split sources, which is the
+        #     reference's scale; explicit order_by is the 100 TB path.
+        # (2) user callables in calculate run row-at-a-time inside
+        #     each Arrow batch (Column.py:552-559's Series/row apply),
+        #     instead of this engine's vectorized Series convention.
+        self.reference_compat = reference_compat
         self.tables: dict[str, DataFrame] = dict(data or {})
         self.streams: dict[str, Any] = {}  # stream_sink id → StreamingQuery
         import_modules(spec.get("imports", []), spark)
@@ -218,6 +300,8 @@ class Workflow:
             op = td.get("operation")
             if op == "noop":
                 td["operation"] = "data"
+            elif op is None and td.get("function"):
+                self._normalize_function_table(td)
             elif op is None and "path" not in td:
                 if i == 0 or tid in self.tables:
                     td["operation"] = "data"
@@ -226,6 +310,53 @@ class Workflow:
                     td.setdefault("source", self._order[i - 1])
             elif op == "extend" and "source" not in td:
                 td["source"] = self._order[max(0, i - 1)]
+
+    def _normalize_function_table(self, td: dict) -> None:
+        """Reference T3 function tables (Table.py:192-203: a table def
+        whose ``function`` populates it) rewritten to this engine's
+        explicit operations, so reference workflow JSONs — e.g.
+        examples/example1.json's pandas:read_csv source and
+        pandas:DataFrame.to_csv sink — compile without edits:
+
+        - ``pandas:read_csv``  -> distributed csv ``source`` (model
+          filepath_or_buffer -> path; nrows -> limit)
+        - ``pandas:DataFrame.to_csv`` -> csv ``sink`` on inputs[0]
+          (path_or_buf -> path; written as a single part file so a
+          downstream pandas reader sees one csv)
+        - 0 inputs -> ``function_source`` (driver-side callable
+          returning a pandas frame, reference Table.py:499)
+        - 1 input  -> ``map`` (mapInPandas; needs ``schema``)
+        """
+        fn = td["function"]
+        model = td.get("model") or {}
+        inputs = td.get("inputs") or []
+        if fn == "pandas:read_csv":
+            td["operation"] = "source"
+            td["format"] = "csv"
+            td["path"] = model["filepath_or_buffer"]
+            if "nrows" in model:
+                td["limit"] = int(model["nrows"])
+            # pandas treats "null"/"NULL"/... as NaN (its default NA
+            # token list); Spark csv's default nullValue is only "".
+            # Without this, one literal "null" cell makes inferSchema
+            # demote the whole column to string (^GSPC.csv 2016-06-29).
+            td["options"] = {"nullValue": "null", **(td.get("options") or {})}
+        elif fn in ("pandas:DataFrame.to_csv", "pandas:to_csv"):
+            td["operation"] = "sink"
+            td["format"] = "csv"
+            td["path"] = model["path_or_buf"]
+            td["source"] = inputs[0]
+            td["single_file"] = True
+        elif not inputs:
+            td["operation"] = "function_source"
+        elif len(inputs) == 1:
+            td["operation"] = "map"
+            td["source"] = inputs[0]
+        else:
+            raise ValueError(
+                f"table '{td.get('id')}': N-input function tables need an "
+                "explicit operation (join/union/...)"
+            )
 
     def execute(self) -> dict[str, DataFrame]:
         for layer in self.layers:
@@ -282,7 +413,7 @@ class Workflow:
             )
         return eval(src)  # noqa: S307 — explicit opt-in above
 
-    def _kernel_ref(self, c: dict):
+    def _kernel_ref(self, c: dict, rowwise: bool = False):
         """``kernel``/``function`` field → registry name (string,
         resolved by column_ops) or an ad-hoc user Kernel wrapping a
         ``module:attr`` callable / inline lambda (reference
@@ -304,6 +435,23 @@ class Workflow:
             fn = resolve_callable(ref)
         else:
             return ref  # registry kernel name
+        if rowwise:
+            # reference calculate convention (Column.py:552-559):
+            # 1 input -> fn per value (Series.apply); N inputs -> fn
+            # per row ndarray (DataFrame.apply axis=1). Exact but
+            # row-at-a-time inside each Arrow batch — the slow path,
+            # only for reference_compat workflows.
+            import pandas as pd
+
+            def _row_at_a_time(cols, _fn=fn, **kw):
+                if len(cols) == 1:
+                    return cols[0].apply(lambda v: _fn(v, **kw))
+                frame = pd.concat(cols, axis=1)
+                return frame.apply(lambda r: _fn(r.values, **kw), axis=1)
+
+            return user_kernel(
+                _row_at_a_time, name=str(c.get("id", "user")), returns=returns
+            )
         return user_kernel(
             lambda cols, **kw: fn(*cols, **kw),
             name=str(c.get("id", "user")),
@@ -339,6 +487,8 @@ class Workflow:
             )
         if drop_after:
             df = df.drop(*drop_after)
+        if "__row_order__" in df.columns:  # reference_compat helper col
+            df = df.drop("__row_order__")
         cf = tdef.get("column_filter")
         if cf is not None:
             if isinstance(cf, dict):
@@ -357,10 +507,22 @@ class Workflow:
         if op == "source":
             if tdef.get("stream"):
                 return self._stream_source(tdef)
-            return T.source(
+            df = T.source(
                 self.spark, tdef.get("format", "parquet"), tdef["path"],
                 tdef.get("options"),
             )
+            if tdef.get("limit") is not None:  # pandas:read_csv nrows
+                df = df.limit(int(tdef["limit"]))
+            return df
+        if op == "function_source":
+            # reference T3 with 0 inputs (Table.py:499: func(**model)
+            # returns a fully populated frame) — the general compat
+            # fallback for driver-side source callables; well-known
+            # idioms (pandas:read_csv) are rewritten to distributed
+            # scans in _normalize_operations instead
+            fn = self._batch_callable(tdef["function"])
+            pdf = fn(**(tdef.get("model") or {}))
+            return self.spark.createDataFrame(pdf)
         if op == "extend":
             return T.extend(self.tables[tdef["source"]])
         if op == "project":
@@ -485,7 +647,8 @@ class Workflow:
             # here an eager parquet/csv write, returning the source
             src = self.tables[tdef["source"]]
             fmt = tdef.get("format", "parquet")
-            w = src.write.mode(tdef.get("mode", "overwrite"))
+            out = src.coalesce(1) if tdef.get("single_file") else src
+            w = out.write.mode(tdef.get("mode", "overwrite"))
             if fmt == "csv":
                 w = w.option("header", True)
             w.format(fmt).save(tdef["path"])
@@ -509,9 +672,46 @@ class Workflow:
     def _eval_column_op(
         self, df: DataFrame, c: dict, t_order: list | None, t_part: list | None
     ) -> DataFrame:
+        if isinstance(c.get("inputs"), str):  # reference allows a bare
+            c = {**c, "inputs": [c["inputs"]]}  # string (Column.py:442)
+        if c.get("function") or c.get("kernel"):
+            c = dict(c)
+            _rewrite_wellknown_function(c)
         op = c.get("operation")
+        if op is None and (c.get("function") or c.get("kernel")):
+            # reference operation inference (Column.py:74-104):
+            # window one/1 -> calculate, all -> all, numeric -> roll
+            w = str(c.get("window", "one"))
+            if w in ("one", "1"):
+                op = "calculate"
+            elif w == "all":
+                op = "all"
+            else:
+                op, c["window"] = "roll", int(w)
+            if op == "all" and isinstance(c.get("kernel"), str):
+                # reference specs use window=all for elementwise
+                # whole-column fns (example5.json's to_datetime);
+                # a scalar-only registry kernel IS elementwise
+                from lambdo_spark.functions.registry import kernels as _kreg
+
+                k = _kreg().get(c["kernel"])
+                if k is not None and k.expr is not None and k.agg is None:
+                    op = "calculate"
         if op is None:  # C7 noop — reference existing column
             return df
+        if (
+            self.reference_compat
+            and not (c.get("order_by") or t_order)
+            and op in ("roll", "shift", "delta", "rate", "locf")
+        ):
+            # reference implicit physical row order (README.md:109-121)
+            if "__row_order__" not in df.columns:
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    "__row_order__", F.monotonically_increasing_id()
+                )
+            t_order = ["__row_order__"]
         out = c["id"]
         order_by = c.get("order_by", t_order)
         partition_by = c.get("partition_by", t_part)
@@ -525,7 +725,11 @@ class Workflow:
                 from lambdo_spark.functions.train import resolve_model
 
                 model = resolve_model(model, df, c.get("train"))
-            return C.calculate(df, out, self._kernel_ref(c), c["inputs"], model)
+            return C.calculate(
+                df, out,
+                self._kernel_ref(c, rowwise=self.reference_compat),
+                c["inputs"], model,
+            )
         if op == "roll":
             if not order_by:
                 raise ValueError(f"roll column '{out}' needs order_by")

@@ -1098,6 +1098,35 @@ def _marker(langs: list[str]) -> str:
     return _SQL_MARKER.format(",".join(f"'{w}'" for w in langs))
 
 
+def _fingerprint_oracle() -> str:
+    """FNV-1a 64-bit in pure DuckDB: ``list_reduce`` folds
+    h = ((h XOR byte) * prime) mod 2^64 over the per-char code units
+    (documents are ASCII, so char codes == utf-8 bytes — same
+    assumption media_frames relies on), in HUGEINT to avoid BIGINT
+    overflow, then wraps to signed int64. Verified byte-identical to
+    ``fingerprint_py`` on all sf0.01 documents."""
+    offset, prime, m64 = 14695981039346656037, 1099511628211, 1 << 64
+    return f"""
+        WITH fp AS (
+          SELECT doc_id,
+            CASE WHEN strlen(text) = 0 THEN CAST({offset} AS HUGEINT)
+            ELSE list_reduce(
+              list_prepend(CAST({offset} AS HUGEINT),
+                [CAST(unicode(c) AS HUGEINT)
+                 for c in regexp_split_to_array(text, '')]),
+              (acc, b) -> (xor(acc, b) * CAST({prime} AS HUGEINT))
+                            % CAST({m64} AS HUGEINT)
+            ) END AS fp_u
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(fp_u - CASE WHEN fp_u >= CAST({1 << 63} AS HUGEINT)
+                    THEN CAST({m64} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+                    AS BIGINT) AS fingerprint
+        FROM fp
+    """
+
+
 def _media_features_oracle() -> str:
     """fake_features in DuckDB: sha256 hex → 8 little-endian uint32 →
     float32 rounding (CAST AS FLOAT) → exact ×2^32 quantization.
@@ -1718,7 +1747,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_guess
             FROM documents
         """,
-        # fingerprint: rows-only (FNV-1a, pinned vs pure-Python in pytest)
+        "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),
         "media_frames": _media_frames_oracle(),
         "doc_quality": f"""

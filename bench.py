@@ -96,10 +96,13 @@ def main() -> None:
         # and the 30d downsample — persisting saves re-running the
         # 1h→1d shuffle for the 30d tier
         p1d = downsample(p1h, TIER_SECONDS["1d"]).persist()
+        # the finalized 1h tier feeds three actions (count, gap-fill,
+        # compression) — persist it like run_retention_pipeline does so
+        # the finalize groupBy runs once, not three times
+        t1h = finalize(p1h).persist()
         try:
             p30 = downsample(p1d, TIER_SECONDS["30d"])
             n = 0
-            t1h = finalize(p1h)
             n += run(t1h)
             n += run(finalize(p1d))
             n += run(finalize(p30))
@@ -109,6 +112,7 @@ def main() -> None:
         finally:
             p1h.unpersist()
             p1d.unpersist()
+            t1h.unpersist()
 
     bench("pages_all_tiers", pages_pipeline)
 

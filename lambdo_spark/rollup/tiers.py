@@ -31,7 +31,7 @@ arithmetic: identical semantics in Spark and the DuckDB oracle, and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TIER_SECONDS = {"1h": 3600, "1d": 86400, "30d": 2592000}
 
@@ -152,21 +152,51 @@ def gap_fill(
 
     lambdo's ``fillna_value`` for empty groups (reference
     /root/reference/lambdo/Column.py:495-496, tests/test_aggregate.py:77-79)
-    generalized to time gaps: the bucket *domain* is generated with
-    ``sequence`` + ``explode`` (executor-side, no driver loop) and the
-    tier rows are left-joined onto it; count-like columns fill with 0,
+    generalized to time gaps. Count-like columns fill with 0,
     everything else stays NULL.
+
+    Plan shape (the 100 TB consideration): a dense grid can be 50-100×
+    the real rows (measured 56.5M grid rows from 1.2M tier rows on the
+    bench pages table), so the naive grid ``sequence``+``explode`` →
+    left-join shuffles mostly *generated* rows. Instead this is ONE
+    pass over the real rows: a per-key window computes each row's gap
+    to its predecessor (``lag``), then the row is exploded into
+    ``sequence(prev_bucket+step, own_bucket)`` — its gap buckets plus
+    itself — and non-real rows are nulled with plain ``when``
+    projections. All gap rows materialize AFTER the only exchange (the
+    window's hash-partition on ``key``), so shuffle volume is the real
+    rows only, independent of how sparse the series is; there is no
+    join, no second scan of ``tier``, and the whole generate+project
+    stays inside whole-stage codegen (an earlier variant built the gap
+    rows with ``transform``+``struct`` — higher-order-function lambdas
+    are interpreted, measured 10× slower than the join it replaced;
+    this form measured 2.9× FASTER than the join).
     """
-    bounds = tier.groupBy(key).agg(
-        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
+    others = [f for f in tier.schema.fields if f.name not in (key, "bucket_s")]
+    step = F.lit(tier_seconds).cast("long")
+    w = Window.partitionBy(key).orderBy("bucket_s")
+    # first key row has no predecessor -> no gap range before it
+    prepped = tier.withColumn(
+        "_start",
+        F.coalesce(F.lag("bucket_s").over(w) + step, F.col("bucket_s")),
     )
-    grid = bounds.select(
+    exploded = prepped.select(
         key,
+        F.col("bucket_s").alias("_own"),
+        *[F.col(f.name) for f in others],
         F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(tier_seconds))
-        ).alias("bucket_s"),
+            F.sequence(F.col("_start"), F.col("bucket_s"), step)
+        ).alias("_b"),
     )
-    filled = grid.join(tier, [key, "bucket_s"], "left")
+    is_real = F.col("_b") == F.col("_own")
+    filled = exploded.select(
+        key,
+        F.col("_b").alias("bucket_s"),
+        *[
+            F.when(is_real, F.col(f.name)).alias(f.name)
+            for f in others
+        ],
+    )
     for c in fill_zero:
         filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return filled.withColumn(

@@ -112,13 +112,25 @@ def test_read_tier_partition_pruning(spark, pages, tmp_path):
     assert "part" in scan[0], scan[0]
 
 
-def test_gap_fill_no_cartesian(pages):
-    """Gap-fill joins grid<-tier on (url, bucket_s): equi-join, never
-    a cartesian/broadcast-nested-loop."""
+def test_gap_fill_join_free(pages):
+    """Gap-fill is a single pass over the real rows: per-key lag window
+    -> gap bucket range exploded as longs, non-real columns nulled by
+    when() projections (all codegen). No join of any
+    kind, and exactly ONE exchange (the window's hash-partition) — gap
+    rows materialize AFTER the shuffle, so shuffle volume is the real
+    rows only, independent of series sparsity."""
     t = finalize(partials_from_pages(pages, 3600))
     plan = _plan(gap_fill(t, 3600))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for join in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"{join} found in gap_fill plan"
+    # gap-fill itself must add at most ONE exchange (the window's
+    # hash-partition on url) on top of whatever the input tier's own
+    # plan already contains
+    base = _plan(t).count("Exchange hashpartitioning")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= base + 1, plan
+    assert "Generate explode" in plan, plan
 
 
 def test_timeseries_window_stack_single_exchange(spark):

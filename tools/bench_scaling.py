@@ -102,9 +102,11 @@ def run_once(cores: int, rows: int) -> dict:
     def pipeline() -> tuple[int, float]:
         t0 = time.time()
         p1h = partials_from_pages(pages, TIER_SECONDS["1h"]).persist()
+        # finalized 1h tier feeds three actions — persist so the
+        # finalize groupBy runs once (mirrors run_retention_pipeline)
+        t1h = finalize(p1h).persist()
         points = 0
         try:
-            t1h = finalize(p1h)
             points += t1h.count()
             p1d = downsample(p1h, TIER_SECONDS["1d"])
             points += finalize(p1d).count()
@@ -113,6 +115,7 @@ def run_once(cores: int, rows: int) -> dict:
             points += compress_tier(t1h, value_col="mean_len").count()
         finally:
             p1h.unpersist()
+            t1h.unpersist()
         return points, time.time() - t0
 
     points, cold = pipeline()

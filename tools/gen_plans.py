@@ -62,13 +62,21 @@ What to look for:
             fmt(p1h),
         ),
         (
-            "gap-fill (bucket-domain generate + left join)",
+            "gap-fill (single-pass lag window + gap-range explode)",
             """
 What to look for:
-- the bucket grid comes from `sequence(...)` + `Generate explode` —
-  executor-side domain generation, no driver loop;
-- the join is a shuffle/broadcast EQUI-join on (url, bucket_s) — no
-  CartesianProduct / BroadcastNestedLoopJoin anywhere;
+- NO join node anywhere: each real row is exploded into
+  `sequence(lag(bucket_s)+step, bucket_s)` — its predecessor-gap
+  buckets plus itself — and non-real rows are nulled by plain `when`
+  projections, so the dense grid never exists as a join input and the
+  whole generate+project sits inside WholeStageCodegen (a
+  `transform`+`struct` variant of the same idea ran interpreted and
+  measured 10x SLOWER than the join; this form measures 2.9x faster);
+- exactly one `Exchange hashpartitioning(url)` — the window's; gap
+  rows materialize AFTER it, so shuffle volume is the real rows only,
+  independent of how sparse the series is (the old grid+left-join
+  shape shuffled a grid measured 47x the real rows on the bench pages
+  table);
 - `coalesce(n_points, 0)` is the lambdo fillna_value semantics.
 """,
             fmt(gap_fill(t1h, 3600)),

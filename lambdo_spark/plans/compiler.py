@@ -599,6 +599,27 @@ class Workflow:
                 tdef.get("output", "n_distinct"), tdef.get("exact", True),
                 tdef.get("rsd", 0.05),
             )
+        if op == "distinct_sketch":
+            from lambdo_spark.rollup.timeseries import (
+                distinct_sketch_downsample,
+                distinct_sketch_finalize,
+                distinct_sketch_partials,
+            )
+
+            sk = distinct_sketch_partials(
+                self.tables[tdef["source"]], tdef["keys"], tdef["item"],
+                tdef["ts"], int(tdef["tier_seconds"]),
+                lgk=int(tdef.get("lgk", 12)),
+            )
+            if tdef.get("merge_to"):
+                sk = distinct_sketch_downsample(
+                    sk, tdef["keys"], int(tdef["merge_to"])
+                )
+            if tdef.get("finalize", True):
+                sk = distinct_sketch_finalize(
+                    sk, output=tdef.get("output", "n_distinct_est")
+                )
+            return sk
         if op == "heavy_hitters":
             from lambdo_spark.rollup.timeseries import heavy_hitters
 

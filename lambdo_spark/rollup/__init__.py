@@ -9,6 +9,9 @@ from lambdo_spark.rollup.tiers import (
 from lambdo_spark.rollup.timeseries import (
     delta,
     distinct_per_bucket,
+    distinct_sketch_downsample,
+    distinct_sketch_finalize,
+    distinct_sketch_partials,
     heavy_hitters,
     interpolate_linear,
     locf,
@@ -30,6 +33,9 @@ __all__ = [
     "gap_fill",
     "delta",
     "distinct_per_bucket",
+    "distinct_sketch_downsample",
+    "distinct_sketch_finalize",
+    "distinct_sketch_partials",
     "heavy_hitters",
     "interpolate_linear",
     "locf",

@@ -156,6 +156,111 @@ def test_distinct_exact_and_approx(spark):
     assert ap["n_distinct"].tolist() == [7, 1]  # tiny cardinality: HLL exact
 
 
+def test_distinct_sketch_merge_matches_direct(spark):
+    """The partial+final property that lets coarser tiers reuse finer
+    sketches: union of per-1h sketches estimated at 1d == sketch built
+    directly at 1d. Exact-integer equality with count_distinct at
+    these (coupon-mode) cardinalities."""
+    from lambdo_spark.rollup.timeseries import (
+        distinct_sketch_downsample,
+        distinct_sketch_finalize,
+        distinct_sketch_partials,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("k1", 1000 + 3600 * (i % 30), f"u{i % 41}") for i in range(500)
+    ] + [("k2", 2000 + 3600 * (i % 5), f"v{i % 3}") for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, ts_s long, item string").select(
+        "key", F.timestamp_seconds("ts_s").alias("ts"), "item"
+    )
+
+    p1h = distinct_sketch_partials(df, ["key"], "item", "ts", 3600)
+    merged = distinct_sketch_finalize(
+        distinct_sketch_downsample(p1h, ["key"], 86400)
+    ).toPandas().sort_values(["key", "bucket_s"]).reset_index(drop=True)
+    direct = distinct_sketch_finalize(
+        distinct_sketch_partials(df, ["key"], "item", "ts", 86400)
+    ).toPandas().sort_values(["key", "bucket_s"]).reset_index(drop=True)
+    assert merged.equals(direct)
+
+    exact = (
+        df.groupBy(
+            "key",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count_distinct("item").alias("n_exact"))
+        .toPandas()
+        .sort_values(["key", "bucket_s"])
+        .reset_index(drop=True)
+    )
+    assert merged["n_distinct_est"].tolist() == exact["n_exact"].tolist()
+
+
+def test_distinct_sketch_error_bound_at_scale(spark):
+    """Past coupon mode the estimate is approximate: lgk=12 gives
+    rsd ~1.04/sqrt(4096) = 1.6%; require within 5% at 30k distinct."""
+    from lambdo_spark.rollup.timeseries import (
+        distinct_sketch_finalize,
+        distinct_sketch_partials,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 30000).select(
+        F.lit("g").alias("key"),
+        F.timestamp_seconds(F.lit(1000)).alias("ts"),
+        F.concat(F.lit("u"), F.col("id")).alias("item"),
+    )
+    est = distinct_sketch_finalize(
+        distinct_sketch_partials(df, ["key"], "item", "ts", 3600)
+    ).collect()[0]["n_distinct_est"]
+    assert abs(est - 30000) / 30000 < 0.05, est
+
+
+def test_distinct_sketch_workflow_op(spark):
+    """distinct_sketch via the workflow language: 1h partials merged
+    to 1d, estimates exact at tiny cardinality."""
+    from lambdo_spark.plans.compiler import compile_workflow
+    import pyspark.sql.functions as F
+
+    rows = [("e1", 100 + 3600 * i, f"u{i % 4}") for i in range(10)]
+    src = spark.createDataFrame(rows, "et string, ts_s long, user string").select(
+        "et", F.timestamp_seconds("ts_s").alias("ts"), "user"
+    )
+    wf = {
+        "tables": [
+            {"id": "ev"},
+            {
+                "id": "du",
+                "operation": "distinct_sketch",
+                "source": "ev",
+                "keys": ["et"],
+                "item": "user",
+                "ts": "ts",
+                "tier_seconds": 3600,
+                "merge_to": 86400,
+                "output": "n_users",
+            },
+        ]
+    }
+    out = compile_workflow(wf, spark, data={"ev": src})["du"].toPandas()
+    exact = (
+        src.groupBy(
+            "et",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count_distinct("user").alias("n"))
+        .toPandas()
+    )
+    m = out.merge(exact, on=["et", "bucket_s"])
+    assert len(m) == len(out) == len(exact)
+    assert (m["n_users"] == m["n"]).all()
+
+
 def test_heavy_hitters_topk_ties(spark):
     rows = (
         [("b", "x")] * 5 + [("b", "y")] * 3 + [("b", "z")] * 3 + [("b", "w")] * 1

@@ -352,14 +352,16 @@ def _q_distinct_sketch_1h(spark, sf_dir):
 
 
 def _q_heavy_hitters_1d(spark, sf_dir):
-    """Top-3 event types per day (map-side-combined counts → per-
-    bucket top-k window over |distinct items|, not raw rows)."""
+    """Top-3 event types per day (map-side-combined counts → skew-proof
+    two-phase top-k: per-salt rank then final rank of S*k survivors —
+    identical result to a single window, but no one-task-per-group sort
+    of the whole item vocabulary at 10^12 rows)."""
     from lambdo_spark.rollup.timeseries import heavy_hitters
 
     ev = _events(spark, sf_dir).withColumn(
         "bucket_s", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
     )
-    return heavy_hitters(ev, ["bucket_s"], "event_type", k=3)
+    return heavy_hitters(ev, ["bucket_s"], "event_type", k=3, salt_buckets=8)
 
 
 def _q_rollup_grouping_sets(spark, sf_dir):

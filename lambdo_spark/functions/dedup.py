@@ -30,12 +30,26 @@ from pyspark.sql.functions import pandas_udf
 
 # ------------------------------------------------------------ exact
 
-def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def dedup_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_rows: bool = False,
+) -> DataFrame:
     """Exact dedup: one row per distinct text, keeping min id.
     (groupBy on sha2 would equally work; grouping on the text itself
     lets Catalyst skip materializing the hash at small scale — at
     100 TB swap in sha2(text) as the group key to shrink shuffle rows.)
+
+    ``keep_rows=True`` returns the full first-seen row per content hash
+    (all input columns) in ONE shuffle: ``min_by(struct(*), id)`` is a
+    declarative aggregate, so map-side combine reduces each partition
+    to one candidate row per text before the exchange — no second
+    join-back pass and no per-group window sort.
     """
+    if keep_rows:
+        row = F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("_row")
+        return docs.groupBy(F.col(text_col)).agg(row).select("_row.*")
     return docs.groupBy(F.col(text_col)).agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("dup_count"),

@@ -199,8 +199,9 @@ def _table_deps(tdef: dict) -> set[str]:
     op = tdef.get("operation", "source")
     if op in (
         "extend", "project", "map", "sink", "grouping_sets", "sessions",
-        "order_stat", "distinct", "heavy_hitters",
+        "order_stat", "distinct", "distinct_sketch", "heavy_hitters",
         "window_aggregate", "dedup", "stream_sink",
+        "text_analysis", "dedup_exact", "dedup_minhash",
     ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except"):
@@ -620,12 +621,41 @@ class Workflow:
                     sk, output=tdef.get("output", "n_distinct_est")
                 )
             return sk
+        if op == "text_analysis":
+            from lambdo_spark.functions.text import analyze_documents
+
+            return analyze_documents(
+                self.tables[tdef["source"]], text_col=tdef.get("text", "text")
+            )
+        if op == "dedup_exact":
+            from lambdo_spark.functions.dedup import dedup_exact
+
+            return dedup_exact(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                keep_rows=True,  # table op = surviving rows, all columns
+            )
+        if op == "dedup_minhash":
+            from lambdo_spark.functions.dedup import dedup_minhash_lsh
+
+            return dedup_minhash_lsh(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                threshold=float(tdef.get("threshold", 0.8)),
+                num_hashes=int(tdef.get("num_hashes", 64)),
+                bands=int(tdef.get("bands", 16)),
+                bucket_cap=int(tdef.get("bucket_cap", 1000)),
+                verify=tdef.get("verify", "token"),
+            )
         if op == "heavy_hitters":
             from lambdo_spark.rollup.timeseries import heavy_hitters
 
             return heavy_hitters(
                 self.tables[tdef["source"]], tdef["keys"], tdef["item"],
                 int(tdef["k"]),
+                salt_buckets=int(tdef.get("salt_buckets", 0)),
             )
         if op == "window_aggregate":
             return T.window_aggregate(

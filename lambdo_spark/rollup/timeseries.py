@@ -340,17 +340,36 @@ def heavy_hitters(
     k: int,
     count_col: str = "n",
     rank_col: str = "rank",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Top-k items per group by frequency (deterministic ties: higher
     count first, then item ascending).
 
     Counts pre-aggregate with map-side combine before the window, so
     the per-group sort ranks |distinct items|, not raw rows.
+
+    ``salt_buckets > 0`` is the skew-proof form for groups with huge
+    item vocabularies (distinct tokens per day at 10^12 rows): after
+    the counts groupBy each (group, item) pair exists exactly ONCE, so
+    the global top-k is contained in the union of per-salt top-ks —
+    a first window ranks within (group, hash(item) % S) partitions
+    (each ~|vocab|/S rows) and the final window sorts only S*k
+    survivors per group instead of the whole vocabulary in one task.
+    Results are identical to the unsalted form (pytest-pinned).
     """
     counts = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias(count_col))
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(count_col).desc(), F.col(item_col).asc()
-    )
+    order = [F.col(count_col).desc(), F.col(item_col).asc()]
+    if salt_buckets > 0:
+        salted = counts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(item_col)), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+        counts = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         counts.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)

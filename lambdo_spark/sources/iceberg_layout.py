@@ -61,10 +61,22 @@ def _read_json(path: str) -> dict | None:
 
 
 class IcebergLayoutTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, sort_order: tuple[str, ...] = ("url", "bucket_s")):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "metadata")
+        # write clustering (Iceberg's write.distribution-mode=hash +
+        # sort-order analog): columns present in the frame are used to
+        # sort rows WITHIN each output file, after a REBALANCE shuffle
+        # on the partition column. Without it, tier data arrives
+        # url-hash-partitioned and partitionBy(part) scatters every
+        # task across every partition directory — file count grows as
+        # tasks x parts (100k+ files per write on a 1000-executor
+        # cluster); with it, files per part are bounded by AQE's
+        # rebalance (1 for normal parts, split only when skewed) and
+        # row groups are url-clustered (RLE/dict encoding + min/max
+        # pruning for per-url reads).
+        self.sort_order = tuple(sort_order)
         os.makedirs(self.meta_dir, exist_ok=True)
 
     # ------------------------------------------------------------ metadata
@@ -215,6 +227,15 @@ class IcebergLayoutTable:
         pending = df.where(F.col(part_col).cast("string").isin(missing)).withColumn(
             "snapv", F.lit(version)
         )
+        # cluster the write: REBALANCE co-locates each partition's rows
+        # (AQE splits a skewed part across tasks instead of one-task-
+        # per-part), then an in-task sort clusters row groups on the
+        # table sort order — content is unchanged (lineage hashes are
+        # order-insensitive bit_xor)
+        pending = pending.hint("rebalance", part_col)
+        sort_cols = [c for c in self.sort_order if c in pending.columns]
+        if sort_cols:
+            pending = pending.sortWithinPartitions(part_col, *sort_cols)
         # dynamic overwrite touches only (part, snapv=version) dirs:
         # never any committed version (ids strictly increase), but a
         # crashed attempt at THIS version is clobbered -> idempotent

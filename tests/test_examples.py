@@ -88,6 +88,42 @@ def test_sessions_tiers_example(spark):
     assert len(total) == 1 and total["n"].iloc[0] == len(ev)
 
 
+def test_training_data_prep_example(spark):
+    """The LLM-corpus ingest flow as one workflow: analyze -> quality
+    filter -> exact dedup -> minhash near-dup pairs. Each stage's
+    contract checked against direct library calls."""
+    from lambdo_spark.functions.dedup import dedup_exact, dedup_minhash_lsh
+    from lambdo_spark.functions.text import analyze_documents
+
+    tables = Workflow(_load("training_data_prep.json"), spark).execute()
+    analyzed = tables["analyzed"].toPandas()
+    assert {"n_tokens", "quality", "lang_guess", "fingerprint"} <= set(
+        analyzed.columns
+    )
+    assert "keep" not in analyzed.columns  # predicate consumed (T8)
+    assert (analyzed["quality"] >= 0.3).all()
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = analyze_documents(docs).where("quality >= 0.3")
+    uniq = tables["unique_docs"]
+    assert set(uniq.columns) == set(expect.columns)  # full rows survive
+    survivors = dedup_exact(expect, keep_rows=True)
+    assert uniq.count() == survivors.count() == dedup_exact(expect).count()
+
+    pairs = tables["near_dup_pairs"].toPandas()
+    want = dedup_minhash_lsh(survivors, threshold=0.5, verify="token").toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    exp = {tuple(r) for r in want[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == exp and len(got) > 0
+
+
+def test_distinct_sketch_example(spark):
+    tables = Workflow(_load("distinct_sketch.json"), spark).execute()
+    pdf = tables["daily_users"].toPandas()
+    assert set(pdf.columns) == {"event_type", "bucket_s", "n_users_est"}
+    assert (pdf["n_users_est"] > 0).all() and len(pdf) > 0
+
+
 def test_user_kernels_example(spark):
     """imports + module:attr scalar and holistic rolling kernels +
     registry mad + fillna_value — the escape hatch, end-to-end from a

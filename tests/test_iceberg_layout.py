@@ -27,6 +27,32 @@ def test_write_read_and_lineage(spark, tmp_path):
     assert all(m["input_snapshot"] == "pages@test" for m in lin)
 
 
+def test_write_clusters_files_and_sorts(spark, tmp_path):
+    """Writes rebalance on the partition column and sort within tasks:
+    each part=<p>/snapv=<v> dir must hold ONE parquet file (no
+    tasks-x-parts small-file scatter), with rows sorted by the table
+    sort order inside it — content identical either way."""
+    import glob
+
+    import pandas as pd
+
+    pages = generate_pages(spark, 2000, seed=7)
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    # shuffle the frame so the input is deliberately NOT part-clustered
+    tier = tier.repartition(16, "url")
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    t.write_tier(tier)
+    part_dirs = glob.glob(os.path.join(root, "data", "part=*", "snapv=*"))
+    assert part_dirs
+    for d in part_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+        pdf = pd.read_parquet(files[0])[["url", "bucket_s"]]
+        assert pdf.equals(pdf.sort_values(["url", "bucket_s"]).reset_index(drop=True)), d
+    assert t.read_tier(spark).count() == tier.count()
+
+
 def test_resume_skips_committed_parts(spark, tmp_path):
     pages = generate_pages(spark, 800, seed=42)
     tier = with_part(finalize(partials_from_pages(pages, 3600)))

@@ -261,6 +261,26 @@ def test_distinct_sketch_workflow_op(spark):
     assert (m["n_users"] == m["n"]).all()
 
 
+def test_heavy_hitters_salted_matches_unsalted(spark):
+    """The skew-proof two-phase top-k (per-salt rank -> final rank of
+    S*k survivors) must return EXACTLY the single-window result,
+    including count ties broken by item ascending."""
+    rows = [
+        (f"g{i % 3}", f"item{(i * 7) % 29}") for i in range(500)
+    ] + [("g0", "t1")] * 4 + [("g0", "t2")] * 4  # forced tie
+    df = spark.createDataFrame(rows, "k string, item string")
+    base = (
+        heavy_hitters(df, ["k"], "item", k=5)
+        .toPandas().sort_values(["k", "rank"]).reset_index(drop=True)
+    )
+    for s in (2, 8, 64):  # incl. S*k > vocab and S > vocab
+        salted = (
+            heavy_hitters(df, ["k"], "item", k=5, salt_buckets=s)
+            .toPandas().sort_values(["k", "rank"]).reset_index(drop=True)
+        )
+        assert salted.equals(base), f"salt_buckets={s}"
+
+
 def test_heavy_hitters_topk_ties(spark):
     rows = (
         [("b", "x")] * 5 + [("b", "y")] * 3 + [("b", "z")] * 3 + [("b", "w")] * 1

@@ -177,10 +177,58 @@ def _run_maintain(args) -> int:
         spark.stop()
 
 
+def _coerce(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def _run_plan(args) -> int:
+    """Metadata-only (no SparkSession): resolve the snapshot, apply
+    manifest column-stat pruning, report what a read would touch."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    t = IcebergLayoutTable(args.table)
+    if args.diff:
+        frm, _, to = args.diff.partition("..")
+        ch = t.changed_parts(int(frm), int(to) if to else None)
+        print(json.dumps(
+            {k: ch[k] for k in ("added", "rewritten", "removed", "part_col")},
+            indent=1,
+        ))
+        return 0
+    prune: dict = {}
+    for w in args.where:
+        c, _, v = w.partition("=")
+        if ".." in v:
+            lo, hi = v.split("..", 1)
+            prune[c] = (_coerce(lo) if lo else None, _coerce(hi) if hi else None)
+        else:
+            prune[c] = _coerce(v)
+    plan = t.plan_files(args.snapshot, prune)
+    out = {
+        "table": args.table,
+        "prune": {k: list(v) if isinstance(v, tuple) else v for k, v in prune.items()},
+        "matched_files": len(plan["files"]),
+        "total_files": plan["total_files"],
+        "skipped_files": plan["skipped_files"],
+        "skipped_parts": plan["skipped_parts"],
+        "legacy_dirs_unplannable": len(plan["legacy_dirs"]),
+    }
+    print(json.dumps(out, indent=1))
+    if args.list_files:
+        for f in plan["files"]:
+            print(f)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy form: `python -m lambdo_spark workflow.json [...]`
-    if argv and argv[0] not in ("retention", "refresh", "maintain", "stream-refresh"):
+    if argv and argv[0] not in ("retention", "refresh", "maintain", "stream-refresh", "plan"):
         argv = ["run", *argv]
 
     ap = argparse.ArgumentParser(prog="lambdo_spark")
@@ -240,7 +288,29 @@ def main(argv: list[str] | None = None) -> int:
                      help="keep only the N most recent snapshots")
     mnt.add_argument("--master", default=None)
 
+    pln = sub.add_parser(
+        "plan",
+        help="metadata-only scan planning: which data files a pruned "
+        "read of one Iceberg-layout table would touch (no Spark job)",
+    )
+    pln.add_argument("--table", required=True, help="table root (e.g. .../tier_1h)")
+    pln.add_argument("--snapshot", type=int, default=None, help="time-travel snapshot id")
+    pln.add_argument(
+        "--where", action="append", default=[], metavar="COL=LO..HI|COL=VALUE",
+        help="prune range (inclusive, open ends ok: bucket_s=1700000000..) "
+        "or equality; repeatable",
+    )
+    pln.add_argument("--list-files", action="store_true")
+    pln.add_argument(
+        "--diff", default=None, metavar="FROM[..TO]",
+        help="instead of planning a read, show which partitions changed "
+        "between two snapshots (added/rewritten/removed; TO defaults "
+        "to CURRENT) — the planning half of read_changes",
+    )
+
     args = ap.parse_args(argv)
+    if args.cmd == "plan":
+        return _run_plan(args)
     if args.cmd == "run":
         return _run_workflow(args)
     if args.cmd == "refresh":

@@ -108,6 +108,17 @@ register(
         "makes the retention rollup expressible in workflow JSON",
     )
 )
+register(
+    Kernel(
+        "bucket_align",
+        expr=lambda c, seconds=7 * 86400: (
+            F.floor(c[0] / F.lit(int(seconds))) * F.lit(int(seconds))
+        ).cast("long"),
+        doc="align an epoch-seconds LONG to a coarser bucket — the "
+        "with_part partition derivation (iceberg_layout.with_part) "
+        "for workflow specs writing tier sinks",
+    )
+)
 
 # ------------------------------------------------------------ aggregates
 # usable by roll (over a window frame), table aggregate, column aggregate

@@ -314,11 +314,12 @@ def window_aggregate(
             exprs.append(k.agg(cols, **spec.get("model", {})).alias(name))
         else:
             exprs.append(_pandas_agg_udf(k, spec.get("model"))(*cols).alias(name))
-    win = (
-        F.window(F.col(ts), duration, slide)
-        if slide
-        else F.window(F.col(ts), duration)
-    )
+    tcol = F.col(ts)
+    if dict(df.dtypes).get(ts) in ("bigint", "int", "smallint", "tinyint"):
+        # epoch-seconds bucket columns (tier outputs) re-aggregate
+        # directly: whole-second window starts make the round-trip exact
+        tcol = tcol.cast("timestamp")
+    win = F.window(tcol, duration, slide) if slide else F.window(tcol, duration)
     out = df.groupBy(win.alias("__w__"), *keys).agg(*exprs)
     return out.select(
         F.unix_timestamp(F.col("__w__.start")).alias(bucket_col),

@@ -220,6 +220,11 @@ def _table_deps(tdef: dict) -> set[str]:
                 deps.add(c["linked_table"])
             elif cop == "aggregate":
                 deps.add(c["fact_table"])
+    # explicit ordering for side-effect chains the data flow can't
+    # express (a tier `source` reading a tier `sink`'s root goes
+    # through the filesystem, not through a table reference)
+    after = tdef.get("after", [])
+    deps.update([after] if isinstance(after, str) else after)
     deps.discard(tdef["id"])
     return deps
 
@@ -508,6 +513,32 @@ class Workflow:
         if op == "source":
             if tdef.get("stream"):
                 return self._stream_source(tdef)
+            if tdef.get("format") == "tier":
+                # snapshot-isolated read of an Iceberg-layout table,
+                # with optional manifest-stat file pruning. Two forms:
+                # `tier: "1h"` reads a retention-pipeline root (path =
+                # --out of retention/refresh; supports read-time
+                # gap-fill); no/empty `tier` reads a table root
+                # directly (e.g. one written by a tier sink).
+                prune = tdef.get("prune")
+                if prune:
+                    prune = {
+                        c: tuple(v) if isinstance(v, list) else v
+                        for c, v in prune.items()
+                    }
+                tier = tdef.get("tier", "1h")
+                if tier:
+                    from lambdo_spark.rollup.incremental import read_finalized_tier
+
+                    return read_finalized_tier(
+                        self.spark, tdef["path"], tier,
+                        gapfill=bool(tdef.get("gapfill", False)), prune=prune,
+                    )
+                from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+                return IcebergLayoutTable(tdef["path"]).read_tier(
+                    self.spark, prune=prune
+                )
             df = T.source(
                 self.spark, tdef.get("format", "parquet"), tdef["path"],
                 tdef.get("options"),
@@ -698,6 +729,20 @@ class Workflow:
             # here an eager parquet/csv write, returning the source
             src = self.tables[tdef["source"]]
             fmt = tdef.get("format", "parquet")
+            if fmt == "tier":
+                # checkpointed Iceberg-layout write: resumable, MVCC
+                # snapshot, per-partition lineage + file column stats.
+                # `part_col` must exist (use with_part upstream or any
+                # string-able column); re-running the workflow skips
+                # committed partitions.
+                from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+                IcebergLayoutTable(tdef["path"]).write_tier(
+                    src,
+                    part_col=tdef.get("part_col", "part"),
+                    input_snapshot=tdef.get("input_snapshot", f"workflow:{tdef['source']}"),
+                )
+                return src
             out = src.coalesce(1) if tdef.get("single_file") else src
             w = out.write.mode(tdef.get("mode", "overwrite"))
             if fmt == "csv":

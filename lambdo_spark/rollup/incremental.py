@@ -354,7 +354,11 @@ def refresh_from_pages(
 
 
 def read_finalized_tier(
-    spark: SparkSession, root: str, tier_name: str, gapfill: bool = False
+    spark: SparkSession,
+    root: str,
+    tier_name: str,
+    gapfill: bool = False,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Committed snapshot view of an incrementally-maintained tier.
 
@@ -364,10 +368,18 @@ def read_finalized_tier(
     cannot be maintained incrementally (a delta that extends a key's
     max bucket would need gap rows inserted across arbitrarily many
     *unaffected* old partitions) and inflate tier storage ~10×.
+
+    ``prune`` ({col: (lo, hi)} or {col: value}, e.g.
+    ``{"bucket_s": (t0, t1)}`` or ``{"url": u}``) skips data files via
+    the manifest column stats recorded at write time — a per-url or
+    time-range read touches only the files whose min/max ranges can
+    match, with the range re-applied as a residual predicate (exact
+    results; see ``IcebergLayoutTable.plan_files``). Gap-fill then
+    densifies only the surviving keys' series.
     """
     from lambdo_spark.rollup.tiers import gap_fill
 
-    df = _tier_table(root, tier_name).read_tier(spark).drop("part")
+    df = _tier_table(root, tier_name).read_tier(spark, prune=prune).drop("part")
     if gapfill:
         df = gap_fill(df, TIER_SECONDS[tier_name])
     return df

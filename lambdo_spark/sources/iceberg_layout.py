@@ -61,10 +61,19 @@ def _read_json(path: str) -> dict | None:
 
 
 class IcebergLayoutTable:
-    def __init__(self, root: str, sort_order: tuple[str, ...] = ("url", "bucket_s")):
+    def __init__(
+        self,
+        root: str,
+        sort_order: tuple[str, ...] = ("url", "bucket_s"),
+        cluster_writes: bool = True,
+    ):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "metadata")
+        # cluster_writes=False keeps the caller's partitioning (files
+        # land as tasks emit them — the small-file regime compact_parts
+        # exists for, and what streaming micro-batches produce)
+        self.cluster_writes = cluster_writes
         # write clustering (Iceberg's write.distribution-mode=hash +
         # sort-order analog): columns present in the frame are used to
         # sort rows WITHIN each output file, after a REBALANCE shuffle
@@ -111,9 +120,7 @@ class IcebergLayoutTable:
     def lineage(self) -> list[dict]:
         out = []
         for p, v in sorted(self.part_versions().items()):
-            m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json"))
-            if m is None:  # pre-MVCC manifest name
-                m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}.json"))
+            m = self._manifest(p, v)
             if m:
                 out.append(m)
         return out
@@ -232,10 +239,11 @@ class IcebergLayoutTable:
         # per-part), then an in-task sort clusters row groups on the
         # table sort order — content is unchanged (lineage hashes are
         # order-insensitive bit_xor)
-        pending = pending.hint("rebalance", part_col)
-        sort_cols = [c for c in self.sort_order if c in pending.columns]
-        if sort_cols:
-            pending = pending.sortWithinPartitions(part_col, *sort_cols)
+        if self.cluster_writes:
+            pending = pending.hint("rebalance", part_col)
+            sort_cols = [c for c in self.sort_order if c in pending.columns]
+            if sort_cols:
+                pending = pending.sortWithinPartitions(part_col, *sort_cols)
         # dynamic overwrite touches only (part, snapv=version) dirs:
         # never any committed version (ids strictly increase), but a
         # crashed attempt at THIS version is clobbered -> idempotent
@@ -257,28 +265,68 @@ class IcebergLayoutTable:
             for c, t in written.dtypes
             if c not in (part_col, "snapv")
         ]
-        stats = {
-            str(r["p"]): r
-            for r in written.select(
+        # Iceberg-manifest column stats: per-FILE min/max of the sort-
+        # order columns, gathered in the SAME aggregation pass as the
+        # lineage hash (group by file instead of part; part totals are
+        # derived driver-side — sums and xors are associative). The
+        # stats feed plan_files() scan pruning: a per-url or time-range
+        # read skips whole files before Spark ever lists them, which at
+        # 10^12 rows is the difference between touching ~1 file per
+        # (part, url-range) and scanning every file of every part.
+        simple = {c: t for c, t in written.dtypes}
+        stat_cols = [
+            c for c in self.sort_order
+            if c in simple and not simple[c].startswith(("map", "struct", "array", "binary"))
+        ]
+        stat_aggs = []
+        for c in stat_cols:
+            col = F.col(c)
+            if simple[c] not in ("int", "bigint", "smallint", "tinyint", "double", "float"):
+                col = col.cast("string")  # JSON-safe; ISO timestamps sort lexically
+            stat_aggs += [F.min(col).alias(f"_min_{c}"), F.max(col).alias(f"_max_{c}")]
+        per_file = (
+            written.select(
                 F.col(part_col).cast("string").alias("p"),
+                F.input_file_name().alias("f"),
                 F.xxhash64(*hashable).alias("_h"),
+                *[F.col(c) for c in stat_cols],
             )
-            .groupBy("p")
+            .groupBy("p", "f")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.expr("bit_xor(_h)").alias("value_hash"),
+                *stat_aggs,
             )
             .collect()
-        }
+        )
+        by_part: dict[str, list] = {}
+        for r in per_file:
+            by_part.setdefault(str(r["p"]), []).append(r)
+        prefix = "file://" + os.path.abspath(self.data_dir) + "/"
         for p in missing:
-            s = stats.get(p)
+            frs = by_part.get(p, [])
+            vh = 0
+            for r in frs:
+                vh ^= int(r["value_hash"])
+            files = [
+                {
+                    "path": (r["f"][len(prefix):] if r["f"].startswith(prefix)
+                             else r["f"].split("/data/", 1)[-1]),
+                    "rows": int(r["rows"]),
+                    "stats": {
+                        c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stat_cols
+                    },
+                }
+                for r in sorted(frs, key=lambda r: r["f"])
+            ]
             _atomic_write_json(
                 os.path.join(self.meta_dir, f"manifest-{p}-v{version}.json"),
                 {
                     "part": p,
                     "version": version,
-                    "rows": int(s["rows"]) if s else 0,
-                    "value_hash": int(s["value_hash"]) if s else 0,
+                    "rows": sum(int(r["rows"]) for r in frs),
+                    "value_hash": vh,
+                    "files": files,
                     "wall_time_share_s": wall / len(missing),
                     "input_snapshot": input_snapshot,
                     "written_at": time.time(),
@@ -331,13 +379,122 @@ class IcebergLayoutTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def _manifest(self, p: str, v: int) -> dict | None:
+        m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json"))
+        if m is None:  # pre-MVCC manifest name
+            m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}.json"))
+        return m
+
+    @staticmethod
+    def _normalize_prune(prune: dict) -> dict[str, tuple]:
+        out = {}
+        for c, rng in prune.items():
+            if isinstance(rng, (tuple, list)):
+                out[c] = (rng[0], rng[1])
+            else:
+                out[c] = (rng, rng)
+        return out
+
+    @staticmethod
+    def _overlaps(stats: dict, prune: dict[str, tuple]) -> bool:
+        for c, (lo, hi) in prune.items():
+            if c not in stats:
+                continue  # no stats for this column → cannot skip
+            mn, mx = stats[c]
+            if mn is None or mx is None:
+                continue
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        return True
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        prune: dict | None = None,
+    ) -> dict:
+        """Iceberg scan planning over manifest column stats: resolve
+        the snapshot's (part, version) set, skip every data file whose
+        per-file min/max ranges (recorded at write time for the table
+        sort-order columns) cannot overlap ``prune``, and return the
+        surviving absolute file paths — metadata-only, no Spark job.
+
+        ``prune``: ``{col: (lo, hi)}`` inclusive ranges (``None`` bound
+        = open) or ``{col: value}`` for equality. Unknown columns and
+        stat-less legacy manifests are kept (never unsound).
+
+        Returns ``{"files", "legacy_dirs", "total_files",
+        "skipped_files", "skipped_parts", "part_col"}``.
+        """
+        snap = (
+            self.current_snapshot() if snapshot_id is None
+            else self.snapshot(snapshot_id)
+        )
+        if snap is None:
+            raise FileNotFoundError(
+                f"no snapshot {'CURRENT' if snapshot_id is None else snapshot_id} "
+                f"in {self.meta_dir}"
+            )
+        part_col = snap.get("part_col", "part")
+        rng = self._normalize_prune(prune or {})
+        files: list[str] = []
+        legacy_dirs: dict[str, int] = {}
+        total = skipped = skipped_parts = 0
+        for p, v in sorted(snap["parts"].items()):
+            m = self._manifest(p, v) or {}
+            part_prune = dict(rng)
+            if part_col in part_prune:
+                lo, hi = part_prune.pop(part_col)
+                bound = lo if lo is not None else hi
+                try:  # compare in the bound's type (parts are strings)
+                    pv = type(bound)(p) if bound is not None else p
+                except (TypeError, ValueError):
+                    pv = None  # incomparable → keep the part
+                if pv is not None and (
+                    (lo is not None and pv < lo) or (hi is not None and pv > hi)
+                ):
+                    skipped_parts += 1
+                    total += len(m.get("files", []))
+                    skipped += len(m.get("files", []))
+                    continue
+            frs = m.get("files")
+            if frs is None:  # legacy manifest without file stats
+                legacy_dirs[p] = v
+                continue
+            # frs == [] means a committed-empty part: nothing to read
+            total += len(frs)
+            kept = [
+                fr for fr in frs if self._overlaps(fr.get("stats", {}), part_prune)
+            ]
+            skipped += len(frs) - len(kept)
+            if not kept:
+                skipped_parts += 1
+            files += [os.path.join(self.data_dir, fr["path"]) for fr in kept]
+        return {
+            "files": files,
+            "legacy_dirs": legacy_dirs,
+            "total_files": total,
+            "skipped_files": skipped,
+            "skipped_parts": skipped_parts,
+            "part_col": part_col,
+        }
+
     def read_tier(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        prune: dict | None = None,
     ) -> DataFrame:
         """Snapshot-isolated view: exactly the partition versions the
         (current or time-travel) snapshot committed, read as explicit
         directories — partition pruning by construction, and immune to
-        concurrent rewrites of newer versions."""
+        concurrent rewrites of newer versions.
+
+        ``prune`` ({col: (lo, hi)} or {col: value}) additionally skips
+        data files via manifest column stats (:meth:`plan_files`) and
+        applies the same range as a residual WHERE — exact results,
+        with IO proportional to the files that can match."""
         snap = (
             self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         )
@@ -347,7 +504,96 @@ class IcebergLayoutTable:
                 f"in {self.meta_dir}"
             )
         part_col = snap.get("part_col", "part")
-        return self._read_versions(spark, snap["parts"], part_col).drop("snapv")
+        if not prune:
+            return self._read_versions(spark, snap["parts"], part_col).drop("snapv")
+        plan = self.plan_files(snapshot_id, prune)
+        dfs = []
+        if plan["files"]:
+            dfs.append(
+                spark.read.option("basePath", self.data_dir).parquet(*plan["files"])
+            )
+        if plan["legacy_dirs"]:
+            dfs.append(self._read_versions(spark, plan["legacy_dirs"], part_col))
+        if not dfs:
+            out = self._read_versions(spark, snap["parts"], part_col).limit(0)
+        else:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+        out = out.drop("snapv") if "snapv" in out.columns else out
+        # residual predicate: stats pruning is IO-elision only; the
+        # range itself is enforced on the surviving rows (Iceberg's
+        # residual evaluation), so results are exact even where stats
+        # are missing or coarse
+        for c, (lo, hi) in self._normalize_prune(prune).items():
+            if c not in out.columns:
+                continue
+            if lo is not None:
+                out = out.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.where(F.col(c) <= F.lit(hi))
+        return out
+
+    # ----------------------------------------------------------- changes
+    def changed_parts(self, from_snapshot: int, to_snapshot: int | None = None) -> dict:
+        """Metadata-only diff of two snapshots: which partitions were
+        added / rewritten / removed between them (Iceberg incremental-
+        scan planning). No Spark job."""
+        a = self.snapshot(from_snapshot)
+        b = (
+            self.current_snapshot() if to_snapshot is None
+            else self.snapshot(to_snapshot)
+        )
+        if a is None or b is None:
+            raise FileNotFoundError(
+                f"snapshot missing: {from_snapshot} or {to_snapshot} in {self.meta_dir}"
+            )
+        pa, pb = a["parts"], b["parts"]
+        return {
+            "added": sorted(p for p in pb if p not in pa),
+            "rewritten": sorted(p for p in pb if p in pa and pb[p] != pa[p]),
+            "removed": sorted(p for p in pa if p not in pb),
+            "from_parts": pa,
+            "to_parts": pb,
+            "part_col": b.get("part_col", a.get("part_col", "part")),
+        }
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        change_col: str = "_change",
+    ) -> DataFrame:
+        """Row-level changes between two snapshots as a DataFrame with
+        ``_change`` ∈ {insert, delete} (an update = delete + insert).
+
+        IO and shuffle are bounded by the CHANGED partitions only —
+        unchanged partitions (same version in both snapshots) are never
+        read, so a delta that touched 3 of 50,000 weekly parts diffs 3.
+        Within a rewritten partition the row diff is two ``exceptAll``
+        passes (new∖old = inserts, old∖new = deletes), which is exact
+        under duplicate rows. This is the no-jar analog of Iceberg's
+        ``incremental read`` / changelog scan."""
+        ch = self.changed_parts(from_snapshot, to_snapshot)
+        part_col = ch["part_col"]
+        ins_parts = {p: ch["to_parts"][p] for p in ch["added"] + ch["rewritten"]}
+        del_parts = {p: ch["from_parts"][p] for p in ch["removed"] + ch["rewritten"]}
+        new = self._read_versions(spark, ins_parts, part_col).drop("snapv")
+        old = self._read_versions(spark, del_parts, part_col).drop("snapv")
+        # map columns are not comparable in set ops → diff on sorted
+        # entry arrays (deterministic), restore the map type after
+        map_cols = [c for c, t in new.dtypes if t.startswith("map<")]
+        for c in map_cols:
+            srt = F.sort_array(F.map_entries(F.col(c)))
+            new = new.withColumn(c, srt)
+            old = old.withColumn(c, srt)
+        inserts = new.exceptAll(old).withColumn(change_col, F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn(change_col, F.lit("delete"))
+        out = inserts.unionByName(deletes)
+        for c in map_cols:
+            out = out.withColumn(c, F.map_from_entries(F.col(c)))
+        return out
 
     # -------------------------------------------------------- maintenance
     def compact_parts(

@@ -310,3 +310,61 @@ def test_holistic_kernels_and_fillna(spark):
     got = cw(spec, spark, data)["t"].toPandas().sort_values(["g", "i"])
     assert got["med"].tolist() == [-1.0, -1.0, 2.0, -1.0]
     assert got["q75"].tolist() == [3.5, 3.5, 3.5, 4.0]
+
+
+def test_tier_source_reads_pipeline_output(spark, tmp_path):
+    """format:"tier" source — workflows consume retention-pipeline
+    outputs with snapshot isolation, optional prune + gapfill."""
+    from lambdo_spark.plans.compiler import Workflow
+    from lambdo_spark.rollup.incremental import read_finalized_tier
+    from lambdo_spark.rollup.pipeline import run_retention_pipeline
+    from lambdo_spark.sources.pages import generate_pages
+
+    root = str(tmp_path / "tiers")
+    run_retention_pipeline(spark, generate_pages(spark, 1500, seed=9), root)
+    direct = read_finalized_tier(spark, root, "1h")
+    lo = direct.agg({"bucket_s": "min"}).first()[0]
+    hi = lo + 14 * 86400
+
+    spec = {"tables": [
+        {"id": "t1h", "operation": "source", "format": "tier",
+         "path": root, "tier": "1h",
+         "prune": {"bucket_s": [lo, hi]}},
+        {"id": "daily", "operation": "aggregate", "source": "t1h",
+         "keys": ["url"],
+         "aggregations": [
+             {"id": "n_total", "kernel": "sum", "inputs": ["n_points"]}
+         ]},
+    ]}
+    got = Workflow(spec, spark).execute()
+    want = (
+        direct.where((direct.bucket_s >= lo) & (direct.bucket_s <= hi))
+        .groupBy("url").agg({"n_points": "sum"})
+    )
+    assert got["t1h"].count() == direct.where(
+        (direct.bucket_s >= lo) & (direct.bucket_s <= hi)
+    ).count()
+    assert got["daily"].count() == want.count()
+
+
+def test_tier_sink_checkpointed_write(spark, tmp_path):
+    """sink with format:"tier" — resumable Iceberg-layout write from
+    the workflow language; second execution skips committed parts."""
+    from lambdo_spark.plans.compiler import Workflow
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "wf_tier")
+    data = {"src": spark.createDataFrame(
+        [("u1", 0, 3), ("u1", 604800, 4), ("u2", 0, 5)],
+        "url string, part long, n long")}
+    spec = {"tables": [
+        {"id": "src", "operation": "data"},
+        {"id": "out", "operation": "sink", "source": "src",
+         "format": "tier", "path": root},
+    ]}
+    Workflow(spec, spark, data).execute()
+    t = IcebergLayoutTable(root)
+    assert t.read_tier(spark).count() == 3
+    assert sorted(t.part_versions()) == ["0", "604800"]
+    snap2 = Workflow(spec, spark, data).execute() and t.current_snapshot()
+    assert snap2["new_parts"] == []  # resumed, nothing rewritten

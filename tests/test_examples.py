@@ -287,3 +287,38 @@ def test_reference_example5_runs_unmodified(spark, tmp_path):
     assert set(got.columns) == set(want.columns)
     for c in ("diff_high_low", "Close_Tomorrow", "mean_Volume_0", "mean_Volume_2"):
         assert got[c].round(4).equals(want[c].round(4)), c
+
+
+def test_continuous_tiers_example(spark):
+    """Tier sink + pruned tier source, end-to-end declaratively: the
+    daily table re-aggregates exactly the pruned hourly partials."""
+    import shutil
+
+    shutil.rmtree("/tmp/lambdo_example_tiers", ignore_errors=True)
+    tables = Workflow(_load("continuous_tiers.json"), spark).execute()
+
+    hourly = tables["hourly"].toPandas()
+    recent = tables["hourly_recent"].toPandas()
+    lo, hi = 1704067200, 1705276799
+    in_range = hourly[(hourly.bucket_s >= lo) & (hourly.bucket_s <= hi)]
+    assert len(recent) == len(in_range) > 0
+    assert len(recent) < len(hourly)  # the prune actually cut files
+
+    daily = tables["daily"].toPandas()
+    want = (
+        in_range.assign(day_s=(in_range.bucket_s // 86400) * 86400)
+        .groupby(["day_s", "event_type"], as_index=False)
+        .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+    )
+    got = daily.sort_values(["day_s", "event_type"]).reset_index(drop=True)
+    want = want.sort_values(["day_s", "event_type"]).reset_index(drop=True)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert abs(got["sum_value"] - want["sum_value"]).max() < 1e-6
+
+    # resumable: a second execution commits zero new partitions
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    Workflow(_load("continuous_tiers.json"), spark).execute()
+    assert IcebergLayoutTable("/tmp/lambdo_example_tiers").current_snapshot()[
+        "new_parts"
+    ] == []

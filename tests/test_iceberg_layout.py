@@ -242,7 +242,9 @@ def test_compaction_preserves_content_hash(spark, tmp_path):
     from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
 
     root = str(tmp_path / "t3")
-    t = IcebergLayoutTable(root)
+    # cluster_writes=False: the small-file regime compaction exists for
+    # (streaming micro-batches / foreign writers land one file per task)
+    t = IcebergLayoutTable(root, cluster_writes=False)
     df = spark.createDataFrame(
         [(p, i, f"v{p}_{i}") for p in (1, 2) for i in range(200)],
         "part long, k long, v string",
@@ -265,3 +267,122 @@ def test_compaction_preserves_content_hash(spark, tmp_path):
         assert len(files) == 1, files
     assert t.read_tier(spark).count() == 400
     assert t.read_tier(spark, snapshot_id=s1["snapshot_id"]).count() == 400
+
+
+def test_manifest_file_stats_and_scan_pruning(spark, tmp_path):
+    """Manifests record per-file min/max of the sort-order columns;
+    plan_files/read_tier(prune=...) skip non-overlapping files and
+    parts metadata-only, and the pruned read equals the full read
+    filtered (residual predicate keeps it exact)."""
+    pages = generate_pages(spark, 4000, seed=3)
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    t.write_tier(tier)
+
+    lin = t.lineage()
+    assert all(m.get("files") for m in lin)
+    for m in lin:
+        assert sum(f["rows"] for f in m["files"]) == m["rows"]
+        for fr in m["files"]:
+            assert set(fr["stats"]) == {"url", "bucket_s"}
+            lo, hi = fr["stats"]["bucket_s"]
+            assert lo <= hi
+
+    # pick a bucket_s range covering ~one part
+    parts = sorted(int(p) for p in t.part_versions())
+    lo, hi = parts[1], parts[1] + 7 * 86400 - 1
+    plan = t.plan_files(prune={"bucket_s": (lo, hi)})
+    assert plan["skipped_files"] > 0
+    assert len(plan["files"]) < plan["total_files"]
+
+    pruned = t.read_tier(spark, prune={"bucket_s": (lo, hi)})
+    full = t.read_tier(spark).where(
+        (F.col("bucket_s") >= lo) & (F.col("bucket_s") <= hi)
+    )
+    assert len(pruned.inputFiles()) < len(t.read_tier(spark).inputFiles())
+    a = sorted(pruned.collect())
+    b = sorted(full.collect())
+    assert a == b and len(a) > 0
+
+    # part-col equality prune: one part's files only
+    p0 = str(parts[0])
+    plan0 = t.plan_files(prune={"part": int(p0)})
+    assert all(f"part={p0}/" in f for f in plan0["files"])
+    assert t.read_tier(spark, prune={"part": int(p0)}).count() == (
+        t.read_tier(spark).where(F.col("part") == int(p0)).count()
+    )
+
+    # url prune: string-stat overlap, still exact
+    one_url = tier.select("url").first()[0]
+    pr = t.read_tier(spark, prune={"url": one_url})
+    assert pr.count() == t.read_tier(spark).where(F.col("url") == one_url).count()
+
+
+def test_scan_pruning_legacy_manifest_fallback(spark, tmp_path):
+    """Manifests without a files list (pre-stats layout) are read in
+    full — pruning must degrade to correct, never to dropped rows."""
+    import json
+
+    pages = generate_pages(spark, 1000, seed=5)
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    t.write_tier(tier)
+    # strip the files key from every manifest, simulating old metadata
+    for name in os.listdir(t.meta_dir):
+        if name.startswith("manifest-"):
+            p = os.path.join(t.meta_dir, name)
+            with open(p) as f:
+                m = json.load(f)
+            m.pop("files", None)
+            with open(p, "w") as f:
+                json.dump(m, f)
+    plan = t.plan_files(prune={"bucket_s": (0, 1)})
+    assert plan["files"] == [] and plan["legacy_dirs"]
+    got = t.read_tier(spark, prune={"bucket_s": (0, 10**12)})
+    assert got.count() == tier.count()
+
+
+def test_read_changes_between_snapshots(spark, tmp_path):
+    """Incremental (CDC) read: diff two snapshots reading ONLY changed
+    partitions; inserts/deletes reconstruct the new view from the old."""
+    pages = generate_pages(spark, 2000, seed=11)
+    tier = with_part(finalize(partials_from_pages(pages, 3600)))
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    s0 = t.write_tier(tier)["snapshot_id"]
+
+    # rewrite one partition with perturbed rows + add a synthetic part
+    parts = sorted(t.part_versions())
+    p0 = parts[0]
+    mod = (
+        t.read_tier(spark)
+        .where(F.col("part") == int(p0))
+        .withColumn("n_points", F.col("n_points") + F.lit(1))
+    )
+    s1 = t.overwrite_parts(mod, [p0])["snapshot_id"]
+
+    ch = t.changed_parts(s0, s1)
+    assert ch["rewritten"] == [p0] and ch["added"] == [] and ch["removed"] == []
+
+    changes = t.read_changes(spark, s0, s1)
+    # every change row belongs to the rewritten part — no unchanged
+    # partition was read (plan-level: inputFiles stay within part=p0)
+    assert all(f"part={p0}/" in f for f in changes.inputFiles())
+    pdf = changes.toPandas()
+    n_ins = (pdf["_change"] == "insert").sum()
+    n_del = (pdf["_change"] == "delete").sum()
+    old_rows = mod.count()
+    assert n_ins == old_rows and n_del == old_rows  # every row's n changed
+
+    # old snapshot + changes == new snapshot (apply deletes, add
+    # inserts; lang_hist dropped — set ops reject map columns, and
+    # read_changes itself already diffs maps via sorted entries)
+    old = t.read_tier(spark, snapshot_id=s0).drop("lang_hist")
+    new = t.read_tier(spark, snapshot_id=s1).drop("lang_hist")
+    ins = changes.where("_change = 'insert'").drop("_change", "lang_hist")
+    dels = changes.where("_change = 'delete'").drop("_change", "lang_hist")
+    rebuilt = old.exceptAll(dels).unionByName(ins)
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0

@@ -121,7 +121,13 @@ def compress_tier(
     return prepared.mapInPandas(kernel, schema=_compressed_schema(tier))
 
 
-def decompress_tier(compressed: DataFrame, value_col: str = "value") -> DataFrame:
+def decompress_tier(
+    compressed: DataFrame,
+    value_col: str = "value",
+    bucket_range: tuple[int | None, int | None] | None = None,
+    chunk_buckets: int = 4096,
+    tier_seconds: int = 3600,
+) -> DataFrame:
     """Inverse of :func:`compress_tier`: blobs → (url, bucket_s, value)
     point rows — the read path for time-travel / backfill queries over
     compressed retention data.
@@ -134,8 +140,28 @@ def decompress_tier(compressed: DataFrame, value_col: str = "value") -> DataFram
     Gorilla XOR on the float64 bit pattern), so the round trip is exact
     — pinned bit-for-bit by tests and, end-to-end, by the
     ``compressed_roundtrip`` DuckDB oracle query.
+
+    ``bucket_range=(lo, hi)`` (inclusive, ``None`` = open end) prunes
+    chunks BEFORE any Python decode: the chunk id is
+    ``floor(bucket_s / (chunk_buckets * tier_seconds))``, so chunks
+    partition bucket space and a pure-JVM predicate on ``chunk``
+    eliminates non-overlapping blobs at scan time (reading one day
+    from a years-deep compressed table decodes ~1 chunk per url, not
+    the table). ``chunk_buckets``/``tier_seconds`` must match the
+    :func:`compress_tier` call that built the table (same defaults).
+    The exact range is re-applied to the decoded rows — chunks only
+    bound the range, points inside a boundary chunk are filtered.
     """
     from lambdo_spark.functions.compress import decode_timestamps, decode_values
+
+    lo = hi = None
+    if bucket_range is not None:
+        lo, hi = bucket_range
+        span = chunk_buckets * tier_seconds
+        if lo is not None:
+            compressed = compressed.where(F.col("chunk") >= lo // span)
+        if hi is not None:
+            compressed = compressed.where(F.col("chunk") <= hi // span)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -156,6 +182,11 @@ def decompress_tier(compressed: DataFrame, value_col: str = "value") -> DataFram
             )
 
     key_type = dict(compressed.dtypes)["url"]
-    return compressed.mapInPandas(
+    out = compressed.mapInPandas(
         kernel, schema=f"url {key_type}, bucket_s long, {value_col} double"
     )
+    if lo is not None:
+        out = out.where(F.col("bucket_s") >= F.lit(lo))
+    if hi is not None:
+        out = out.where(F.col("bucket_s") <= F.lit(hi))
+    return out

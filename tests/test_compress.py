@@ -126,3 +126,46 @@ def test_decompress_tier_roundtrip_distributed(spark):
     assert (got["url"] == exp["url"]).all()
     assert (got["bucket_s"] == exp["bucket_s"]).all()
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()  # exact, not approx
+
+
+def test_decompress_tier_bucket_range_prunes_chunks(spark):
+    """bucket_range prunes chunks JVM-side (fewer blobs reach the
+    Python decoder) and the decoded result equals the full decode
+    filtered — exact at chunk boundaries."""
+    import pandas as pd
+
+    from lambdo_spark.rollup.compress_stage import compress_tier, decompress_tier
+
+    rows = [(u, 3600 * i, float(i) + (0.5 if u == "b" else 0.0))
+            for u in ("a", "b") for i in range(10000)]
+    tier = spark.createDataFrame(rows, "url string, bucket_s long, v double")
+    comp = compress_tier(tier, value_col="v", chunk_buckets=1024).persist()
+    try:
+        n_chunks = comp.count()
+        lo, hi = 3600 * 2000, 3600 * 3000  # inside chunks 1-2 of 0-9
+        pruned = decompress_tier(
+            comp, value_col="v", bucket_range=(lo, hi), chunk_buckets=1024
+        )
+        # chunk predicate is pure JVM: the scan after pruning holds
+        # only overlapping chunks (2 per url of 10 per url)
+        kept = comp.where(
+            (comp.chunk >= lo // (1024 * 3600)) & (comp.chunk <= hi // (1024 * 3600))
+        ).count()
+        assert kept < n_chunks
+        got = pruned.toPandas().sort_values(["url", "bucket_s"]).reset_index(drop=True)
+        exp = (
+            pd.DataFrame(rows, columns=["url", "bucket_s", "v"])
+            .query("@lo <= bucket_s <= @hi")
+            .sort_values(["url", "bucket_s"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 0
+        assert (got["bucket_s"].to_numpy() == exp["bucket_s"].to_numpy()).all()
+        assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+        # open-ended range
+        tail = decompress_tier(
+            comp, value_col="v", bucket_range=(3600 * 9000, None), chunk_buckets=1024
+        ).count()
+        assert tail == 2 * 1000
+    finally:
+        comp.unpersist()

@@ -169,6 +169,23 @@ def load1() -> float:
         return float(f.read().split()[0])
 
 
+def wait_for_quiet(gate: float, timeout_s: float, poll_s: float = 20.0) -> bool:
+    """Block until external load drops below ``gate`` (we are idle
+    between measurements, so load1 ≈ co-tenant load) or ``timeout_s``
+    passes. Measured 2026-08-18: ungated runs under a persistent 3–6
+    core external load read local[8] 2.4–7x slow (151.9–437.4 s for a
+    clean-host 62 s wall) — best-of-N interleaving cannot rescue a
+    window that never happens; gating waits for the window instead."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        l1 = load1()
+        if l1 < gate:
+            return True
+        print(f"load gate: load1={l1:.2f} >= {gate} — waiting", flush=True)
+        time.sleep(poll_s)
+    return False
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         print(json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]))))
@@ -185,10 +202,20 @@ def main() -> None:
     # best run per level (least-contended window), and record the spin
     # ceiling + loadavg around every measurement so a polluted run is
     # visible in the data instead of silently poisoning the ratio.
+    # LOAD_GATE (cores of external load tolerated, e.g. 1.5): wait up
+    # to LOAD_GATE_TIMEOUT seconds for a quiet window before EACH
+    # measurement — on this co-tenant host a persistent multi-core
+    # external load otherwise poisons every high-level wall (see the
+    # contaminated runs in BENCH.md). 0 disables (old behavior).
+    gate = float(os.environ.get("LOAD_GATE", "0"))
+    gate_timeout = float(os.environ.get("LOAD_GATE_TIMEOUT", "1800"))
     runs = {LOW: [], HIGH: []}
     ceilings = []
+    gated_ok = True
     for _ in range(reps):
         for cores in (LOW, HIGH):
+            if gate:
+                gated_ok &= wait_for_quiet(gate, gate_timeout)
             ceilings.append(round(cpu_ceiling(), 3))
             r = subprocess_run(cores, rows)
             r["load1_before"] = load1()
@@ -216,6 +243,8 @@ def main() -> None:
         "efficiency_vs_4x": round(eff, 3),
         "efficiency_vs_hw_ceiling": round(eff_hw, 3),
         "pass_0.8_vs_hw": eff_hw >= 0.8,
+        "load_gate": gate or None,
+        "load_gate_satisfied": gated_ok if gate else None,
     }
     print(json.dumps(result))
     stamp = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
@@ -247,6 +276,11 @@ physical cores) measured by an identical-method spin benchmark:
 N→4N executor cluster the denominator is true 4× hardware; in this
 sandbox the ceiling is what local[8]→local[32] can physically deliver).
 """
+    if gate:
+        block += (
+            f"\nLoad-gated: each measurement waited for external load "
+            f"< {gate} (satisfied: {gated_ok}).\n"
+        )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(block)
 

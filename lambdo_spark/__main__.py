@@ -171,6 +171,10 @@ def _run_maintain(args) -> int:
         if args.expire_keep is not None:
             deleted = t.expire_snapshots(keep_last=args.expire_keep)
             out["expired_version_dirs"] = len(deleted)
+        if args.remove_orphans:
+            out["orphan_dirs_removed"] = len(
+                t.remove_orphans(older_than_s=args.orphan_grace)
+            )
         print(json.dumps(out, indent=1))
         return 0
     finally:
@@ -286,6 +290,12 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--target-files", type=int, default=1)
     mnt.add_argument("--expire-keep", type=int, default=None,
                      help="keep only the N most recent snapshots")
+    mnt.add_argument("--remove-orphans", action="store_true",
+                     help="delete data dirs no snapshot references "
+                     "(crashed attempts, lost commit races)")
+    mnt.add_argument("--orphan-grace", type=float, default=3600.0,
+                     help="seconds a dir must be idle before it counts "
+                     "as orphaned (protects in-flight writers)")
     mnt.add_argument("--master", default=None)
 
     pln = sub.add_parser(

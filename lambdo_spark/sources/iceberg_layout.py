@@ -36,10 +36,18 @@ depends on ``write_tier``/``overwrite_parts``/``read_tier``.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import time
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer rewrote a partition this commit also writes,
+    after this writer's base snapshot was read (Iceberg's commit
+    validation failure). The losing writer's data files are orphans in
+    their own ``snapv`` directory — committed data is untouched."""
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -129,26 +137,108 @@ class IcebergLayoutTable:
         snap = self.current_snapshot()
         return (snap["snapshot_id"] + 1) if snap else 0
 
+    def _claim_version(self) -> int:
+        """Atomically claim a unique data-version id (O_EXCL marker):
+        concurrent writers land data in DISTINCT ``snapv`` directories,
+        so a lost commit race leaves orphan files — never a mixed or
+        clobbered partition directory. Version ids are a separate
+        namespace from snapshot ids (the parts map carries the actual
+        version per partition)."""
+        n = self._next_snapshot_id()
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(self.meta_dir, f"version-{n}.claim"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return n
+            except FileExistsError:
+                n += 1
+
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout_s: float = 30.0, stale_s: float = 120.0):
+        """Filesystem mutex for the read-validate-write commit section
+        (the CAS primitive a real Iceberg catalog provides). Stale
+        locks (a writer that died mid-commit) are broken after
+        ``stale_s``."""
+        path = os.path.join(self.meta_dir, "COMMIT.lock")
+        t0 = time.time()
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # raced with a release — retry
+                if age > stale_s:
+                    with contextlib.suppress(OSError):
+                        os.remove(path)
+                    continue
+                if time.time() - t0 > timeout_s:
+                    raise TimeoutError(f"commit lock busy > {timeout_s}s: {path}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(path)
+
     # snapshot-level application state (e.g. the exactly-once
     # applied-delta ledger) must survive maintenance commits like
     # compaction — these keys carry forward unless explicitly replaced
     CARRIED_EXTRA_KEYS = ("applied_deltas", "pending")
 
-    def _commit(self, parts: dict[str, int], extra: dict) -> dict:
-        n = self._next_snapshot_id()
-        prev = self.current_snapshot() or {}
-        carried = {k: prev[k] for k in self.CARRIED_EXTRA_KEYS if k in prev}
-        new = {
-            "snapshot_id": n,
-            "parts": parts,
-            "committed_at": time.time(),
-            **carried,
-            **extra,
-        }
-        name = f"snapshot-{n}.json"
-        _atomic_write_json(os.path.join(self.meta_dir, name), new)
-        _atomic_write_json(os.path.join(self.meta_dir, "CURRENT"), {"snapshot": name})
-        return new
+    def _commit(
+        self,
+        parts: dict[str, int],
+        extra: dict,
+        update: dict[str, int] | None = None,
+        base_versions: dict[str, int] | None = None,
+    ) -> dict:
+        """Commit a new snapshot. Single-writer form: ``parts`` is the
+        full map (as computed by the caller). Optimistic-concurrency
+        form (``update`` given): under the commit lock, re-read the
+        LATEST snapshot, validate that no partition in ``update``
+        changed since ``base_versions`` was read (raise
+        :class:`ConcurrentWriteConflict` otherwise — Iceberg's commit
+        validation), and merge ``update`` onto the latest parts map —
+        concurrent writers to disjoint partitions all land."""
+        with self._commit_lock():
+            prev = self.current_snapshot() or {}
+            if update is not None:
+                latest = dict(prev.get("parts", {}))
+                if base_versions is not None:
+                    changed = {
+                        p: latest[p]
+                        for p in update
+                        if latest.get(p) != base_versions.get(p)
+                    }
+                    if changed:
+                        raise ConcurrentWriteConflict(
+                            f"partitions rewritten since base snapshot: "
+                            f"{sorted(changed)}"
+                        )
+                parts = {**latest, **update}
+            n = prev.get("snapshot_id", -1) + 1
+            carried = {k: prev[k] for k in self.CARRIED_EXTRA_KEYS if k in prev}
+            new = {
+                "snapshot_id": n,
+                "parts": parts,
+                "committed_at": time.time(),
+                **carried,
+                **extra,
+            }
+            name = f"snapshot-{n}.json"
+            _atomic_write_json(os.path.join(self.meta_dir, name), new)
+            _atomic_write_json(
+                os.path.join(self.meta_dir, "CURRENT"), {"snapshot": name}
+            )
+            return new
 
     # ----------------------------------------------------------------- IO
     def write_tier(
@@ -167,15 +257,17 @@ class IcebergLayoutTable:
             str(r[0]) for r in df.select(part_col).distinct().collect()
         }
         missing = sorted(all_parts - set(versions))
-        version = self._next_snapshot_id()
+        version = self._claim_version()
         self._write_parts(df, missing, version, part_col, input_snapshot)
         return self._commit(
-            {**versions, **{p: version for p in missing}},
+            {},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": missing,
                 "part_col": part_col,
             },
+            update={p: version for p in missing},
+            base_versions=versions,
         )
 
     def overwrite_parts(
@@ -192,16 +284,19 @@ class IcebergLayoutTable:
         snapshot keep a consistent view; only the new snapshot points
         at the new version."""
         parts = sorted({str(p) for p in parts})
-        version = self._next_snapshot_id()
+        base = self.part_versions()
+        version = self._claim_version()
         self._write_parts(df, parts, version, part_col, input_snapshot)
         return self._commit(
-            {**self.part_versions(), **{p: version for p in parts}},
+            {},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": parts,
                 "part_col": part_col,
                 **(extra or {}),
             },
+            update={p: version for p in parts},
+            base_versions=base,
         )
 
     def commit_metadata(self, input_snapshot: str = "", extra: dict | None = None) -> dict:
@@ -244,9 +339,12 @@ class IcebergLayoutTable:
             sort_cols = [c for c in self.sort_order if c in pending.columns]
             if sort_cols:
                 pending = pending.sortWithinPartitions(part_col, *sort_cols)
-        # dynamic overwrite touches only (part, snapv=version) dirs:
-        # never any committed version (ids strictly increase), but a
-        # crashed attempt at THIS version is clobbered -> idempotent
+        # dynamic overwrite touches only (part, snapv=version) dirs —
+        # never any committed version: version ids are CLAIMED
+        # exclusively (_claim_version), so no two writers ever share a
+        # snapv dir; a crashed attempt's files become unreferenced
+        # orphans (remove_orphans GCs them) and the retry lands in a
+        # fresh version -> still idempotent end-state
         (
             pending.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -627,6 +725,62 @@ class IcebergLayoutTable:
         return self.overwrite_parts(
             df, todo, part_col=part_col, input_snapshot="compaction"
         )
+
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """Delete (part, snapv) data directories referenced by NO
+        existing snapshot — leftovers of crashed attempts and lost
+        optimistic-concurrency races (Iceberg's remove_orphan_files).
+        ``older_than_s`` protects in-flight writers: a directory is
+        only an orphan candidate once its newest file is older than
+        the grace period. Also drops version-claim markers strictly
+        below the next snapshot id — ids no future writer can claim
+        (claims always start at the next id and go up)."""
+        live: set[tuple[str, int]] = set()
+        snap_ids = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        for n in snap_ids:
+            s = self.snapshot(n)
+            live |= {(p, v) for p, v in s["parts"].items()}
+        deleted = []
+        now = time.time()
+        if not os.path.isdir(self.data_dir):
+            return deleted
+        for pdir in os.listdir(self.data_dir):
+            if "=" not in pdir:
+                continue
+            p = pdir.split("=", 1)[1]
+            base = os.path.join(self.data_dir, pdir)
+            for vdir in os.listdir(base):
+                if not vdir.startswith("snapv="):
+                    continue
+                v = int(vdir.split("=", 1)[1])
+                if (p, v) in live:
+                    continue
+                d = os.path.join(base, vdir)
+                newest = max(
+                    (os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)),
+                    default=0,
+                )
+                if now - newest > older_than_s:
+                    shutil.rmtree(d)
+                    deleted.append(d)
+        # claim markers below the next snapshot id are unreachable by
+        # any future _claim_version scan — safe to drop (tiny files,
+        # but unbounded growth under heavy contention otherwise)
+        floor = self._next_snapshot_id()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("version-") and f.endswith(".claim"):
+                try:
+                    n = int(f[len("version-") : -len(".claim")])
+                except ValueError:
+                    continue
+                if n < floor:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(self.meta_dir, f))
+        return deleted
 
     # ------------------------------------------------------------ expire
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:

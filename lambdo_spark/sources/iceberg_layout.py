@@ -29,6 +29,23 @@ versions.
 Time travel: ``read_tier(spark, snapshot_id=n)`` reads the exact
 partition-version set snapshot n committed.
 
+**Schema evolution** (field-id based, the Iceberg model): the table
+schema is a list of ``{id, name, type}`` fields stored in immutable
+``metadata/schema-<n>.json`` files; each snapshot carries its
+``schema_id`` and each manifest records the schema its files were
+WRITTEN under. Reads map written columns to the target snapshot's
+schema **by field id** — so ``rename_column`` is a metadata-only
+commit (zero data rewritten, old files keep serving under the new
+name), ``add_column`` back-fills NULL on pre-existing files,
+``widen_column`` (int→bigint chain, float→double) casts at read time,
+and ``drop_column`` projects the column away without touching data
+(re-adding the same name later mints a NEW field id, so dropped data
+never resurrects). Writes auto-merge genuinely new columns into a new
+schema version; incompatible type changes are refused. Evolution
+commits are validated against the base schema id under the commit
+lock, so two concurrent evolutions conflict instead of silently
+clobbering each other.
+
 Where a real Iceberg catalog exists this module is replaced by
 ``df.writeTo(table).overwritePartitions()`` — the pipeline code only
 depends on ``write_tier``/``overwrite_parts``/``read_tier``.
@@ -189,9 +206,13 @@ class IcebergLayoutTable:
                 os.remove(path)
 
     # snapshot-level application state (e.g. the exactly-once
-    # applied-delta ledger) must survive maintenance commits like
-    # compaction — these keys carry forward unless explicitly replaced
-    CARRIED_EXTRA_KEYS = ("applied_deltas", "pending")
+    # applied-delta ledger) and the current schema pointer must survive
+    # maintenance commits like compaction — these keys carry forward
+    # unless explicitly replaced
+    CARRIED_EXTRA_KEYS = ("applied_deltas", "pending", "schema_id")
+
+    # sentinel: "don't validate the schema pointer at commit time"
+    _SCHEMA_UNCHECKED = object()
 
     def _commit(
         self,
@@ -199,6 +220,7 @@ class IcebergLayoutTable:
         extra: dict,
         update: dict[str, int] | None = None,
         base_versions: dict[str, int] | None = None,
+        expect_schema=_SCHEMA_UNCHECKED,
     ) -> dict:
         """Commit a new snapshot. Single-writer form: ``parts`` is the
         full map (as computed by the caller). Optimistic-concurrency
@@ -210,6 +232,18 @@ class IcebergLayoutTable:
         concurrent writers to disjoint partitions all land."""
         with self._commit_lock():
             prev = self.current_snapshot() or {}
+            if expect_schema is not self._SCHEMA_UNCHECKED and (
+                prev.get("schema_id") != expect_schema
+            ):
+                # a concurrent writer/evolver moved the schema pointer
+                # after this writer derived its schema from it —
+                # committing would clobber that evolution (Iceberg's
+                # metadata-version CAS failure). The already-written
+                # schema file / data files are orphans; retry re-derives.
+                raise ConcurrentWriteConflict(
+                    f"schema evolved since base: expected schema_id="
+                    f"{expect_schema}, found {prev.get('schema_id')}"
+                )
             if update is not None:
                 latest = dict(prev.get("parts", {}))
                 if base_versions is not None:
@@ -240,6 +274,208 @@ class IcebergLayoutTable:
             )
             return new
 
+    # -------------------------------------------------------------- schema
+    # integer widening chain + float→double, the Iceberg-allowed
+    # promotions (a wider read type can always represent narrower
+    # written values exactly)
+    _WIDEN_RANK = {
+        "tinyint": ("tinyint", 1), "smallint": ("tinyint", 2),
+        "int": ("tinyint", 3), "bigint": ("tinyint", 4),
+        "float": ("float", 1), "double": ("float", 2),
+    }
+
+    @classmethod
+    def _can_widen(cls, narrow: str, wide: str) -> bool:
+        a, b = cls._WIDEN_RANK.get(narrow), cls._WIDEN_RANK.get(wide)
+        return a is not None and b is not None and a[0] == b[0] and a[1] <= b[1]
+
+    def schema(self, schema_id: int | None = None) -> dict | None:
+        """The table schema (``{"schema_id", "fields", "last_field_id"}``)
+        — current snapshot's by default, or any historical id. ``None``
+        for pre-evolution tables that never registered one."""
+        if schema_id is None:
+            snap = self.current_snapshot()
+            schema_id = snap.get("schema_id") if snap else None
+            if schema_id is None:
+                return None
+        s = _read_json(os.path.join(self.meta_dir, f"schema-{schema_id}.json"))
+        if s is not None:
+            s["schema_id"] = schema_id
+        return s
+
+    def _claim_schema(self, fields: list[dict], last_field_id: int) -> int:
+        """Register an immutable schema file under a unique id
+        (O_EXCL — concurrent claimers land distinct ids; an id whose
+        commit loses the CAS race is just an orphan metadata file)."""
+        ids = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("schema-") and f.endswith(".json")
+        ]
+        n = max(ids, default=-1) + 1
+        body = {"fields": fields, "last_field_id": last_field_id}
+        while True:
+            path = os.path.join(self.meta_dir, f"schema-{n}.json")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                n += 1
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(body, f, indent=1, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            return n
+
+    def _ensure_write_schema(self, df: DataFrame, part_col: str):
+        """Resolve the schema this write lands under. Returns
+        ``(schema_id, expect_schema)`` for :meth:`_commit` —
+        ``expect_schema`` is the base schema id to CAS-validate when
+        this write minted a new schema, or the unchecked sentinel when
+        it reuses the current one (reuse is always safe: manifests
+        record the written id, so field-id mapping stays correct even
+        if the current pointer moves concurrently)."""
+        snap = self.current_snapshot()
+        cur_sid = snap.get("schema_id") if snap else None
+        cur = self.schema(cur_sid) if cur_sid is not None else None
+        data_fields = [
+            (c, t) for c, t in df.dtypes if c not in (part_col, "snapv")
+        ]
+        if cur is None:
+            # first schema for this table, derived from the write
+            fields = [
+                {"id": i + 1, "name": c, "type": t}
+                for i, (c, t) in enumerate(data_fields)
+            ]
+            return self._claim_schema(fields, len(fields)), cur_sid
+        by_name = {f["name"]: f for f in cur["fields"]}
+        out = [dict(f) for f in cur["fields"]]
+        last = cur["last_field_id"]
+        evolved = False
+        for c, t in data_fields:
+            f = by_name.get(c)
+            if f is None:
+                # auto-merge: a genuinely new column gets a fresh id
+                last += 1
+                out.append({"id": last, "name": c, "type": t})
+                evolved = True
+            elif f["type"] != t:
+                if self._can_widen(f["type"], t):
+                    # data wider than table → widen the table type
+                    next(x for x in out if x["id"] == f["id"])["type"] = t
+                    evolved = True
+                elif self._can_widen(t, f["type"]):
+                    pass  # data narrower — read-time cast widens it
+                else:
+                    raise TypeError(
+                        f"incompatible write for column {c!r}: table type "
+                        f"{f['type']}, data type {t} (only "
+                        f"tinyint→smallint→int→bigint and float→double "
+                        f"promotions are allowed)"
+                    )
+        if not evolved:
+            return cur["schema_id"], self._SCHEMA_UNCHECKED
+        return self._claim_schema(out, last), cur_sid
+
+    def _evolve(self, mutate, desc: str) -> dict:
+        """Apply a metadata-only schema change: derive the new field
+        list from the current schema, register it, and commit a
+        snapshot with the same partition versions — CAS-validated
+        against the base schema id."""
+        cur = self.schema()
+        if cur is None:
+            raise FileNotFoundError(
+                "table has no schema yet — write data first (the first "
+                "write registers schema 0 from the written columns)"
+            )
+        fields, last = mutate([dict(f) for f in cur["fields"]], cur["last_field_id"])
+        sid = self._claim_schema(fields, last)
+        snap = self.current_snapshot() or {}
+        return self._commit(
+            dict(snap.get("parts", {})),
+            {
+                "input_snapshot": f"schema-evolution:{desc}",
+                "new_parts": [],
+                "part_col": snap.get("part_col", "part"),
+                "schema_id": sid,
+            },
+            expect_schema=cur["schema_id"],
+        )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only rename: no data file is touched; old files
+        keep serving under the new name via field-id mapping."""
+        def mutate(fields, last):
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} already exists")
+            tgt = [f for f in fields if f["name"] == old]
+            if not tgt:
+                raise KeyError(f"no column {old!r} in current schema")
+            tgt[0]["name"] = new
+            return fields, last
+        return self._evolve(mutate, f"rename {old}->{new}")
+
+    def add_column(self, name: str, dtype: str) -> dict:
+        """Add a column (fresh field id): pre-existing files read as
+        NULL for it. Re-adding a previously dropped name never
+        resurrects old data — the id is new."""
+        def mutate(fields, last):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name!r} already exists")
+            fields.append({"id": last + 1, "name": name, "type": dtype})
+            return fields, last + 1
+        return self._evolve(mutate, f"add {name}:{dtype}")
+
+    def drop_column(self, name: str) -> dict:
+        """Drop a column from the schema — data files untouched,
+        reads project it away."""
+        def mutate(fields, last):
+            kept = [f for f in fields if f["name"] != name]
+            if len(kept) == len(fields):
+                raise KeyError(f"no column {name!r} in current schema")
+            return kept, last
+        return self._evolve(mutate, f"drop {name}")
+
+    def widen_column(self, name: str, dtype: str) -> dict:
+        """Promote a column's type (int chain / float→double); written
+        files keep their narrow physical type and are cast at read."""
+        def mutate(fields, last):
+            tgt = [f for f in fields if f["name"] == name]
+            if not tgt:
+                raise KeyError(f"no column {name!r} in current schema")
+            if not self._can_widen(tgt[0]["type"], dtype):
+                raise TypeError(
+                    f"cannot widen {name}: {tgt[0]['type']} -> {dtype}"
+                )
+            tgt[0]["type"] = dtype
+            return fields, last
+        return self._evolve(mutate, f"widen {name}:{dtype}")
+
+    def _normalize_to_schema(
+        self, df: DataFrame, written: dict | None, target: dict, part_col: str
+    ) -> DataFrame:
+        """Project ``df`` (read with its written column names/types)
+        onto ``target``: rename by field id, cast widened types, NULL-
+        fill fields the written schema lacks, drop fields the target
+        dropped. Pure projection — stays in whole-stage codegen."""
+        cols = [
+            F.col(c) for c in (part_col, "snapv") if c in df.columns
+        ]
+        wrote_by_id = (
+            {f["id"]: f for f in written["fields"]} if written else None
+        )
+        for f in target["fields"]:
+            if wrote_by_id is not None:
+                wf = wrote_by_id.get(f["id"])
+                src = wf["name"] if wf else None
+            else:
+                src = f["name"]
+            if src is not None and src in df.columns:
+                cols.append(F.col(src).cast(f["type"]).alias(f["name"]))
+            else:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        return df.select(*cols)
+
     # ----------------------------------------------------------------- IO
     def write_tier(
         self,
@@ -257,17 +493,20 @@ class IcebergLayoutTable:
             str(r[0]) for r in df.select(part_col).distinct().collect()
         }
         missing = sorted(all_parts - set(versions))
+        schema_id, expect_schema = self._ensure_write_schema(df, part_col)
         version = self._claim_version()
-        self._write_parts(df, missing, version, part_col, input_snapshot)
+        self._write_parts(df, missing, version, part_col, input_snapshot, schema_id)
         return self._commit(
             {},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": missing,
                 "part_col": part_col,
+                "schema_id": schema_id,
             },
             update={p: version for p in missing},
             base_versions=versions,
+            expect_schema=expect_schema,
         )
 
     def overwrite_parts(
@@ -285,18 +524,21 @@ class IcebergLayoutTable:
         at the new version."""
         parts = sorted({str(p) for p in parts})
         base = self.part_versions()
+        schema_id, expect_schema = self._ensure_write_schema(df, part_col)
         version = self._claim_version()
-        self._write_parts(df, parts, version, part_col, input_snapshot)
+        self._write_parts(df, parts, version, part_col, input_snapshot, schema_id)
         return self._commit(
             {},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": parts,
                 "part_col": part_col,
+                "schema_id": schema_id,
                 **(extra or {}),
             },
             update={p: version for p in parts},
             base_versions=base,
+            expect_schema=expect_schema,
         )
 
     def commit_metadata(self, input_snapshot: str = "", extra: dict | None = None) -> dict:
@@ -321,6 +563,7 @@ class IcebergLayoutTable:
         version: int,
         part_col: str,
         input_snapshot: str,
+        schema_id: int | None = None,
     ) -> None:
         spark = df.sparkSession
         if not missing:
@@ -422,6 +665,7 @@ class IcebergLayoutTable:
                 {
                     "part": p,
                     "version": version,
+                    "schema_id": schema_id,
                     "rows": sum(int(r["rows"]) for r in frs),
                     "value_hash": vh,
                     "files": files,
@@ -436,20 +680,32 @@ class IcebergLayoutTable:
         return base if version == -1 else os.path.join(base, f"snapv={version}")
 
     def _read_versions(
-        self, spark: SparkSession, versions: dict[str, int], part_col: str = "part"
+        self,
+        spark: SparkSession,
+        versions: dict[str, int],
+        part_col: str = "part",
+        target_schema: dict | None = None,
     ) -> DataFrame:
         # pre-MVCC parts (version -1) live as loose files directly
         # under part=<p>; once a later MVCC rewrite adds snapv=<v>
         # subdirs there, reading the bare directory would pick up BOTH
-        # — so legacy versions enumerate only the direct files
-        dir_paths: list[str] = []
-        legacy_files: list[str] = []
+        # — so legacy versions enumerate only the direct files.
+        # With ``target_schema`` set, versions are grouped by the
+        # schema their manifests say they were WRITTEN under (one scan
+        # per distinct written schema — a handful at most) and each
+        # group is field-id-normalized to the target before the union;
+        # without it, raw physical columns come back unchanged.
+        dir_groups: dict[object, list[str]] = {}
+        legacy_groups: dict[object, list[str]] = {}
         for p, v in sorted(versions.items()):
             d = self._version_dir(p, v, part_col)
             if not os.path.exists(d):
                 continue
+            key = None
+            if target_schema is not None:
+                key = (self._manifest(p, v) or {}).get("schema_id")
             if v == -1:
-                legacy_files.extend(
+                legacy_groups.setdefault(key, []).extend(
                     sorted(
                         os.path.join(d, f)
                         for f in os.listdir(d)
@@ -458,20 +714,36 @@ class IcebergLayoutTable:
                     )
                 )
             else:
-                dir_paths.append(d)
+                dir_groups.setdefault(key, []).append(d)
+
+        def _norm(df: DataFrame, key) -> DataFrame:
+            if target_schema is None:
+                return df
+            written = self.schema(key) if key is not None else self.schema(0)
+            return self._normalize_to_schema(df, written, target_schema, part_col)
+
         dfs = []
-        if dir_paths:
+        for key, paths in sorted(
+            dir_groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
             dfs.append(
-                spark.read.option("basePath", self.data_dir).parquet(*dir_paths)
+                _norm(spark.read.option("basePath", self.data_dir).parquet(*paths), key)
             )
-        if legacy_files:
+        for key, files in sorted(
+            legacy_groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
+            if not files:
+                continue
             dfs.append(
-                spark.read.option("basePath", self.data_dir)
-                .parquet(*legacy_files)
-                .withColumn("snapv", F.lit(-1))
+                _norm(
+                    spark.read.option("basePath", self.data_dir)
+                    .parquet(*files)
+                    .withColumn("snapv", F.lit(-1)),
+                    key,
+                )
             )
         if not dfs:
-            return spark.read.parquet(self.data_dir).limit(0)
+            return _norm(spark.read.parquet(self.data_dir).limit(0), None)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -543,7 +815,11 @@ class IcebergLayoutTable:
             )
         part_col = snap.get("part_col", "part")
         rng = self._normalize_prune(prune or {})
+        tsid = snap.get("schema_id")
+        target = self.schema(tsid) if tsid is not None else None
+        name_maps: dict[int, dict[str, str]] = {}
         files: list[str] = []
+        files_by_schema: dict[object, list[str]] = {}
         legacy_dirs: dict[str, int] = {}
         total = skipped = skipped_parts = 0
         for p, v in sorted(snap["parts"].items()):
@@ -567,6 +843,21 @@ class IcebergLayoutTable:
             if frs is None:  # legacy manifest without file stats
                 legacy_dirs[p] = v
                 continue
+            wsid = m.get("schema_id")
+            if target is not None and wsid is not None and wsid != tsid:
+                # stats are keyed by WRITTEN column names; after a
+                # rename the caller prunes with the current name — map
+                # it back via field ids so old files still skip
+                nm = name_maps.get(wsid)
+                if nm is None:
+                    ws = self.schema(wsid) or {"fields": []}
+                    by_id = {f["id"]: f["name"] for f in ws["fields"]}
+                    nm = {
+                        f["name"]: by_id.get(f["id"], f["name"])
+                        for f in target["fields"]
+                    }
+                    name_maps[wsid] = nm
+                part_prune = {nm.get(c, c): b for c, b in part_prune.items()}
             # frs == [] means a committed-empty part: nothing to read
             total += len(frs)
             kept = [
@@ -575,9 +866,13 @@ class IcebergLayoutTable:
             skipped += len(frs) - len(kept)
             if not kept:
                 skipped_parts += 1
-            files += [os.path.join(self.data_dir, fr["path"]) for fr in kept]
+            paths = [os.path.join(self.data_dir, fr["path"]) for fr in kept]
+            files += paths
+            if paths:
+                files_by_schema.setdefault(wsid, []).extend(paths)
         return {
             "files": files,
+            "files_by_schema": files_by_schema,
             "legacy_dirs": legacy_dirs,
             "total_files": total,
             "skipped_files": skipped,
@@ -609,18 +904,34 @@ class IcebergLayoutTable:
                 f"in {self.meta_dir}"
             )
         part_col = snap.get("part_col", "part")
+        tsid = snap.get("schema_id")
+        # normalize to the schema OF THE SNAPSHOT BEING READ — time
+        # travel to a pre-rename snapshot sees the old column names
+        target = self.schema(tsid) if tsid is not None else None
         if not prune:
-            return self._read_versions(spark, snap["parts"], part_col).drop("snapv")
+            return self._read_versions(
+                spark, snap["parts"], part_col, target_schema=target
+            ).drop("snapv")
         plan = self.plan_files(snapshot_id, prune)
         dfs = []
-        if plan["files"]:
-            dfs.append(
-                spark.read.option("basePath", self.data_dir).parquet(*plan["files"])
-            )
+        for wsid, fpaths in sorted(
+            plan["files_by_schema"].items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
+            df = spark.read.option("basePath", self.data_dir).parquet(*fpaths)
+            if target is not None:
+                written = self.schema(wsid) if wsid is not None else self.schema(0)
+                df = self._normalize_to_schema(df, written, target, part_col)
+            dfs.append(df)
         if plan["legacy_dirs"]:
-            dfs.append(self._read_versions(spark, plan["legacy_dirs"], part_col))
+            dfs.append(
+                self._read_versions(
+                    spark, plan["legacy_dirs"], part_col, target_schema=target
+                )
+            )
         if not dfs:
-            out = self._read_versions(spark, snap["parts"], part_col).limit(0)
+            out = self._read_versions(
+                spark, snap["parts"], part_col, target_schema=target
+            ).limit(0)
         else:
             out = dfs[0]
             for d in dfs[1:]:
@@ -684,8 +995,21 @@ class IcebergLayoutTable:
         part_col = ch["part_col"]
         ins_parts = {p: ch["to_parts"][p] for p in ch["added"] + ch["rewritten"]}
         del_parts = {p: ch["from_parts"][p] for p in ch["removed"] + ch["rewritten"]}
-        new = self._read_versions(spark, ins_parts, part_col).drop("snapv")
-        old = self._read_versions(spark, del_parts, part_col).drop("snapv")
+        # both sides normalized to the TO-snapshot's schema so the row
+        # diff compares like with like across a schema evolution (a
+        # metadata-only rename yields zero row changes, as it should)
+        to_snap = (
+            self.current_snapshot() if to_snapshot is None
+            else self.snapshot(to_snapshot)
+        )
+        tsid = to_snap.get("schema_id") if to_snap else None
+        target = self.schema(tsid) if tsid is not None else None
+        new = self._read_versions(
+            spark, ins_parts, part_col, target_schema=target
+        ).drop("snapv")
+        old = self._read_versions(
+            spark, del_parts, part_col, target_schema=target
+        ).drop("snapv")
         # map columns are not comparable in set ops → diff on sorted
         # entry arrays (deterministic), restore the map type after
         map_cols = [c for c, t in new.dtypes if t.startswith("map<")]
@@ -712,15 +1036,20 @@ class IcebergLayoutTable:
         coalesces, lands as a NEW version via :meth:`overwrite_parts` —
         so readers on the old snapshot are untouched and the rewrite
         is crash-safe. Row content is byte-identical (verified by the
-        lineage value_hash carrying over)."""
+        lineage value_hash carrying over). Files written under older
+        schemas are normalized to the CURRENT schema on the way through
+        — compaction doubles as schema materialization, like Iceberg's
+        rewrite_data_files."""
         versions = self.part_versions()
         todo = sorted(versions) if parts is None else sorted(
             {str(p) for p in parts} & set(versions)
         )
         snap = self.current_snapshot()
         part_col = snap.get("part_col", "part") if snap else "part"
+        tsid = snap.get("schema_id") if snap else None
+        target = self.schema(tsid) if tsid is not None else None
         df = self._read_versions(
-            spark, {p: versions[p] for p in todo}, part_col
+            spark, {p: versions[p] for p in todo}, part_col, target_schema=target
         ).drop("snapv").coalesce(max(1, target_files))
         return self.overwrite_parts(
             df, todo, part_col=part_col, input_snapshot="compaction"

@@ -172,6 +172,61 @@ def _q_compressed_roundtrip(spark, sf_dir):
     )
 
 
+def _base_tier_1h(spark, sf_dir):
+    """1h tier with exact long cent-sums — the shared base for the
+    row-level MERGE/DELETE queries (same shape compressed_roundtrip
+    oracles)."""
+    return _event_partials(spark, sf_dir, 3600).groupBy("url", "bucket_s").agg(
+        F.sum("sum_len").cast("long").alias("sum_c")
+    )
+
+
+def _q_merge_upsert(spark, sf_dir):
+    """Row-level MERGE (keyed upsert) on the Iceberg-layout table:
+    updates rewrite only the delta's partitions (copy-on-write), new
+    keys insert — including into a brand-new partition. The reference
+    rebuilds whole pandas frames in place (lambdo/Table.py populate);
+    at 100 TB a corrections feed needs exactly this bounded rewrite.
+    The temp table root is left behind deliberately: the returned
+    DataFrame reads it lazily after this function exits."""
+    import tempfile
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    base = _base_tier_1h(spark, sf_dir)
+    t = IcebergLayoutTable(tempfile.mkdtemp(prefix="lambdo_merge_q_"))
+    t.write_tier(with_part(base.withColumnRenamed("url", "user_id"),
+                           bucket_col="bucket_s"),
+                 input_snapshot="base")
+    updates = base.where("bucket_s % 7200 = 0 AND url % 10 = 1").select(
+        F.col("url").alias("user_id"), "bucket_s",
+        (F.col("sum_c") * 2 + 1).alias("sum_c"),
+    )
+    inserts = spark.createDataFrame(
+        [(999_999_999, 946684800, 42)],
+        "user_id bigint, bucket_s bigint, sum_c bigint",
+    )
+    delta = with_part(updates.unionByName(inserts), bucket_col="bucket_s")
+    t.merge_rows(delta, keys=["user_id", "bucket_s"])
+    return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
+
+
+def _q_delete_where(spark, sf_dir):
+    """Row-level DELETE on the Iceberg-layout table: one stat-pruned
+    scan finds the partitions containing matches; only those are
+    rewritten (SQL three-valued semantics — NULL predicate keeps the
+    row). Temp root left behind for the lazy read, as in merge."""
+    import tempfile
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    base = _base_tier_1h(spark, sf_dir).withColumnRenamed("url", "user_id")
+    t = IcebergLayoutTable(tempfile.mkdtemp(prefix="lambdo_delete_q_"))
+    t.write_tier(with_part(base, bucket_col="bucket_s"), input_snapshot="base")
+    t.delete_where(spark, "sum_c % 10 = 3")
+    return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
+
+
 def _q_train_grouped(spark, sf_dir):
     """C10 grouped fit: per-(returnflag, linestatus) OLS of price ~ qty
     in ONE groupBy over exact long sums, cross products widened to
@@ -1035,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_chunks": _q_compressed_chunks,
         "compressed_roundtrip": _q_compressed_roundtrip,
         "salted_agg": _q_salted_agg,
+        "merge_upsert": _q_merge_upsert,
+        "delete_where": _q_delete_where,
         # relational operators (SURVEY §2)
         "calc_revenue": _q_calc_revenue,
         "roll_sum_w5": _q_roll_sum_w5,
@@ -1228,6 +1285,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
                    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
             FROM events GROUP BY 1, 2
+        """,
+        "merge_upsert": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM events GROUP BY 1, 2
+            ), delta AS (
+              SELECT user_id, bucket_s, CAST(sum_c*2+1 AS BIGINT) AS sum_c
+              FROM base WHERE bucket_s % 7200 = 0 AND user_id % 10 = 1
+              UNION ALL
+              SELECT CAST(999999999 AS BIGINT), CAST(946684800 AS BIGINT),
+                     CAST(42 AS BIGINT)
+            )
+            SELECT user_id, bucket_s, sum_c FROM base b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM delta d
+              WHERE d.user_id = b.user_id AND d.bucket_s = b.bucket_s)
+            UNION ALL
+            SELECT user_id, bucket_s, sum_c FROM delta
+        """,
+        "delete_where": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                   CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+            FROM events GROUP BY 1, 2
+            HAVING NOT (sum_c % 10 = 3)
         """,
         "salted_agg": """
             SELECT user_id, count(*) AS n_events,

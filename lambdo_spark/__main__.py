@@ -181,6 +181,74 @@ def _run_maintain(args) -> int:
         spark.stop()
 
 
+def _run_schema(args) -> int:
+    """Metadata-only (no SparkSession): show or evolve the table
+    schema. Renames/drops/widens never touch data files."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    t = IcebergLayoutTable(args.table)
+    for spec in args.rename:
+        old, _, new = spec.partition(":")
+        t.rename_column(old, new)
+    for spec in args.add:
+        name, _, dtype = spec.partition(":")
+        t.add_column(name, dtype)
+    for name in args.drop:
+        t.drop_column(name)
+    for spec in args.widen:
+        name, _, dtype = spec.partition(":")
+        t.widen_column(name, dtype)
+    s = t.schema(args.schema_id)
+    print(json.dumps({"table": args.table, "schema": s}, indent=1))
+    return 0
+
+
+def _run_delete(args) -> int:
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    spark = get_spark(app_name="lambdo_spark:delete", master=args.master)
+    try:
+        t = IcebergLayoutTable(args.table)
+        prune = {}
+        for w in args.prune:
+            c, _, v = w.partition("=")
+            if ".." in v:
+                lo, hi = v.split("..", 1)
+                prune[c] = (_coerce(lo) if lo else None, _coerce(hi) if hi else None)
+            else:
+                prune[c] = _coerce(v)
+        before = (t.current_snapshot() or {}).get("snapshot_id")
+        snap = t.delete_where(spark, args.where, prune=prune or None)
+        print(json.dumps({
+            "table": args.table,
+            "predicate": args.where,
+            "rewritten_parts": snap.get("new_parts", [])
+            if snap["snapshot_id"] != before else [],
+            "snapshot_id": snap["snapshot_id"],
+        }, indent=1))
+        return 0
+    finally:
+        spark.stop()
+
+
+def _run_merge(args) -> int:
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    spark = get_spark(app_name="lambdo_spark:merge", master=args.master)
+    try:
+        t = IcebergLayoutTable(args.table)
+        delta = spark.read.parquet(args.delta)
+        snap = t.merge_rows(delta, keys=args.keys.split(","))
+        print(json.dumps({
+            "table": args.table,
+            "rewritten_parts": snap["new_parts"],
+            "snapshot_id": snap["snapshot_id"],
+        }, indent=1))
+        return 0
+    finally:
+        spark.stop()
+
+
 def _coerce(v: str):
     for cast in (int, float):
         try:
@@ -232,7 +300,10 @@ def _run_plan(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy form: `python -m lambdo_spark workflow.json [...]`
-    if argv and argv[0] not in ("retention", "refresh", "maintain", "stream-refresh", "plan"):
+    if argv and argv[0] not in (
+        "retention", "refresh", "maintain", "stream-refresh", "plan",
+        "schema", "delete", "merge",
+    ):
         argv = ["run", *argv]
 
     ap = argparse.ArgumentParser(prog="lambdo_spark")
@@ -318,7 +389,49 @@ def main(argv: list[str] | None = None) -> int:
         "to CURRENT) — the planning half of read_changes",
     )
 
+    sch = sub.add_parser(
+        "schema",
+        help="show or evolve one Iceberg-layout table's schema "
+        "(metadata-only; renames/drops/widens rewrite ZERO data files)",
+    )
+    sch.add_argument("--table", required=True, help="table root (e.g. .../tier_1h)")
+    sch.add_argument("--schema-id", type=int, default=None,
+                     help="show a historical schema instead of current")
+    sch.add_argument("--rename", action="append", default=[], metavar="OLD:NEW")
+    sch.add_argument("--add", action="append", default=[], metavar="NAME:TYPE")
+    sch.add_argument("--drop", action="append", default=[], metavar="NAME")
+    sch.add_argument("--widen", action="append", default=[], metavar="NAME:TYPE",
+                     help="promote a type (tinyint→…→bigint, float→double)")
+
+    dlt = sub.add_parser(
+        "delete",
+        help="row-level DELETE: rewrite only the partitions containing "
+        "matching rows (stat-pruned scan finds them)",
+    )
+    dlt.add_argument("--table", required=True)
+    dlt.add_argument("--where", required=True, help="SQL predicate (rows matching it are deleted)")
+    dlt.add_argument("--prune", action="append", default=[],
+                     metavar="COL=LO..HI|COL=VALUE",
+                     help="file-stat prune range to bound the matching scan")
+    dlt.add_argument("--master", default=None)
+
+    mrg = sub.add_parser(
+        "merge",
+        help="keyed MERGE (upsert): delta rows replace base rows with "
+        "the same key; only the delta's partitions are rewritten",
+    )
+    mrg.add_argument("--table", required=True)
+    mrg.add_argument("--delta", required=True, help="delta parquet path (must carry the part column)")
+    mrg.add_argument("--keys", required=True, help="comma-separated key columns")
+    mrg.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
+    if args.cmd == "schema":
+        return _run_schema(args)
+    if args.cmd == "delete":
+        return _run_delete(args)
+    if args.cmd == "merge":
+        return _run_merge(args)
     if args.cmd == "plan":
         return _run_plan(args)
     if args.cmd == "run":

@@ -1024,6 +1024,90 @@ class IcebergLayoutTable:
             out = out.withColumn(c, F.map_from_entries(F.col(c)))
         return out
 
+    # ------------------------------------------------------ row-level ops
+    def merge_rows(
+        self,
+        delta: DataFrame,
+        keys: list[str],
+        part_col: str | None = None,
+    ) -> dict:
+        """Keyed upsert — ``MERGE INTO t USING delta ON keys WHEN
+        MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` with
+        whole-row replacement: every delta row replaces the base rows
+        sharing its key; unseen keys insert.
+
+        Copy-on-write scoped to the delta's partitions: only parts
+        present in ``delta`` are read and rewritten (explicit version
+        dirs, no scan of the rest of the table), so merging a day's
+        corrections into years of history costs one bounded key-join
+        — Spark's AQE broadcasts the key side when the delta is small
+        — plus the rebalance write of the touched parts. MVCC as
+        usual: readers on the prior snapshot are unaffected.
+
+        Keys must be unique within ``delta`` per intended output row
+        (duplicate-key delta rows all land — same as Iceberg merge
+        with multiple matches on the source side being an error left
+        to the caller)."""
+        snap = self.current_snapshot()
+        part_col = part_col or (snap.get("part_col", "part") if snap else "part")
+        if part_col not in delta.columns:
+            raise ValueError(f"delta must carry the partition column {part_col!r}")
+        affected = sorted(
+            str(r[0]) for r in delta.select(part_col).distinct().collect()
+        )
+        if snap is None:
+            return self.write_tier(delta, part_col=part_col, input_snapshot="merge")
+        versions = {
+            p: v for p, v in snap["parts"].items() if p in set(affected)
+        }
+        tsid = snap.get("schema_id")
+        target = self.schema(tsid) if tsid is not None else None
+        base = self._read_versions(
+            delta.sparkSession, versions, part_col, target_schema=target
+        ).drop("snapv")
+        kept = base.join(delta.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(delta, allowMissingColumns=True)
+        return self.overwrite_parts(
+            merged, affected, part_col=part_col, input_snapshot="merge",
+            extra={"merge_keys": list(keys)},
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        prune: dict | None = None,
+    ) -> dict:
+        """Row-level delete: rewrite ONLY the partitions that contain
+        matching rows (found with one manifest-stat-pruned scan — pass
+        ``prune`` to skip files by sort-order ranges), keeping rows
+        where the predicate is false **or NULL** (SQL DELETE
+        three-valued semantics). Partitions without matches keep their
+        existing version — zero IO for them."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.meta_dir}")
+        part_col = snap.get("part_col", "part")
+        cand = self.read_tier(spark, prune=prune)
+        matching = sorted(
+            str(r[0])
+            for r in cand.where(F.expr(predicate))
+            .select(part_col).distinct().collect()
+        )
+        if not matching:
+            return snap  # nothing to delete — no new snapshot
+        tsid = snap.get("schema_id")
+        target = self.schema(tsid) if tsid is not None else None
+        base = self._read_versions(
+            spark, {p: snap["parts"][p] for p in matching}, part_col,
+            target_schema=target,
+        ).drop("snapv")
+        kept = base.where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        return self.overwrite_parts(
+            kept, matching, part_col=part_col,
+            input_snapshot=f"delete:{predicate}",
+        )
+
     # -------------------------------------------------------- maintenance
     def compact_parts(
         self,

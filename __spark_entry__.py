@@ -227,6 +227,23 @@ def _q_delete_where(spark, sf_dir):
     return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
 
 
+def _q_delete_where_mor(spark, sf_dir):
+    """Merge-on-read variant of the row-level DELETE: the matched row
+    positions land as per-partition position-delete files (Iceberg v2
+    deletion-vector analog) — ZERO data files rewritten; the read
+    anti-joins the positions out. Same oracle as the copy-on-write
+    query: two physical strategies, one logical result."""
+    import tempfile
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    base = _base_tier_1h(spark, sf_dir).withColumnRenamed("url", "user_id")
+    t = IcebergLayoutTable(tempfile.mkdtemp(prefix="lambdo_delmor_q_"))
+    t.write_tier(with_part(base, bucket_col="bucket_s"), input_snapshot="base")
+    t.delete_where(spark, "sum_c % 10 = 3", mode="merge-on-read")
+    return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
+
+
 def _q_train_grouped(spark, sf_dir):
     """C10 grouped fit: per-(returnflag, linestatus) OLS of price ~ qty
     in ONE groupBy over exact long sums, cross products widened to
@@ -1092,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": _q_salted_agg,
         "merge_upsert": _q_merge_upsert,
         "delete_where": _q_delete_where,
+        "delete_where_mor": _q_delete_where_mor,
         # relational operators (SURVEY §2)
         "calc_revenue": _q_calc_revenue,
         "roll_sum_w5": _q_roll_sum_w5,
@@ -1307,6 +1325,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, bucket_s, sum_c FROM delta
         """,
         "delete_where": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                   CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+            FROM events GROUP BY 1, 2
+            HAVING NOT (sum_c % 10 = 3)
+        """,
+        "delete_where_mor": """
             SELECT user_id,
                    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
                    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c

@@ -218,12 +218,14 @@ def _run_delete(args) -> int:
             else:
                 prune[c] = _coerce(v)
         before = (t.current_snapshot() or {}).get("snapshot_id")
-        snap = t.delete_where(spark, args.where, prune=prune or None)
+        snap = t.delete_where(spark, args.where, prune=prune or None, mode=args.mode)
+        changed = snap["snapshot_id"] != before
         print(json.dumps({
             "table": args.table,
             "predicate": args.where,
-            "rewritten_parts": snap.get("new_parts", [])
-            if snap["snapshot_id"] != before else [],
+            "mode": args.mode,
+            "rewritten_parts": snap.get("new_parts", []) if changed else [],
+            "delete_file_parts": snap.get("delete_parts", []) if changed else [],
             "snapshot_id": snap["snapshot_id"],
         }, indent=1))
         return 0
@@ -413,6 +415,11 @@ def main(argv: list[str] | None = None) -> int:
     dlt.add_argument("--prune", action="append", default=[],
                      metavar="COL=LO..HI|COL=VALUE",
                      help="file-stat prune range to bound the matching scan")
+    dlt.add_argument("--mode", default="copy-on-write",
+                     choices=["copy-on-write", "merge-on-read"],
+                     help="merge-on-read writes position-delete files "
+                     "(O(matched rows), zero data rewrite); copy-on-write "
+                     "rewrites the matching partitions")
     dlt.add_argument("--master", default=None)
 
     mrg = sub.add_parser(

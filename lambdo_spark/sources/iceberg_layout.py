@@ -221,6 +221,7 @@ class IcebergLayoutTable:
         update: dict[str, int] | None = None,
         base_versions: dict[str, int] | None = None,
         expect_schema=_SCHEMA_UNCHECKED,
+        add_deletes: dict[str, list[dict]] | None = None,
     ) -> dict:
         """Commit a new snapshot. Single-writer form: ``parts`` is the
         full map (as computed by the caller). Optimistic-concurrency
@@ -260,11 +261,25 @@ class IcebergLayoutTable:
                 parts = {**latest, **update}
             n = prev.get("snapshot_id", -1) + 1
             carried = {k: prev[k] for k in self.CARRIED_EXTRA_KEYS if k in prev}
+            # merge-on-read delete files survive a commit only while
+            # their partition's data version is unchanged: every
+            # rewrite path (CoW merge/delete, compaction, refresh)
+            # reads with deletes APPLIED, so the new version has them
+            # materialized and the descriptors must drop with it
+            prev_parts = prev.get("parts", {})
+            kept_dels = {
+                p: list(ds)
+                for p, ds in (prev.get("deletes") or {}).items()
+                if p in parts and parts[p] == prev_parts.get(p)
+            }
+            for p, descs in (add_deletes or {}).items():
+                kept_dels[p] = kept_dels.get(p, []) + list(descs)
             new = {
                 "snapshot_id": n,
                 "parts": parts,
                 "committed_at": time.time(),
                 **carried,
+                **({"deletes": kept_dels} if kept_dels else {}),
                 **extra,
             }
             name = f"snapshot-{n}.json"
@@ -459,7 +474,9 @@ class IcebergLayoutTable:
         fill fields the written schema lacks, drop fields the target
         dropped. Pure projection — stays in whole-stage codegen."""
         cols = [
-            F.col(c) for c in (part_col, "snapv") if c in df.columns
+            F.col(c)
+            for c in (part_col, "snapv", "_file", "_pos")
+            if c in df.columns
         ]
         wrote_by_id = (
             {f["id"]: f for f in written["fields"]} if written else None
@@ -679,12 +696,53 @@ class IcebergLayoutTable:
         base = os.path.join(self.data_dir, f"{part_col}={part}")
         return base if version == -1 else os.path.join(base, f"snapv={version}")
 
+    # file identity for position deletes: everything after the LAST
+    # "/data/" — stable across "file://" vs bare paths and across a
+    # relocated table root (the same normalization the manifest writer
+    # uses for lineage file paths)
+    @staticmethod
+    def _rel_file_expr():
+        return F.substring_index(F.col("_metadata.file_path"), "/data/", -1)
+
+    def _delete_descs(self, snap: dict | None, parts) -> list[dict]:
+        """Flatten the snapshot's merge-on-read delete descriptors for
+        the given partitions (empty list when none exist)."""
+        if not snap:
+            return []
+        dels = snap.get("deletes") or {}
+        want = {str(p) for p in parts}
+        return [d for p, ds in dels.items() if p in want for d in ds]
+
+    def _with_pos(self, df: DataFrame) -> DataFrame:
+        """Project the hidden parquet ``_metadata`` columns into the
+        stable (_file, _pos) row identity. Must run directly on a file
+        source (the metadata struct does not survive a select)."""
+        return df.withColumn("_file", self._rel_file_expr()).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
+
+    def _apply_deletes(
+        self, spark: SparkSession, df: DataFrame, descs: list[dict]
+    ) -> DataFrame:
+        """Anti-join out the positions named by the delete files —
+        the read half of merge-on-read. The delete side is O(deleted
+        rows); Spark's planner broadcasts it when small (the common
+        case: a GDPR-sized delete against a petabyte partition)."""
+        paths = [os.path.join(self.root, d["path"]) for d in descs]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return df
+        dd = spark.read.parquet(*paths).select("_file", "_pos").distinct()
+        return df.join(dd, ["_file", "_pos"], "left_anti")
+
     def _read_versions(
         self,
         spark: SparkSession,
         versions: dict[str, int],
         part_col: str = "part",
         target_schema: dict | None = None,
+        deletes: list[dict] | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         # pre-MVCC parts (version -1) live as loose files directly
         # under part=<p>; once a later MVCC rewrite adds snapv=<v>
@@ -722,31 +780,42 @@ class IcebergLayoutTable:
             written = self.schema(key) if key is not None else self.schema(0)
             return self._normalize_to_schema(df, written, target_schema, part_col)
 
+        need_pos = bool(deletes) or with_pos
         dfs = []
         for key, paths in sorted(
             dir_groups.items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
-            dfs.append(
-                _norm(spark.read.option("basePath", self.data_dir).parquet(*paths), key)
-            )
+            df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+            if need_pos:
+                df = self._with_pos(df)
+            dfs.append(_norm(df, key))
         for key, files in sorted(
             legacy_groups.items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
             if not files:
                 continue
-            dfs.append(
-                _norm(
-                    spark.read.option("basePath", self.data_dir)
-                    .parquet(*files)
-                    .withColumn("snapv", F.lit(-1)),
-                    key,
-                )
+            df = (
+                spark.read.option("basePath", self.data_dir)
+                .parquet(*files)
+                .withColumn("snapv", F.lit(-1))
             )
+            if need_pos:
+                df = self._with_pos(df)
+            dfs.append(_norm(df, key))
         if not dfs:
-            return _norm(spark.read.parquet(self.data_dir).limit(0), None)
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d, allowMissingColumns=True)
+            out = _norm(spark.read.parquet(self.data_dir).limit(0), None)
+            if need_pos:
+                out = out.withColumn("_file", F.lit(None).cast("string")).withColumn(
+                    "_pos", F.lit(None).cast("bigint")
+                )
+        else:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+        if deletes:
+            out = self._apply_deletes(spark, out, deletes)
+        if need_pos and not with_pos:
+            out = out.drop("_file", "_pos")
         return out
 
     def _manifest(self, p: str, v: int) -> dict | None:
@@ -885,6 +954,7 @@ class IcebergLayoutTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         prune: dict | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Snapshot-isolated view: exactly the partition versions the
         (current or time-travel) snapshot committed, read as explicit
@@ -908,16 +978,22 @@ class IcebergLayoutTable:
         # normalize to the schema OF THE SNAPSHOT BEING READ — time
         # travel to a pre-rename snapshot sees the old column names
         target = self.schema(tsid) if tsid is not None else None
+        descs = self._delete_descs(snap, snap["parts"])
         if not prune:
-            return self._read_versions(
-                spark, snap["parts"], part_col, target_schema=target
+            out = self._read_versions(
+                spark, snap["parts"], part_col, target_schema=target,
+                deletes=descs, with_pos=with_pos,
             ).drop("snapv")
+            return out
         plan = self.plan_files(snapshot_id, prune)
+        need_pos = bool(descs) or with_pos
         dfs = []
         for wsid, fpaths in sorted(
             plan["files_by_schema"].items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
             df = spark.read.option("basePath", self.data_dir).parquet(*fpaths)
+            if need_pos:
+                df = self._with_pos(df)
             if target is not None:
                 written = self.schema(wsid) if wsid is not None else self.schema(0)
                 df = self._normalize_to_schema(df, written, target, part_col)
@@ -925,17 +1001,23 @@ class IcebergLayoutTable:
         if plan["legacy_dirs"]:
             dfs.append(
                 self._read_versions(
-                    spark, plan["legacy_dirs"], part_col, target_schema=target
+                    spark, plan["legacy_dirs"], part_col, target_schema=target,
+                    with_pos=need_pos,
                 )
             )
         if not dfs:
             out = self._read_versions(
-                spark, snap["parts"], part_col, target_schema=target
+                spark, snap["parts"], part_col, target_schema=target,
+                with_pos=need_pos,
             ).limit(0)
         else:
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
+        if descs:
+            out = self._apply_deletes(spark, out, descs)
+        if need_pos and not with_pos:
+            out = out.drop("_file", "_pos")
         out = out.drop("snapv") if "snapv" in out.columns else out
         # residual predicate: stats pruning is IO-elision only; the
         # range itself is enforced on the surviving rows (Iceberg's
@@ -965,12 +1047,21 @@ class IcebergLayoutTable:
                 f"snapshot missing: {from_snapshot} or {to_snapshot} in {self.meta_dir}"
             )
         pa, pb = a["parts"], b["parts"]
+        da, db = a.get("deletes") or {}, b.get("deletes") or {}
         return {
             "added": sorted(p for p in pb if p not in pa),
-            "rewritten": sorted(p for p in pb if p in pa and pb[p] != pa[p]),
+            # a merge-on-read delete changes a partition's ROWS without
+            # changing its data version — the delete-descriptor set is
+            # part of the partition's identity for change detection
+            "rewritten": sorted(
+                p for p in pb
+                if p in pa and (pb[p] != pa[p] or da.get(p) != db.get(p))
+            ),
             "removed": sorted(p for p in pa if p not in pb),
             "from_parts": pa,
             "to_parts": pb,
+            "from_deletes": da,
+            "to_deletes": db,
             "part_col": b.get("part_col", a.get("part_col", "part")),
         }
 
@@ -1004,11 +1095,15 @@ class IcebergLayoutTable:
         )
         tsid = to_snap.get("schema_id") if to_snap else None
         target = self.schema(tsid) if tsid is not None else None
+        # each side applies ITS snapshot's merge-on-read deletes, so a
+        # delete-only commit diffs as pure row deletions
         new = self._read_versions(
-            spark, ins_parts, part_col, target_schema=target
+            spark, ins_parts, part_col, target_schema=target,
+            deletes=[d for p in ins_parts for d in ch["to_deletes"].get(p, [])],
         ).drop("snapv")
         old = self._read_versions(
-            spark, del_parts, part_col, target_schema=target
+            spark, del_parts, part_col, target_schema=target,
+            deletes=[d for p in del_parts for d in ch["from_deletes"].get(p, [])],
         ).drop("snapv")
         # map columns are not comparable in set ops → diff on sorted
         # entry arrays (deterministic), restore the map type after
@@ -1063,7 +1158,8 @@ class IcebergLayoutTable:
         tsid = snap.get("schema_id")
         target = self.schema(tsid) if tsid is not None else None
         base = self._read_versions(
-            delta.sparkSession, versions, part_col, target_schema=target
+            delta.sparkSession, versions, part_col, target_schema=target,
+            deletes=self._delete_descs(snap, versions),
         ).drop("snapv")
         kept = base.join(delta.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(delta, allowMissingColumns=True)
@@ -1077,17 +1173,31 @@ class IcebergLayoutTable:
         spark: SparkSession,
         predicate: str,
         prune: dict | None = None,
+        mode: str = "copy-on-write",
     ) -> dict:
-        """Row-level delete: rewrite ONLY the partitions that contain
-        matching rows (found with one manifest-stat-pruned scan — pass
-        ``prune`` to skip files by sort-order ranges), keeping rows
-        where the predicate is false **or NULL** (SQL DELETE
-        three-valued semantics). Partitions without matches keep their
-        existing version — zero IO for them."""
+        """Row-level delete, keeping rows where the predicate is false
+        **or NULL** (SQL DELETE three-valued semantics). Two physical
+        strategies with identical logical results:
+
+        - ``copy-on-write`` (default): one manifest-stat-pruned scan
+          (pass ``prune`` to skip files by sort-order ranges) finds the
+          partitions containing matches; ONLY those rewrite. Best when
+          deletes are dense — reads of the new snapshot pay nothing.
+        - ``merge-on-read``: write only the matched ``(_file, _pos)``
+          positions as per-partition delete files (Iceberg v2 position
+          deletes / deletion vectors); NO data file is rewritten —
+          write cost is O(matched rows), so deleting a few rows from a
+          petabyte partition costs kilobytes. Readers anti-join the
+          positions out; :meth:`compact_parts` materializes and drops
+          them. Best for sparse deletes (GDPR erasure, late
+          corrections) and stacked small deletes.
+        """
         snap = self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"no snapshot in {self.meta_dir}")
         part_col = snap.get("part_col", "part")
+        if mode == "merge-on-read":
+            return self._delete_where_mor(spark, snap, predicate, prune, part_col)
         cand = self.read_tier(spark, prune=prune)
         matching = sorted(
             str(r[0])
@@ -1101,11 +1211,63 @@ class IcebergLayoutTable:
         base = self._read_versions(
             spark, {p: snap["parts"][p] for p in matching}, part_col,
             target_schema=target,
+            deletes=self._delete_descs(snap, matching),
         ).drop("snapv")
         kept = base.where(~F.coalesce(F.expr(predicate), F.lit(False)))
         return self.overwrite_parts(
             kept, matching, part_col=part_col,
             input_snapshot=f"delete:{predicate}",
+        )
+
+    def _delete_where_mor(
+        self, spark, snap, predicate: str, prune: dict | None, part_col: str
+    ) -> dict:
+        """Merge-on-read half of :meth:`delete_where`: one scan emits
+        the matched row positions, partitioned by the table partition;
+        the commit appends a position-delete descriptor per touched
+        partition — data versions UNCHANGED. Already-deleted rows are
+        excluded by the scan (read_tier applies existing deletes), so
+        stacked deletes never duplicate positions. A concurrent rewrite
+        of a touched partition raises ConcurrentWriteConflict (the
+        positions would reference dead files)."""
+        scan = self.read_tier(spark, prune=prune, with_pos=True)
+        matched = scan.where(F.expr(predicate)).select(part_col, "_file", "_pos")
+        v = self._claim_version()
+        out_dir = os.path.join(self.root, "deletes", f"delv={v}")
+        matched.write.partitionBy(part_col).parquet(out_dir)
+        written = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(out_dir)
+            if d.startswith(f"{part_col}=")
+        )
+        if not written:  # no matches — leave no trace
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return snap
+        counts = {
+            str(r[0]): int(r[1])
+            for r in spark.read.parquet(out_dir).groupBy(part_col).count().collect()
+        }
+        add = {
+            p: [{
+                "path": f"deletes/delv={v}/{part_col}={p}",
+                "kind": "pos",
+                "rows": counts.get(p, 0),
+                "seq": v,
+            }]
+            for p in written
+        }
+        base_vers = {p: snap["parts"][p] for p in written}
+        return self._commit(
+            {},
+            {
+                "input_snapshot": f"delete:{predicate}",
+                "new_parts": [],
+                "delete_parts": written,
+                "part_col": part_col,
+            },
+            update=base_vers,
+            base_versions=base_vers,
+            add_deletes=add,
         )
 
     # -------------------------------------------------------- maintenance
@@ -1133,11 +1295,60 @@ class IcebergLayoutTable:
         tsid = snap.get("schema_id") if snap else None
         target = self.schema(tsid) if tsid is not None else None
         df = self._read_versions(
-            spark, {p: versions[p] for p in todo}, part_col, target_schema=target
+            spark, {p: versions[p] for p in todo}, part_col, target_schema=target,
+            deletes=self._delete_descs(snap, todo),
         ).drop("snapv").coalesce(max(1, target_files))
+        # the overwrite commit drops the materialized parts' delete
+        # descriptors (version changed ⇒ deletes no longer apply) —
+        # compaction doubles as Iceberg's rewrite_position_delete_files
         return self.overwrite_parts(
             df, todo, part_col=part_col, input_snapshot="compaction"
         )
+
+    def _sweep_delete_files(
+        self, live_paths: set[str], older_than_s: float = 0.0
+    ) -> list[str]:
+        """Remove merge-on-read delete-file part-directories whose
+        descriptor path no live snapshot references (crashed delete
+        attempts, expired snapshots' deletes, post-compaction leftovers).
+        Empty ``delv=`` dirs are dropped with them."""
+        removed: list[str] = []
+        ddir = os.path.join(self.root, "deletes")
+        if not os.path.isdir(ddir):
+            return removed
+        now = time.time()
+        for vdir in sorted(os.listdir(ddir)):
+            vpath = os.path.join(ddir, vdir)
+            if not (vdir.startswith("delv=") and os.path.isdir(vpath)):
+                continue
+            for pdir in sorted(os.listdir(vpath)):
+                full = os.path.join(vpath, pdir)
+                rel = f"deletes/{vdir}/{pdir}"
+                if "=" not in pdir or rel in live_paths or not os.path.isdir(full):
+                    continue
+                newest = max(
+                    (os.path.getmtime(os.path.join(full, f))
+                     for f in os.listdir(full)),
+                    default=0,
+                )
+                if older_than_s and now - newest <= older_than_s:
+                    continue
+                shutil.rmtree(full)
+                removed.append(full)
+            if not any(
+                os.path.isdir(os.path.join(vpath, x)) for x in os.listdir(vpath)
+            ):
+                shutil.rmtree(vpath)
+        return removed
+
+    @staticmethod
+    def _live_delete_paths(snaps: list[dict]) -> set[str]:
+        return {
+            d["path"]
+            for s in snaps
+            for ds in (s.get("deletes") or {}).values()
+            for d in ds
+        }
 
     def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete (part, snapv) data directories referenced by NO
@@ -1154,10 +1365,14 @@ class IcebergLayoutTable:
             for f in os.listdir(self.meta_dir)
             if f.startswith("snapshot-") and f.endswith(".json")
         ]
+        all_snaps = []
         for n in snap_ids:
             s = self.snapshot(n)
+            all_snaps.append(s)
             live |= {(p, v) for p, v in s["parts"].items()}
-        deleted = []
+        deleted = self._sweep_delete_files(
+            self._live_delete_paths(all_snaps), older_than_s
+        )
         now = time.time()
         if not os.path.isdir(self.data_dir):
             return deleted
@@ -1209,11 +1424,14 @@ class IcebergLayoutTable:
         keep, drop = snaps[-keep_last:], snaps[:-keep_last]
         live: set[tuple[str, int]] = set()
         part_col = "part"
+        kept_snaps = []
         for n in keep:
             s = self.snapshot(n)
+            kept_snaps.append(s)
             part_col = s.get("part_col", part_col)
             live |= {(p, v) for p, v in s["parts"].items()}
-        deleted = []
+        # delete files referenced only by expired snapshots go with them
+        deleted = self._sweep_delete_files(self._live_delete_paths(kept_snaps))
         for n in drop:
             s = self.snapshot(n)
             for p, v in s["parts"].items():

@@ -131,6 +131,132 @@ def test_merge_after_rename_uses_current_names(spark, tmp_path):
     assert "v" not in back.columns
 
 
+def test_mor_delete_no_data_rewrite(spark, tmp_path):
+    """Merge-on-read delete: rows disappear from reads but every data
+    version is UNCHANGED — only position-delete files were written."""
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    base = _mk(spark)
+    t.write_tier(base)
+    v0 = dict(t.part_versions())
+    snap = t.delete_where(spark, "part = 0 and url = 'u0'", mode="merge-on-read")
+    assert t.part_versions() == v0  # zero data rewrite
+    assert snap["delete_parts"] == ["0"]
+    assert snap["deletes"]["0"][0]["kind"] == "pos"
+    assert snap["deletes"]["0"][0]["rows"] == base.where(
+        "part=0 and url='u0'"
+    ).count()
+    back = t.read_tier(spark)
+    assert back.where("part = 0 and url = 'u0'").count() == 0
+    assert back.count() == base.count() - snap["deletes"]["0"][0]["rows"]
+
+
+def test_mor_delete_matches_cow_delete(spark, tmp_path):
+    """The two physical strategies produce identical logical results."""
+    rows = None
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = IcebergLayoutTable(str(tmp_path / mode))
+        t.write_tier(_mk(spark))
+        t.delete_where(spark, "v > 20 or url = 'u3'", mode=mode)
+        got = sorted(
+            (r["url"], r["bucket_s"], r["v"], r["part"])
+            for r in t.read_tier(spark).collect()
+        )
+        if rows is None:
+            rows = got
+        else:
+            assert got == rows
+
+
+def test_mor_delete_snapshot_isolation_and_stacking(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,)))
+    s0 = t.current_snapshot()["snapshot_id"]
+    t.delete_where(spark, "url = 'u0'", mode="merge-on-read")
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.delete_where(spark, "url = 'u1'", mode="merge-on-read")
+    # stacked deletes both apply; older snapshots see progressively more
+    assert t.read_tier(spark).where("url in ('u0','u1')").count() == 0
+    assert t.read_tier(spark, snapshot_id=s1).where("url = 'u1'").count() > 0
+    assert t.read_tier(spark, snapshot_id=s1).where("url = 'u0'").count() == 0
+    assert t.read_tier(spark, snapshot_id=s0).where("url = 'u0'").count() > 0
+    # second delete scanned a deletes-applied view: no duplicate positions
+    snap = t.current_snapshot()
+    assert [d["rows"] for d in snap["deletes"]["0"]] == [6, 6]
+
+
+def test_mor_delete_null_and_noop_semantics(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(spark.createDataFrame(
+        [("a", 1, 1.0, 0), ("b", 2, None, 0), ("c", 3, 9.0, 0)],
+        "url string, bucket_s bigint, v double, part bigint",
+    ))
+    s0 = t.current_snapshot()["snapshot_id"]
+    t.delete_where(spark, "v > 5", mode="merge-on-read")
+    assert {r["url"] for r in t.read_tier(spark).collect()} == {"a", "b"}
+    snap = t.delete_where(spark, "url = 'nope'", mode="merge-on-read")
+    assert snap["snapshot_id"] == s0 + 1  # no-match commits nothing new
+
+
+def test_compaction_materializes_mor_deletes(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    base = _mk(spark, parts=(0, 604800))
+    t.write_tier(base)
+    t.delete_where(spark, "url = 'u2'", mode="merge-on-read")
+    expect = base.where("url <> 'u2'").count()
+    t.compact_parts(spark, parts=["0"])
+    snap = t.current_snapshot()
+    # compacted part's descriptors dropped; the other part's remain
+    assert "0" not in snap.get("deletes", {})
+    assert "604800" in snap["deletes"]
+    assert t.read_tier(spark).count() == expect
+    # GC: expire old snapshots, then the orphaned delete dir for part 0
+    t.expire_snapshots(keep_last=1)
+    import os
+    delv_parts = [
+        f"{d}/{p}"
+        for d in os.listdir(str(tmp_path / "t" / "deletes"))
+        for p in os.listdir(str(tmp_path / "t" / "deletes" / d))
+        if p.startswith("part=")
+    ]
+    assert delv_parts == [f"{snap['deletes']['604800'][0]['path'].split('/',1)[1]}"]
+    assert t.read_tier(spark).count() == expect
+
+
+def test_mor_delete_read_changes_and_merge_interop(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,), n=6))
+    s0 = t.current_snapshot()["snapshot_id"]
+    t.delete_where(spark, "url = 'u0' and bucket_s = 0", mode="merge-on-read")
+    ch = t.read_changes(spark, s0)
+    assert ch.where("_change='insert'").count() == 0
+    dels = {(r["url"], r["bucket_s"]) for r in ch.where("_change='delete'").collect()}
+    assert dels == {("u0", 0)}
+    # CoW merge after a MOR delete must not resurrect the deleted row
+    delta = spark.createDataFrame(
+        [("u1", 60, 77.0, 0)], "url string, bucket_s bigint, v double, part bigint"
+    )
+    t.merge_rows(delta, keys=["url", "bucket_s"])
+    back = t.read_tier(spark)
+    assert back.where("url='u0' and bucket_s=0").count() == 0
+    assert back.where("url='u1' and bucket_s=60").first()["v"] == 77.0
+
+
+def test_mor_delete_conflicts_with_concurrent_rewrite(spark, tmp_path):
+    """A rewrite that lands between the MOR scan and its commit must
+    fail the commit — the positions reference superseded files."""
+    import pytest
+
+    from lambdo_spark.sources.iceberg_layout import ConcurrentWriteConflict
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    base = _mk(spark, parts=(0,))
+    t.write_tier(base)
+    snap0 = t.current_snapshot()
+    t.compact_parts(spark, parts=["0"])  # concurrent rewrite
+    with pytest.raises(ConcurrentWriteConflict):
+        t._delete_where_mor(spark, snap0, "url = 'u0'", None, "part")
+
+
 def test_merge_then_read_changes_shows_row_deltas(spark, tmp_path):
     t = IcebergLayoutTable(str(tmp_path / "t"))
     base = _mk(spark, parts=(0,), n=6)

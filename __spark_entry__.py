@@ -227,6 +227,34 @@ def _q_delete_where(spark, sf_dir):
     return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
 
 
+def _q_merge_upsert_mor(spark, sf_dir):
+    """Merge-on-read variant of the keyed upsert: the delta APPENDS as
+    new data files and its keys land as equality-delete files (Iceberg
+    v2 MOR upsert) — no base partition is read or rewritten. Same
+    oracle as merge_upsert: two physical strategies, one logical
+    result."""
+    import tempfile
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    base = _base_tier_1h(spark, sf_dir)
+    t = IcebergLayoutTable(tempfile.mkdtemp(prefix="lambdo_mergemor_q_"))
+    t.write_tier(with_part(base.withColumnRenamed("url", "user_id"),
+                           bucket_col="bucket_s"),
+                 input_snapshot="base")
+    updates = base.where("bucket_s % 7200 = 0 AND url % 10 = 1").select(
+        F.col("url").alias("user_id"), "bucket_s",
+        (F.col("sum_c") * 2 + 1).alias("sum_c"),
+    )
+    inserts = spark.createDataFrame(
+        [(999_999_999, 946684800, 42)],
+        "user_id bigint, bucket_s bigint, sum_c bigint",
+    )
+    delta = with_part(updates.unionByName(inserts), bucket_col="bucket_s")
+    t.merge_rows(delta, keys=["user_id", "bucket_s"], mode="merge-on-read")
+    return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
+
+
 def _q_delete_where_mor(spark, sf_dir):
     """Merge-on-read variant of the row-level DELETE: the matched row
     positions land as per-partition position-delete files (Iceberg v2
@@ -1108,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_roundtrip": _q_compressed_roundtrip,
         "salted_agg": _q_salted_agg,
         "merge_upsert": _q_merge_upsert,
+        "merge_upsert_mor": _q_merge_upsert_mor,
         "delete_where": _q_delete_where,
         "delete_where_mor": _q_delete_where_mor,
         # relational operators (SURVEY §2)
@@ -1305,6 +1334,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "merge_upsert": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM events GROUP BY 1, 2
+            ), delta AS (
+              SELECT user_id, bucket_s, CAST(sum_c*2+1 AS BIGINT) AS sum_c
+              FROM base WHERE bucket_s % 7200 = 0 AND user_id % 10 = 1
+              UNION ALL
+              SELECT CAST(999999999 AS BIGINT), CAST(946684800 AS BIGINT),
+                     CAST(42 AS BIGINT)
+            )
+            SELECT user_id, bucket_s, sum_c FROM base b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM delta d
+              WHERE d.user_id = b.user_id AND d.bucket_s = b.bucket_s)
+            UNION ALL
+            SELECT user_id, bucket_s, sum_c FROM delta
+        """,
+        "merge_upsert_mor": """
             WITH base AS (
               SELECT user_id,
                      CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,

@@ -240,10 +240,12 @@ def _run_merge(args) -> int:
     try:
         t = IcebergLayoutTable(args.table)
         delta = spark.read.parquet(args.delta)
-        snap = t.merge_rows(delta, keys=args.keys.split(","))
+        snap = t.merge_rows(delta, keys=args.keys.split(","), mode=args.mode)
         print(json.dumps({
             "table": args.table,
+            "mode": args.mode,
             "rewritten_parts": snap["new_parts"],
+            "appended_parts": snap.get("add_parts", []),
             "snapshot_id": snap["snapshot_id"],
         }, indent=1))
         return 0
@@ -430,6 +432,11 @@ def main(argv: list[str] | None = None) -> int:
     mrg.add_argument("--table", required=True)
     mrg.add_argument("--delta", required=True, help="delta parquet path (must carry the part column)")
     mrg.add_argument("--keys", required=True, help="comma-separated key columns")
+    mrg.add_argument("--mode", default="copy-on-write",
+                     choices=["copy-on-write", "merge-on-read"],
+                     help="merge-on-read appends the delta + equality-delete "
+                     "files (O(delta) write, zero base rewrite); copy-on-write "
+                     "rewrites the delta's partitions")
     mrg.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)

@@ -143,8 +143,14 @@ class IcebergLayoutTable:
         return dict(snap["parts"]) if snap else {}
 
     def lineage(self) -> list[dict]:
+        """Manifests of every live data-file set (base versions plus
+        merge-on-read appended versions). Row counts are PHYSICAL —
+        merge-on-read deletes are not subtracted until compaction."""
+        snap = self.current_snapshot()
+        if not snap:
+            return []
         out = []
-        for p, v in sorted(self.part_versions().items()):
+        for p, v in sorted(self._version_pairs(snap)):
             m = self._manifest(p, v)
             if m:
                 out.append(m)
@@ -222,6 +228,8 @@ class IcebergLayoutTable:
         base_versions: dict[str, int] | None = None,
         expect_schema=_SCHEMA_UNCHECKED,
         add_deletes: dict[str, list[dict]] | None = None,
+        add_adds: dict[str, list[int]] | None = None,
+        expect_row_state: dict[str, tuple] | None = None,
     ) -> dict:
         """Commit a new snapshot. Single-writer form: ``parts`` is the
         full map (as computed by the caller). Optimistic-concurrency
@@ -259,13 +267,29 @@ class IcebergLayoutTable:
                             f"{sorted(changed)}"
                         )
                 parts = {**latest, **update}
+            if expect_row_state is not None:
+                # serializable row-state validation (Iceberg's
+                # validateNoConflicting{Deletes,AppendedData}): a MOR
+                # merge's equality deletes assume the partition's row
+                # set it read; another add/delete landing in between
+                # would be silently clobbered for shared keys
+                for p, (eadds, edels) in expect_row_state.items():
+                    if (
+                        prev.get("adds", {}).get(p, []) != eadds
+                        or (prev.get("deletes") or {}).get(p, []) != edels
+                    ):
+                        raise ConcurrentWriteConflict(
+                            f"row state of partition {p!r} changed since "
+                            f"base snapshot (concurrent merge/delete)"
+                        )
             n = prev.get("snapshot_id", -1) + 1
             carried = {k: prev[k] for k in self.CARRIED_EXTRA_KEYS if k in prev}
-            # merge-on-read delete files survive a commit only while
-            # their partition's data version is unchanged: every
-            # rewrite path (CoW merge/delete, compaction, refresh)
-            # reads with deletes APPLIED, so the new version has them
-            # materialized and the descriptors must drop with it
+            # merge-on-read delete files and appended data files
+            # survive a commit only while their partition's BASE data
+            # version is unchanged: every rewrite path (CoW
+            # merge/delete, compaction, refresh) reads with deletes and
+            # adds APPLIED, so the new version has them materialized
+            # and the descriptors must drop with it
             prev_parts = prev.get("parts", {})
             kept_dels = {
                 p: list(ds)
@@ -274,12 +298,20 @@ class IcebergLayoutTable:
             }
             for p, descs in (add_deletes or {}).items():
                 kept_dels[p] = kept_dels.get(p, []) + list(descs)
+            kept_adds = {
+                p: list(vs)
+                for p, vs in (prev.get("adds") or {}).items()
+                if p in parts and parts[p] == prev_parts.get(p)
+            }
+            for p, vs in (add_adds or {}).items():
+                kept_adds[p] = kept_adds.get(p, []) + list(vs)
             new = {
                 "snapshot_id": n,
                 "parts": parts,
                 "committed_at": time.time(),
                 **carried,
                 **({"deletes": kept_dels} if kept_dels else {}),
+                **({"adds": kept_adds} if kept_adds else {}),
                 **extra,
             }
             name = f"snapshot-{n}.json"
@@ -713,6 +745,20 @@ class IcebergLayoutTable:
         want = {str(p) for p in parts}
         return [d for p, ds in dels.items() if p in want for d in ds]
 
+    @staticmethod
+    def _version_pairs(snap: dict, parts=None) -> list[tuple[str, int]]:
+        """All (part, version) data-file sets of a snapshot: the base
+        version plus any merge-on-read appended versions (``adds``)."""
+        ps = snap.get("parts", {})
+        adds = snap.get("adds", {})
+        sel = list(ps) if parts is None else [str(p) for p in parts]
+        out = []
+        for p in sel:
+            if p in ps:
+                out.append((p, ps[p]))
+            out += [(p, v) for v in adds.get(p, [])]
+        return out
+
     def _with_pos(self, df: DataFrame) -> DataFrame:
         """Project the hidden parquet ``_metadata`` columns into the
         stable (_file, _pos) row identity. Must run directly on a file
@@ -724,21 +770,60 @@ class IcebergLayoutTable:
     def _apply_deletes(
         self, spark: SparkSession, df: DataFrame, descs: list[dict]
     ) -> DataFrame:
-        """Anti-join out the positions named by the delete files —
-        the read half of merge-on-read. The delete side is O(deleted
-        rows); Spark's planner broadcasts it when small (the common
-        case: a GDPR-sized delete against a petabyte partition)."""
-        paths = [os.path.join(self.root, d["path"]) for d in descs]
-        paths = [p for p in paths if os.path.exists(p)]
-        if not paths:
-            return df
-        dd = spark.read.parquet(*paths).select("_file", "_pos").distinct()
-        return df.join(dd, ["_file", "_pos"], "left_anti")
+        """Anti-join out the rows named by the delete files — the read
+        half of merge-on-read. The delete side is O(deleted rows);
+        Spark's planner broadcasts it when small (the common case: a
+        GDPR-sized delete against a petabyte partition).
+
+        Position deletes (kind=pos) remove exact ``(_file, _pos)``
+        rows. Equality deletes (kind=eq, written by MOR merge) remove
+        rows whose key matches AND whose data version (``snapv``)
+        predates the delete's sequence number — so a merge's own
+        appended rows survive its delete, and a later merge's delete
+        supersedes an earlier merge's rows (last-writer-wins by
+        sequence, Iceberg v2 semantics)."""
+
+        def _live(ds):
+            out = []
+            for d in ds:
+                p = os.path.join(self.root, d["path"])
+                if os.path.exists(p):
+                    out.append((p, d))
+            return out
+
+        pos = _live([d for d in descs if d.get("kind", "pos") == "pos"])
+        eqs = _live([d for d in descs if d.get("kind") == "eq"])
+        if pos:
+            dd = (
+                spark.read.parquet(*[p for p, _ in pos])
+                .select("_file", "_pos")
+                .distinct()
+            )
+            df = df.join(dd, ["_file", "_pos"], "left_anti")
+        if eqs:
+            # one anti-join per distinct key set; within it, all delete
+            # files union with their per-descriptor sequence numbers
+            by_keys: dict[tuple, list] = {}
+            for p, d in eqs:
+                by_keys.setdefault(tuple(d["keys"]), []).append((p, d))
+            for keys, group in by_keys.items():
+                dd = None
+                for p, d in group:
+                    one = spark.read.parquet(p).select(
+                        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+                        F.lit(int(d["seq"])).alias("__dseq"),
+                    )
+                    dd = one if dd is None else dd.unionByName(one)
+                cond = F.col("snapv") < F.col("__dseq")
+                for k in keys:
+                    cond = cond & (F.col(k) == F.col(f"__dk_{k}"))
+                df = df.join(dd, cond, "left_anti")
+        return df
 
     def _read_versions(
         self,
         spark: SparkSession,
-        versions: dict[str, int],
+        versions: dict[str, int] | list[tuple[str, int]],
         part_col: str = "part",
         target_schema: dict | None = None,
         deletes: list[dict] | None = None,
@@ -755,7 +840,8 @@ class IcebergLayoutTable:
         # without it, raw physical columns come back unchanged.
         dir_groups: dict[object, list[str]] = {}
         legacy_groups: dict[object, list[str]] = {}
-        for p, v in sorted(versions.items()):
+        pairs = sorted(versions.items()) if isinstance(versions, dict) else sorted(versions)
+        for p, v in pairs:
             d = self._version_dir(p, v, part_col)
             if not os.path.exists(d):
                 continue
@@ -780,7 +866,9 @@ class IcebergLayoutTable:
             written = self.schema(key) if key is not None else self.schema(0)
             return self._normalize_to_schema(df, written, target_schema, part_col)
 
-        need_pos = bool(deletes) or with_pos
+        need_pos = with_pos or any(
+            d.get("kind", "pos") == "pos" for d in (deletes or [])
+        )
         dfs = []
         for key, paths in sorted(
             dir_groups.items(), key=lambda kv: (kv[0] is None, kv[0])
@@ -891,7 +979,7 @@ class IcebergLayoutTable:
         files_by_schema: dict[object, list[str]] = {}
         legacy_dirs: dict[str, int] = {}
         total = skipped = skipped_parts = 0
-        for p, v in sorted(snap["parts"].items()):
+        for p, v in sorted(self._version_pairs(snap)):
             part_prune = dict(rng)
             if part_col in part_prune:
                 # short-circuits BEFORE the manifest read: time-ranged
@@ -981,12 +1069,14 @@ class IcebergLayoutTable:
         descs = self._delete_descs(snap, snap["parts"])
         if not prune:
             out = self._read_versions(
-                spark, snap["parts"], part_col, target_schema=target,
+                spark, self._version_pairs(snap), part_col, target_schema=target,
                 deletes=descs, with_pos=with_pos,
             ).drop("snapv")
             return out
         plan = self.plan_files(snapshot_id, prune)
-        need_pos = bool(descs) or with_pos
+        need_pos = with_pos or any(
+            d.get("kind", "pos") == "pos" for d in descs
+        )
         dfs = []
         for wsid, fpaths in sorted(
             plan["files_by_schema"].items(), key=lambda kv: (kv[0] is None, kv[0])
@@ -1007,7 +1097,7 @@ class IcebergLayoutTable:
             )
         if not dfs:
             out = self._read_versions(
-                spark, snap["parts"], part_col, target_schema=target,
+                spark, self._version_pairs(snap), part_col, target_schema=target,
                 with_pos=need_pos,
             ).limit(0)
         else:
@@ -1048,18 +1138,26 @@ class IcebergLayoutTable:
             )
         pa, pb = a["parts"], b["parts"]
         da, db = a.get("deletes") or {}, b.get("deletes") or {}
+        aa, ab = a.get("adds") or {}, b.get("adds") or {}
         return {
             "added": sorted(p for p in pb if p not in pa),
-            # a merge-on-read delete changes a partition's ROWS without
-            # changing its data version — the delete-descriptor set is
-            # part of the partition's identity for change detection
+            # merge-on-read commits change a partition's ROWS without
+            # changing its base data version — the delete-descriptor
+            # and appended-version sets are part of the partition's
+            # identity for change detection
             "rewritten": sorted(
                 p for p in pb
-                if p in pa and (pb[p] != pa[p] or da.get(p) != db.get(p))
+                if p in pa and (
+                    pb[p] != pa[p]
+                    or da.get(p) != db.get(p)
+                    or aa.get(p) != ab.get(p)
+                )
             ),
             "removed": sorted(p for p in pa if p not in pb),
             "from_parts": pa,
             "to_parts": pb,
+            "from_snapshot_obj": a,
+            "to_snapshot_obj": b,
             "from_deletes": da,
             "to_deletes": db,
             "part_col": b.get("part_col", a.get("part_col", "part")),
@@ -1084,8 +1182,12 @@ class IcebergLayoutTable:
         ``incremental read`` / changelog scan."""
         ch = self.changed_parts(from_snapshot, to_snapshot)
         part_col = ch["part_col"]
-        ins_parts = {p: ch["to_parts"][p] for p in ch["added"] + ch["rewritten"]}
-        del_parts = {p: ch["from_parts"][p] for p in ch["removed"] + ch["rewritten"]}
+        ins_parts = self._version_pairs(
+            ch["to_snapshot_obj"], ch["added"] + ch["rewritten"]
+        )
+        del_parts = self._version_pairs(
+            ch["from_snapshot_obj"], ch["removed"] + ch["rewritten"]
+        )
         # both sides normalized to the TO-snapshot's schema so the row
         # diff compares like with like across a schema evolution (a
         # metadata-only rename yields zero row changes, as it should)
@@ -1095,15 +1197,19 @@ class IcebergLayoutTable:
         )
         tsid = to_snap.get("schema_id") if to_snap else None
         target = self.schema(tsid) if tsid is not None else None
-        # each side applies ITS snapshot's merge-on-read deletes, so a
-        # delete-only commit diffs as pure row deletions
+        # each side applies ITS snapshot's merge-on-read deletes and
+        # adds, so a MOR-only commit diffs as exactly its row changes
         new = self._read_versions(
             spark, ins_parts, part_col, target_schema=target,
-            deletes=[d for p in ins_parts for d in ch["to_deletes"].get(p, [])],
+            deletes=self._delete_descs(
+                ch["to_snapshot_obj"], ch["added"] + ch["rewritten"]
+            ),
         ).drop("snapv")
         old = self._read_versions(
             spark, del_parts, part_col, target_schema=target,
-            deletes=[d for p in del_parts for d in ch["from_deletes"].get(p, [])],
+            deletes=self._delete_descs(
+                ch["from_snapshot_obj"], ch["removed"] + ch["rewritten"]
+            ),
         ).drop("snapv")
         # map columns are not comparable in set ops → diff on sorted
         # entry arrays (deterministic), restore the map type after
@@ -1125,20 +1231,30 @@ class IcebergLayoutTable:
         delta: DataFrame,
         keys: list[str],
         part_col: str | None = None,
+        mode: str = "copy-on-write",
     ) -> dict:
         """Keyed upsert — ``MERGE INTO t USING delta ON keys WHEN
         MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` with
         whole-row replacement: every delta row replaces the base rows
-        sharing its key; unseen keys insert.
+        sharing its key; unseen keys insert. Two physical strategies
+        with identical logical results:
 
-        Copy-on-write scoped to the delta's partitions: only parts
-        present in ``delta`` are read and rewritten (explicit version
-        dirs, no scan of the rest of the table), so merging a day's
-        corrections into years of history costs one bounded key-join
-        — Spark's AQE broadcasts the key side when the delta is small
-        — plus the rebalance write of the touched parts. MVCC as
-        usual: readers on the prior snapshot are unaffected.
+        - ``copy-on-write`` (default): only parts present in ``delta``
+          are read and rewritten (explicit version dirs, no scan of
+          the rest of the table), so merging a day's corrections into
+          years of history costs one bounded key-join — Spark's AQE
+          broadcasts the key side when the delta is small — plus the
+          rebalance write of the touched parts.
+        - ``merge-on-read``: the delta's rows APPEND as new data files
+          and its keys land as per-partition equality-delete files
+          (Iceberg v2 MOR upsert) — write cost is O(delta), no base
+          file is read or rewritten. Readers drop base rows whose key
+          matches a delete with a later sequence number, so stacked
+          merges are last-writer-wins; :meth:`compact_parts`
+          materializes. A concurrent merge/delete on the same
+          partition fails commit validation (serializable row state).
 
+        MVCC as usual: readers on the prior snapshot are unaffected.
         Keys must be unique within ``delta`` per intended output row
         (duplicate-key delta rows all land — same as Iceberg merge
         with multiple matches on the source side being an error left
@@ -1152,20 +1268,95 @@ class IcebergLayoutTable:
         )
         if snap is None:
             return self.write_tier(delta, part_col=part_col, input_snapshot="merge")
-        versions = {
-            p: v for p, v in snap["parts"].items() if p in set(affected)
-        }
+        if mode == "merge-on-read":
+            return self._merge_rows_mor(delta, keys, snap, part_col, affected)
+        pairs = self._version_pairs(snap, affected)
         tsid = snap.get("schema_id")
         target = self.schema(tsid) if tsid is not None else None
         base = self._read_versions(
-            delta.sparkSession, versions, part_col, target_schema=target,
-            deletes=self._delete_descs(snap, versions),
+            delta.sparkSession, pairs, part_col, target_schema=target,
+            deletes=self._delete_descs(snap, affected),
         ).drop("snapv")
         kept = base.join(delta.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(delta, allowMissingColumns=True)
         return self.overwrite_parts(
             merged, affected, part_col=part_col, input_snapshot="merge",
             extra={"merge_keys": list(keys)},
+        )
+
+    def _merge_rows_mor(
+        self, delta: DataFrame, keys: list[str], snap: dict,
+        part_col: str, affected: list[str],
+    ) -> dict:
+        """Merge-on-read half of :meth:`merge_rows`: append the delta
+        as new data files (``adds``) and its key tuples as
+        equality-delete files with this write's sequence number. The
+        delta's own rows are exempt from its delete (their data version
+        equals the sequence); earlier rows with matching keys — base
+        or prior adds — are dropped at read. Equality-delete key
+        columns are pinned to the CURRENT schema names; compact before
+        renaming merge-key columns."""
+        spark = delta.sparkSession
+        schema_id, expect_schema = self._ensure_write_schema(delta, part_col)
+        v = self._claim_version()
+        # 1. append the delta rows (new snapv=v dirs; manifests + file
+        #    stats written like any other data, so scan pruning sees them)
+        self._write_parts(delta, affected, v, part_col, "merge-mor", schema_id)
+        # 2. equality-delete files: one key tuple per intended upsert,
+        #    only for partitions that HAVE base rows to supersede
+        existing = [p for p in affected if p in snap["parts"]]
+        add_dels: dict[str, list[dict]] = {}
+        if existing:
+            out_dir = os.path.join(self.root, "deletes", f"delv={v}")
+            (
+                delta.where(F.col(part_col).cast("string").isin(existing))
+                .select(part_col, *keys)
+                .distinct()
+                .write.partitionBy(part_col)
+                .parquet(out_dir)
+            )
+            written = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(out_dir)
+                if d.startswith(f"{part_col}=")
+            )
+            add_dels = {
+                p: [{
+                    "path": f"deletes/delv={v}/{part_col}={p}",
+                    "kind": "eq",
+                    "keys": list(keys),
+                    "seq": v,
+                }]
+                for p in written
+            }
+        new_parts = [p for p in affected if p not in snap["parts"]]
+        base_vers = {p: snap["parts"].get(p) for p in affected}
+        return self._commit(
+            {},
+            {
+                "input_snapshot": "merge-mor",
+                "new_parts": new_parts,
+                "add_parts": existing,
+                "part_col": part_col,
+                "schema_id": schema_id,
+                "merge_keys": list(keys),
+            },
+            # brand-new partitions: the appended files ARE the base
+            update={
+                **{p: snap["parts"][p] for p in existing},
+                **{p: v for p in new_parts},
+            },
+            base_versions=base_vers,
+            expect_schema=expect_schema,
+            add_deletes=add_dels,
+            add_adds={p: [v] for p in existing},
+            expect_row_state={
+                p: (
+                    snap.get("adds", {}).get(p, []),
+                    (snap.get("deletes") or {}).get(p, []),
+                )
+                for p in existing
+            },
         )
 
     def delete_where(
@@ -1209,7 +1400,7 @@ class IcebergLayoutTable:
         tsid = snap.get("schema_id")
         target = self.schema(tsid) if tsid is not None else None
         base = self._read_versions(
-            spark, {p: snap["parts"][p] for p in matching}, part_col,
+            spark, self._version_pairs(snap, matching), part_col,
             target_schema=target,
             deletes=self._delete_descs(snap, matching),
         ).drop("snapv")
@@ -1295,7 +1486,7 @@ class IcebergLayoutTable:
         tsid = snap.get("schema_id") if snap else None
         target = self.schema(tsid) if tsid is not None else None
         df = self._read_versions(
-            spark, {p: versions[p] for p in todo}, part_col, target_schema=target,
+            spark, self._version_pairs(snap, todo), part_col, target_schema=target,
             deletes=self._delete_descs(snap, todo),
         ).drop("snapv").coalesce(max(1, target_files))
         # the overwrite commit drops the materialized parts' delete
@@ -1369,7 +1560,7 @@ class IcebergLayoutTable:
         for n in snap_ids:
             s = self.snapshot(n)
             all_snaps.append(s)
-            live |= {(p, v) for p, v in s["parts"].items()}
+            live |= set(self._version_pairs(s))
         deleted = self._sweep_delete_files(
             self._live_delete_paths(all_snaps), older_than_s
         )
@@ -1429,12 +1620,12 @@ class IcebergLayoutTable:
             s = self.snapshot(n)
             kept_snaps.append(s)
             part_col = s.get("part_col", part_col)
-            live |= {(p, v) for p, v in s["parts"].items()}
+            live |= set(self._version_pairs(s))
         # delete files referenced only by expired snapshots go with them
         deleted = self._sweep_delete_files(self._live_delete_paths(kept_snaps))
         for n in drop:
             s = self.snapshot(n)
-            for p, v in s["parts"].items():
+            for p, v in self._version_pairs(s):
                 if (p, v) in live:
                     continue
                 d = self._version_dir(p, v, s.get("part_col", part_col))

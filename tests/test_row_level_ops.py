@@ -257,6 +257,131 @@ def test_mor_delete_conflicts_with_concurrent_rewrite(spark, tmp_path):
         t._delete_where_mor(spark, snap0, "url = 'u0'", None, "part")
 
 
+def test_mor_merge_matches_cow_merge(spark, tmp_path):
+    """MOR merge (appended delta + equality deletes) produces the same
+    logical rows as the CoW merge, with ZERO base-version changes."""
+    delta = None
+    rows = None
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = IcebergLayoutTable(str(tmp_path / mode))
+        t.write_tier(_mk(spark))
+        if delta is None:
+            delta = spark.createDataFrame(
+                [
+                    ("u0", 0, 99.0, 0),
+                    ("zz", 604800, 1.0, 604800),
+                    ("nn", 2_000_000, 5.0, 1814400),  # brand-new partition
+                ],
+                "url string, bucket_s bigint, v double, part bigint",
+            )
+        v0 = dict(t.part_versions())
+        snap = t.merge_rows(delta, keys=["url", "bucket_s"], mode=mode)
+        got = sorted(
+            (r["url"], r["bucket_s"], r["v"], r["part"])
+            for r in t.read_tier(spark).collect()
+        )
+        if rows is None:
+            rows = got
+        else:
+            assert got == rows
+        if mode == "merge-on-read":
+            # existing parts kept their base version; only the new
+            # partition minted one
+            assert {p: v for p, v in t.part_versions().items() if p in v0} == v0
+            assert snap["add_parts"] == ["0", "604800"]
+            assert snap["new_parts"] == ["1814400"]
+            assert snap["deletes"]["0"][0]["kind"] == "eq"
+            assert "1814400" not in snap.get("deletes", {})
+
+
+def test_mor_merge_stacking_last_writer_wins(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,), n=4))
+    d1 = spark.createDataFrame(
+        [("u0", 0, 10.0, 0)], "url string, bucket_s bigint, v double, part bigint"
+    )
+    d2 = spark.createDataFrame(
+        [("u0", 0, 20.0, 0), ("u1", 60, 21.0, 0)],
+        "url string, bucket_s bigint, v double, part bigint",
+    )
+    t.merge_rows(d1, keys=["url", "bucket_s"], mode="merge-on-read")
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.merge_rows(d2, keys=["url", "bucket_s"], mode="merge-on-read")
+    back = t.read_tier(spark)
+    assert back.where("url='u0' and bucket_s=0").collect()[0]["v"] == 20.0
+    assert back.where("url='u1' and bucket_s=60").collect()[0]["v"] == 21.0
+    assert back.count() == 4  # no duplicates from the stacked merges
+    # time travel to between the merges sees the first merge's value
+    assert (
+        t.read_tier(spark, snapshot_id=s1)
+        .where("url='u0' and bucket_s=0").collect()[0]["v"] == 10.0
+    )
+
+
+def test_mor_merge_compaction_and_changes(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,), n=4))
+    s0 = t.current_snapshot()["snapshot_id"]
+    delta = spark.createDataFrame(
+        [("u0", 0, 42.0, 0), ("xx", 999, 1.0, 0)],
+        "url string, bucket_s bigint, v double, part bigint",
+    )
+    t.merge_rows(delta, keys=["url", "bucket_s"], mode="merge-on-read")
+    # CDC: exactly one update (delete+insert) and one pure insert
+    ch = t.read_changes(spark, s0)
+    ins = {(r["url"], r["v"]) for r in ch.where("_change='insert'").collect()}
+    dels = {(r["url"], r["v"]) for r in ch.where("_change='delete'").collect()}
+    assert ins == {("u0", 42.0), ("xx", 1.0)}
+    assert dels == {("u0", 0.0)}
+    expect = t.read_tier(spark).count()
+    t.compact_parts(spark)
+    snap = t.current_snapshot()
+    assert "adds" not in snap or not snap["adds"]
+    assert "deletes" not in snap or not snap["deletes"]
+    assert t.read_tier(spark).count() == expect
+    t.expire_snapshots(keep_last=1)
+    import os
+    assert not os.path.isdir(str(tmp_path / "t" / "deletes")) or not any(
+        os.scandir(str(tmp_path / "t" / "deletes"))
+    )
+    assert t.read_tier(spark).count() == expect
+
+
+def test_mor_merge_conflicts_with_concurrent_mor(spark, tmp_path):
+    import pytest
+
+    from lambdo_spark.sources.iceberg_layout import ConcurrentWriteConflict
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,), n=4))
+    snap0 = t.current_snapshot()
+    d = spark.createDataFrame(
+        [("u0", 0, 1.0, 0)], "url string, bucket_s bigint, v double, part bigint"
+    )
+    t.merge_rows(d, keys=["url", "bucket_s"], mode="merge-on-read")
+    # a second writer that derived from snap0 must NOT commit: the
+    # partition's row state changed under it
+    with pytest.raises(ConcurrentWriteConflict):
+        t._merge_rows_mor(d, ["url", "bucket_s"], snap0, "part", ["0"])
+
+
+def test_mor_merge_then_mor_delete_interop(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,), n=4))
+    delta = spark.createDataFrame(
+        [("u0", 0, 42.0, 0)], "url string, bucket_s bigint, v double, part bigint"
+    )
+    t.merge_rows(delta, keys=["url", "bucket_s"], mode="merge-on-read")
+    # MOR delete of a row that lives in an APPENDED file
+    t.delete_where(spark, "v = 42.0", mode="merge-on-read")
+    back = t.read_tier(spark)
+    assert back.where("url='u0' and bucket_s=0").count() == 0
+    assert back.count() == 3
+    # stat pruning still works across base + adds
+    pruned = t.read_tier(spark, prune={"url": ("u1", "u3")})
+    assert pruned.count() == back.where("url >= 'u1' and url <= 'u3'").count()
+
+
 def test_merge_then_read_changes_shows_row_deltas(spark, tmp_path):
     t = IcebergLayoutTable(str(tmp_path / "t"))
     base = _mk(spark, parts=(0,), n=6)

@@ -112,6 +112,25 @@ def test_read_tier_partition_pruning(spark, pages, tmp_path):
     assert "part" in scan[0], scan[0]
 
 
+def test_mor_delete_read_broadcasts_anti_join(spark, tmp_path):
+    """A merge-on-read read applies position deletes with a LeftAnti
+    join that must BROADCAST the delete side (O(deleted rows), tiny
+    next to the data) — never shuffle the petabyte data side to meet
+    a kilobyte delete set."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(spark.createDataFrame(
+        [(f"u{i}", i, float(i), 0) for i in range(100)],
+        "url string, bucket_s bigint, v double, part bigint",
+    ))
+    t.delete_where(spark, "v = 3.0", mode="merge-on-read")
+    plan = _plan(t.read_tier(spark))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti, plan
+    assert any("BroadcastHashJoin" in ln for ln in anti), anti
+
+
 def test_gap_fill_join_free(pages):
     """Gap-fill is a single pass over the real rows: per-key lag window
     -> gap bucket range exploded as longs, non-real columns nulled by

@@ -711,12 +711,28 @@ class Workflow:
                     "batch table — use operation 'sink', or mark the "
                     "source table with \"stream\": true"
                 )
-            writer = (
-                src.writeStream.format(tdef.get("format", "parquet"))
-                .option("path", tdef["path"])
-                .option("checkpointLocation", tdef["checkpoint"])
-                .outputMode(tdef.get("output_mode", "append"))
-            )
+            if tdef.get("format") == "upsert":
+                # exactly-once streaming MERGE into an Iceberg-layout
+                # table (streaming/upsert_stream.py): each micro-batch
+                # upserts by `keys`; merge-on-read by default so the
+                # per-batch cost is O(batch), never a base rewrite
+                from lambdo_spark.streaming.upsert_stream import (
+                    streaming_upsert_writer,
+                )
+
+                writer = streaming_upsert_writer(
+                    src, tdef["path"], list(tdef["keys"]), tdef["checkpoint"],
+                    mode=tdef.get("mode", "merge-on-read"),
+                    tag_prefix=tdef.get("tag_prefix", f"upsert:{tid}"),
+                    part_col=tdef.get("part_col", "part"),
+                )
+            else:
+                writer = (
+                    src.writeStream.format(tdef.get("format", "parquet"))
+                    .option("path", tdef["path"])
+                    .option("checkpointLocation", tdef["checkpoint"])
+                    .outputMode(tdef.get("output_mode", "append"))
+                )
             if tdef.get("interval"):
                 writer = writer.trigger(processingTime=tdef["interval"])
             else:

@@ -215,7 +215,7 @@ class IcebergLayoutTable:
     # applied-delta ledger) and the current schema pointer must survive
     # maintenance commits like compaction — these keys carry forward
     # unless explicitly replaced
-    CARRIED_EXTRA_KEYS = ("applied_deltas", "pending", "schema_id")
+    CARRIED_EXTRA_KEYS = ("applied_deltas", "pending", "schema_id", "applied_upserts")
 
     # sentinel: "don't validate the schema pointer at commit time"
     _SCHEMA_UNCHECKED = object()
@@ -531,6 +531,7 @@ class IcebergLayoutTable:
         df: DataFrame,
         part_col: str = "part",
         input_snapshot: str = "",
+        extra: dict | None = None,
     ) -> dict:
         """Write all not-yet-committed partitions of ``df``; resumable.
 
@@ -552,6 +553,7 @@ class IcebergLayoutTable:
                 "new_parts": missing,
                 "part_col": part_col,
                 "schema_id": schema_id,
+                **(extra or {}),
             },
             update={p: version for p in missing},
             base_versions=versions,
@@ -1232,6 +1234,7 @@ class IcebergLayoutTable:
         keys: list[str],
         part_col: str | None = None,
         mode: str = "copy-on-write",
+        idempotency_tag: str | None = None,
     ) -> dict:
         """Keyed upsert — ``MERGE INTO t USING delta ON keys WHEN
         MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` with
@@ -1258,8 +1261,27 @@ class IcebergLayoutTable:
         Keys must be unique within ``delta`` per intended output row
         (duplicate-key delta rows all land — same as Iceberg merge
         with multiple matches on the source side being an error left
-        to the caller)."""
+        to the caller).
+
+        ``idempotency_tag`` makes replays exactly-once for a
+        single-writer feed (the streaming-upsert sink): a tag already
+        in the snapshot's ``applied_upserts`` ledger returns the
+        current snapshot without touching anything. (MOR merge replays
+        are convergent even WITHOUT the tag — the replay's higher
+        sequence supersedes the original rows — but the ledger makes
+        them free and keeps the CDC changelog clean.)"""
         snap = self.current_snapshot()
+        if idempotency_tag is not None and snap is not None:
+            if idempotency_tag in snap.get("applied_upserts", []):
+                return snap
+        ledger = (
+            {}
+            if idempotency_tag is None
+            else {"applied_upserts": (
+                list((snap or {}).get("applied_upserts", []))
+                + [idempotency_tag]
+            )[-100:]}
+        )
         part_col = part_col or (snap.get("part_col", "part") if snap else "part")
         if part_col not in delta.columns:
             raise ValueError(f"delta must carry the partition column {part_col!r}")
@@ -1267,9 +1289,13 @@ class IcebergLayoutTable:
             str(r[0]) for r in delta.select(part_col).distinct().collect()
         )
         if snap is None:
-            return self.write_tier(delta, part_col=part_col, input_snapshot="merge")
+            return self.write_tier(
+                delta, part_col=part_col, input_snapshot="merge", extra=ledger
+            )
         if mode == "merge-on-read":
-            return self._merge_rows_mor(delta, keys, snap, part_col, affected)
+            return self._merge_rows_mor(
+                delta, keys, snap, part_col, affected, extra=ledger
+            )
         pairs = self._version_pairs(snap, affected)
         tsid = snap.get("schema_id")
         target = self.schema(tsid) if tsid is not None else None
@@ -1281,12 +1307,12 @@ class IcebergLayoutTable:
         merged = kept.unionByName(delta, allowMissingColumns=True)
         return self.overwrite_parts(
             merged, affected, part_col=part_col, input_snapshot="merge",
-            extra={"merge_keys": list(keys)},
+            extra={"merge_keys": list(keys), **ledger},
         )
 
     def _merge_rows_mor(
         self, delta: DataFrame, keys: list[str], snap: dict,
-        part_col: str, affected: list[str],
+        part_col: str, affected: list[str], extra: dict | None = None,
     ) -> dict:
         """Merge-on-read half of :meth:`merge_rows`: append the delta
         as new data files (``adds``) and its key tuples as
@@ -1340,6 +1366,7 @@ class IcebergLayoutTable:
                 "part_col": part_col,
                 "schema_id": schema_id,
                 "merge_keys": list(keys),
+                **(extra or {}),
             },
             # brand-new partitions: the appended files ARE the base
             update={

@@ -173,6 +173,48 @@ def test_stream_static_link_compose(spark, tmp_path):
     ).all()
 
 
+def test_stream_sink_upsert_format(spark, tmp_path):
+    """stream_sink format=upsert: a CDC delta stream continuously
+    MERGEd into an Iceberg-layout table from the workflow language —
+    merge-on-read, exactly-once per micro-batch."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    t.write_tier(spark.createDataFrame(
+        [(f"u{i}", i, float(i), 0) for i in range(8)],
+        "url string, bucket_s bigint, v double, part bigint",
+    ))
+    v0 = dict(t.part_versions())
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("u0", 0, 99.0, 0), ("new", 777, 1.0, 0)],
+        "url string, bucket_s bigint, v double, part bigint",
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _g
+    shutil.copy(
+        _g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+        os.path.join(src, "d-0.parquet"),
+    )
+    spec = (
+        '{"tables": ['
+        '{"id": "deltas", "operation": "source", "format": "parquet",'
+        f' "path": "{src}", "stream": true}},'
+        '{"id": "sink", "operation": "stream_sink", "source": "deltas",'
+        ' "format": "upsert", "keys": ["url", "bucket_s"],'
+        f' "path": "{root}", "checkpoint": "{tmp_path}/ckpt"}}'
+        "]}"
+    )
+    wf = Workflow(spec, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+    back = t.read_tier(spark)
+    assert back.count() == 9
+    assert back.where("url='u0' and bucket_s=0").first()["v"] == 99.0
+    assert t.part_versions() == v0  # merge-on-read: no base rewrite
+
+
 def test_stream_sink_rejects_batch_source(spark, tmp_path):
     spec = (
         '{"tables": ['

@@ -168,6 +168,16 @@ def _run_maintain(args) -> int:
             snap = t.compact_parts(spark, target_files=args.target_files)
             out["compacted_parts"] = len(snap["new_parts"])
             out["snapshot_id"] = snap["snapshot_id"]
+        if args.rewrite_deletes is not None:
+            before = (t.current_snapshot() or {}).get("snapshot_id")
+            snap = t.rewrite_deletes(
+                spark, min_files=args.rewrite_deletes,
+                target_files=args.target_files,
+            )
+            out["delete_rewritten_parts"] = (
+                snap.get("new_parts", []) if snap["snapshot_id"] != before else []
+            )
+            out["snapshot_id"] = snap["snapshot_id"]
         if args.expire_keep is not None:
             deleted = t.expire_snapshots(keep_last=args.expire_keep)
             out["expired_version_dirs"] = len(deleted)
@@ -203,12 +213,31 @@ def _run_schema(args) -> int:
     return 0
 
 
+def _run_branch(args) -> int:
+    """Metadata-only (no SparkSession): create / publish / drop branch
+    refs — the write-audit-publish control surface."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    t = IcebergLayoutTable(args.table)
+    out: dict = {"table": args.table}
+    if args.create:
+        out["created"] = t.create_branch(args.create, from_snapshot=args.at)
+    if args.publish:
+        out["published"] = t.publish_branch(args.publish)
+    if args.drop:
+        t.drop_branch(args.drop)
+        out["dropped"] = args.drop
+    out["branches"] = t.list_branches()
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def _run_delete(args) -> int:
     from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
 
     spark = get_spark(app_name="lambdo_spark:delete", master=args.master)
     try:
-        t = IcebergLayoutTable(args.table)
+        t = IcebergLayoutTable(args.table, branch=args.branch)
         prune = {}
         for w in args.prune:
             c, _, v = w.partition("=")
@@ -238,7 +267,7 @@ def _run_merge(args) -> int:
 
     spark = get_spark(app_name="lambdo_spark:merge", master=args.master)
     try:
-        t = IcebergLayoutTable(args.table)
+        t = IcebergLayoutTable(args.table, branch=args.branch)
         delta = spark.read.parquet(args.delta)
         snap = t.merge_rows(delta, keys=args.keys.split(","), mode=args.mode)
         print(json.dumps({
@@ -306,7 +335,7 @@ def main(argv: list[str] | None = None) -> int:
     # legacy form: `python -m lambdo_spark workflow.json [...]`
     if argv and argv[0] not in (
         "retention", "refresh", "maintain", "stream-refresh", "plan",
-        "schema", "delete", "merge",
+        "schema", "delete", "merge", "branch",
     ):
         argv = ["run", *argv]
 
@@ -365,6 +394,11 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--target-files", type=int, default=1)
     mnt.add_argument("--expire-keep", type=int, default=None,
                      help="keep only the N most recent snapshots")
+    mnt.add_argument("--rewrite-deletes", type=int, default=None,
+                     metavar="MIN_FILES",
+                     help="compact only partitions whose merge-on-read "
+                     "read tax (delete files + appended file sets) is at "
+                     "least MIN_FILES — folds them into clean base files")
     mnt.add_argument("--remove-orphans", action="store_true",
                      help="delete data dirs no snapshot references "
                      "(crashed attempts, lost commit races)")
@@ -407,6 +441,20 @@ def main(argv: list[str] | None = None) -> int:
     sch.add_argument("--widen", action="append", default=[], metavar="NAME:TYPE",
                      help="promote a type (tinyint→…→bigint, float→double)")
 
+    brn = sub.add_parser(
+        "branch",
+        help="create/publish/drop branch refs (write-audit-publish): "
+        "stage writes on a branch with --branch on write commands, "
+        "audit them, then publish fast-forwards main atomically "
+        "(metadata-only; no Spark session)",
+    )
+    brn.add_argument("--table", required=True)
+    brn.add_argument("--create", default=None, metavar="NAME")
+    brn.add_argument("--at", type=int, default=None,
+                     help="snapshot id to branch from (default: main head)")
+    brn.add_argument("--publish", default=None, metavar="NAME")
+    brn.add_argument("--drop", default=None, metavar="NAME")
+
     dlt = sub.add_parser(
         "delete",
         help="row-level DELETE: rewrite only the partitions containing "
@@ -422,6 +470,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="merge-on-read writes position-delete files "
                      "(O(matched rows), zero data rewrite); copy-on-write "
                      "rewrites the matching partitions")
+    dlt.add_argument("--branch", default="main",
+                     help="stage the delete on a branch ref (write-audit-publish)")
     dlt.add_argument("--master", default=None)
 
     mrg = sub.add_parser(
@@ -437,9 +487,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="merge-on-read appends the delta + equality-delete "
                      "files (O(delta) write, zero base rewrite); copy-on-write "
                      "rewrites the delta's partitions")
+    mrg.add_argument("--branch", default="main",
+                     help="stage the merge on a branch ref (write-audit-publish)")
     mrg.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
+    if args.cmd == "branch":
+        return _run_branch(args)
     if args.cmd == "schema":
         return _run_schema(args)
     if args.cmd == "delete":

@@ -91,8 +91,15 @@ class IcebergLayoutTable:
         root: str,
         sort_order: tuple[str, ...] = ("url", "bucket_s"),
         cluster_writes: bool = True,
+        branch: str = "main",
     ):
+        # ``branch``: every read and commit on this handle resolves
+        # through the named branch ref instead of CURRENT ("main").
+        # Branch handles enable write-audit-publish: stage commits on
+        # a branch (main readers never see them), validate, then
+        # ``publish_branch`` fast-forwards main atomically.
         self.root = root
+        self.branch = branch
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "metadata")
         # cluster_writes=False keeps the caller's partitioning (files
@@ -114,9 +121,20 @@ class IcebergLayoutTable:
         os.makedirs(self.meta_dir, exist_ok=True)
 
     # ------------------------------------------------------------ metadata
+    def _ref_path(self, branch: str | None = None) -> str:
+        b = self.branch if branch is None else branch
+        return os.path.join(
+            self.meta_dir, "CURRENT" if b == "main" else f"branch-{b}.json"
+        )
+
     def current_snapshot(self) -> dict | None:
-        cur = _read_json(os.path.join(self.meta_dir, "CURRENT"))
+        cur = _read_json(self._ref_path())
         if not cur:
+            if self.branch != "main":
+                raise FileNotFoundError(
+                    f"no branch {self.branch!r} in {self.meta_dir} — "
+                    "create_branch first"
+                )
             return None
         return self.snapshot(None, cur["snapshot"])
 
@@ -129,6 +147,87 @@ class IcebergLayoutTable:
             # part=<p>; treat as version -1 (sentinel, no snapv dir)
             snap["parts"] = {p: -1 for p in snap["parts"]}
         return snap
+
+    # ------------------------------------------------------------ branches
+    def create_branch(self, name: str, from_snapshot: int | None = None) -> dict:
+        """Create a branch ref pointing at ``from_snapshot`` (default:
+        the current head of THIS handle's branch). Writes through an
+        ``IcebergLayoutTable(root, branch=name)`` handle then chain
+        snapshots on the branch — main readers never see them until
+        :meth:`publish_branch` (the write-audit-publish pattern)."""
+        if name == "main":
+            raise ValueError("'main' is the default ref — cannot create it")
+        if from_snapshot is None:
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError("empty table: nothing to branch from")
+            from_snapshot = snap["snapshot_id"]
+        ref = self._ref_path(name)
+        sname = f"snapshot-{from_snapshot}.json"
+        if self.snapshot(None, sname) is None:
+            raise FileNotFoundError(f"no snapshot {from_snapshot} to branch from")
+        with self._commit_lock():
+            if os.path.exists(ref):
+                raise ConcurrentWriteConflict(f"branch {name!r} already exists")
+            _atomic_write_json(ref, {"snapshot": sname})
+        return {"branch": name, "snapshot_id": from_snapshot}
+
+    def list_branches(self) -> dict[str, int]:
+        """All refs (including main) → their head snapshot ids."""
+        out = {}
+        for f in sorted(os.listdir(self.meta_dir)):
+            if f == "CURRENT":
+                b = "main"
+            elif f.startswith("branch-") and f.endswith(".json"):
+                b = f[len("branch-"):-len(".json")]
+            else:
+                continue
+            ref = _read_json(os.path.join(self.meta_dir, f))
+            if ref:
+                out[b] = int(ref["snapshot"].split("-")[1].split(".")[0])
+        return out
+
+    def publish_branch(self, name: str) -> dict:
+        """Fast-forward main to the branch head — the atomic PUBLISH
+        of write-audit-publish. Valid only when main's current head is
+        an ancestor of the branch head (walked via parent pointers);
+        if main advanced since the branch was cut, raises
+        :class:`ConcurrentWriteConflict` — re-branch and replay, the
+        same rule as Iceberg's fast-forward. The branch ref survives
+        (now pointing at main's head); ``drop_branch`` removes it."""
+        with self._commit_lock():
+            ref = _read_json(self._ref_path(name))
+            if ref is None:
+                raise FileNotFoundError(f"no branch {name!r} in {self.meta_dir}")
+            cur = _read_json(os.path.join(self.meta_dir, "CURRENT"))
+            main_id = (
+                self.snapshot(None, cur["snapshot"])["snapshot_id"]
+                if cur else None
+            )
+            node = self.snapshot(None, ref["snapshot"])
+            head_id = node["snapshot_id"]
+            while node is not None:
+                if node["snapshot_id"] == main_id:
+                    break
+                parent = node.get("parent")
+                node = self.snapshot(parent) if parent is not None else None
+            else:
+                if main_id is not None:
+                    raise ConcurrentWriteConflict(
+                        f"main advanced past branch {name!r}'s base "
+                        f"(main={main_id}, not an ancestor of branch head "
+                        f"{head_id}) — re-branch from current main and replay"
+                    )
+            _atomic_write_json(
+                os.path.join(self.meta_dir, "CURRENT"), dict(ref)
+            )
+        return {"branch": name, "published_snapshot_id": head_id}
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch ref; its unpublished snapshots become
+        expirable by :meth:`expire_snapshots` / orphan GC."""
+        with contextlib.suppress(OSError):
+            os.remove(self._ref_path(name))
 
     def committed_parts(self, snapshot_id: int | None = None) -> set[str]:
         snap = (
@@ -157,8 +256,14 @@ class IcebergLayoutTable:
         return out
 
     def _next_snapshot_id(self) -> int:
-        snap = self.current_snapshot()
-        return (snap["snapshot_id"] + 1) if snap else 0
+        # GLOBAL max across every snapshot file: branches share one
+        # snapshot-id namespace, so ids never collide across refs
+        ids = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        return max(ids, default=-1) + 1
 
     def _claim_version(self) -> int:
         """Atomically claim a unique data-version id (O_EXCL marker):
@@ -282,7 +387,7 @@ class IcebergLayoutTable:
                             f"row state of partition {p!r} changed since "
                             f"base snapshot (concurrent merge/delete)"
                         )
-            n = prev.get("snapshot_id", -1) + 1
+            n = self._next_snapshot_id()
             carried = {k: prev[k] for k in self.CARRIED_EXTRA_KEYS if k in prev}
             # merge-on-read delete files and appended data files
             # survive a commit only while their partition's BASE data
@@ -309,6 +414,10 @@ class IcebergLayoutTable:
                 "snapshot_id": n,
                 "parts": parts,
                 "committed_at": time.time(),
+                # parent pointer: the commit lineage publish_branch
+                # walks to prove a branch head fast-forwards main
+                "parent": prev.get("snapshot_id"),
+                **({"branch": self.branch} if self.branch != "main" else {}),
                 **carried,
                 **({"deletes": kept_dels} if kept_dels else {}),
                 **({"adds": kept_adds} if kept_adds else {}),
@@ -316,9 +425,7 @@ class IcebergLayoutTable:
             }
             name = f"snapshot-{n}.json"
             _atomic_write_json(os.path.join(self.meta_dir, name), new)
-            _atomic_write_json(
-                os.path.join(self.meta_dir, "CURRENT"), {"snapshot": name}
-            )
+            _atomic_write_json(self._ref_path(), {"snapshot": name})
             return new
 
     # -------------------------------------------------------------- schema
@@ -1568,6 +1675,31 @@ class IcebergLayoutTable:
             for d in ds
         }
 
+    def rewrite_deletes(
+        self, spark: SparkSession, min_files: int = 1, target_files: int = 1
+    ) -> dict:
+        """Targeted merge-on-read maintenance (Iceberg's
+        rewrite_position_delete_files as a policy): compact ONLY the
+        partitions whose MOR read tax — delete files plus appended
+        file sets — has reached ``min_files``. Partitions below the
+        threshold keep their cheap O(delta) state; partitions above it
+        fold everything back into clean base files in one bounded
+        rewrite. Run periodically next to a streaming upsert sink so
+        the anti-join side stays broadcast-sized. Returns the commit
+        snapshot, or the current one when nothing qualifies."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.meta_dir}")
+        tax: dict[str, int] = {}
+        for p, ds in (snap.get("deletes") or {}).items():
+            tax[p] = tax.get(p, 0) + len(ds)
+        for p, vs in (snap.get("adds") or {}).items():
+            tax[p] = tax.get(p, 0) + len(vs)
+        todo = sorted(p for p, n in tax.items() if n >= min_files)
+        if not todo:
+            return snap
+        return self.compact_parts(spark, parts=todo, target_files=target_files)
+
     def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete (part, snapv) data directories referenced by NO
         existing snapshot — leftovers of crashed attempts and lost
@@ -1639,7 +1771,27 @@ class IcebergLayoutTable:
             for f in os.listdir(self.meta_dir)
             if f.startswith("snapshot-") and f.endswith(".json")
         )
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        # every ref head (main + branches) stays readable regardless of
+        # age — an unpublished audit branch must survive maintenance —
+        # and so must each head's ancestry down to the protected
+        # region, or publish_branch's fast-forward walk would break
+        refs = self.list_branches()
+        heads = set(refs.values())
+        keep_set = set(snaps[-keep_last:]) | (heads & set(snaps))
+        branch_heads = {v for b, v in refs.items() if b != "main"}
+        for h in sorted(branch_heads & set(snaps)):
+            # protect the branch's own commit chain (branch-tagged
+            # snapshots) so publish_branch's ancestry walk stays
+            # intact; the walk stops at the fork into main history
+            node = self.snapshot(h)
+            while node is not None and (
+                node.get("branch") or node["snapshot_id"] in heads
+            ):
+                keep_set.add(node["snapshot_id"])
+                parent = node.get("parent")
+                node = self.snapshot(parent) if parent is not None else None
+        keep = sorted(keep_set & set(snaps))
+        drop = [n for n in snaps if n not in keep_set]
         live: set[tuple[str, int]] = set()
         part_col = "part"
         kept_snaps = []

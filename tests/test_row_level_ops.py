@@ -382,6 +382,26 @@ def test_mor_merge_then_mor_delete_interop(spark, tmp_path):
     assert pruned.count() == back.where("url >= 'u1' and url <= 'u3'").count()
 
 
+def test_rewrite_deletes_targets_taxed_parts_only(spark, tmp_path):
+    """rewrite_deletes(min_files=2) compacts only partitions whose MOR
+    read tax reached the threshold; cheap partitions keep their state."""
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    base = _mk(spark, parts=(0, 604800))
+    t.write_tier(base)
+    t.delete_where(spark, "part = 0 and url = 'u0'", mode="merge-on-read")
+    t.delete_where(spark, "part = 0 and url = 'u1'", mode="merge-on-read")
+    t.delete_where(spark, "part = 604800 and url = 'u0'", mode="merge-on-read")
+    expect = t.read_tier(spark).count()
+    snap = t.rewrite_deletes(spark, min_files=2)
+    assert snap["new_parts"] == ["0"]  # only the doubly-deleted part
+    cur = t.current_snapshot()
+    assert "0" not in cur.get("deletes", {})
+    assert len(cur["deletes"]["604800"]) == 1
+    assert t.read_tier(spark).count() == expect
+    # below threshold everywhere now: no-op
+    assert t.rewrite_deletes(spark, min_files=2)["snapshot_id"] == cur["snapshot_id"]
+
+
 def test_merge_then_read_changes_shows_row_deltas(spark, tmp_path):
     t = IcebergLayoutTable(str(tmp_path / "t"))
     base = _mk(spark, parts=(0,), n=6)

@@ -272,6 +272,26 @@ def _q_delete_where_mor(spark, sf_dir):
     return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
 
 
+def _q_update_where(spark, sf_dir, mode="copy-on-write"):
+    """Row-level UPDATE (DML triad with merge/delete): SET sum_c =
+    sum_c*3+1 WHERE sum_c % 10 = 3. CoW rewrites only matching
+    partitions; MOR writes position-deletes + updated images
+    (O(matched rows), zero base rewrite). Both share one oracle."""
+    import tempfile
+
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    base = _base_tier_1h(spark, sf_dir).withColumnRenamed("url", "user_id")
+    t = IcebergLayoutTable(tempfile.mkdtemp(prefix="lambdo_update_q_"))
+    t.write_tier(with_part(base, bucket_col="bucket_s"), input_snapshot="base")
+    t.update_where(spark, "sum_c % 10 = 3", {"sum_c": "sum_c * 3 + 1"}, mode=mode)
+    return t.read_tier(spark).select("user_id", "bucket_s", "sum_c")
+
+
+def _q_update_where_mor(spark, sf_dir):
+    return _q_update_where(spark, sf_dir, mode="merge-on-read")
+
+
 def _q_train_grouped(spark, sf_dir):
     """C10 grouped fit: per-(returnflag, linestatus) OLS of price ~ qty
     in ONE groupBy over exact long sums, cross products widened to
@@ -1139,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_mor": _q_merge_upsert_mor,
         "delete_where": _q_delete_where,
         "delete_where_mor": _q_delete_where_mor,
+        "update_where": _q_update_where,
+        "update_where_mor": _q_update_where_mor,
         # relational operators (SURVEY §2)
         "calc_revenue": _q_calc_revenue,
         "roll_sum_w5": _q_roll_sum_w5,
@@ -1386,6 +1408,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
             FROM events GROUP BY 1, 2
             HAVING NOT (sum_c % 10 = 3)
+        """,
+        "update_where": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, bucket_s,
+                   CAST(CASE WHEN sum_c % 10 = 3 THEN sum_c*3+1 ELSE sum_c END
+                        AS BIGINT) AS sum_c
+            FROM base
+        """,
+        "update_where_mor": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, bucket_s,
+                   CAST(CASE WHEN sum_c % 10 = 3 THEN sum_c*3+1 ELSE sum_c END
+                        AS BIGINT) AS sum_c
+            FROM base
         """,
         "salted_agg": """
             SELECT user_id, count(*) AS n_events,

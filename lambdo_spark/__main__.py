@@ -262,6 +262,33 @@ def _run_delete(args) -> int:
         spark.stop()
 
 
+def _run_update(args) -> int:
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    spark = get_spark(app_name="lambdo_spark:update", master=args.master)
+    try:
+        t = IcebergLayoutTable(args.table, branch=args.branch)
+        sets = {}
+        for s in args.set:
+            c, _, expr = s.partition("=")
+            sets[c.strip()] = expr
+        before = (t.current_snapshot() or {}).get("snapshot_id")
+        snap = t.update_where(spark, args.where, sets, mode=args.mode)
+        changed = snap["snapshot_id"] != before
+        print(json.dumps({
+            "table": args.table,
+            "predicate": args.where,
+            "set": sets,
+            "mode": args.mode,
+            "rewritten_parts": snap.get("new_parts", []) if changed else [],
+            "updated_parts": snap.get("add_parts", []) if changed else [],
+            "snapshot_id": snap["snapshot_id"],
+        }, indent=1))
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_merge(args) -> int:
     from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
 
@@ -335,7 +362,7 @@ def main(argv: list[str] | None = None) -> int:
     # legacy form: `python -m lambdo_spark workflow.json [...]`
     if argv and argv[0] not in (
         "retention", "refresh", "maintain", "stream-refresh", "plan",
-        "schema", "delete", "merge", "branch",
+        "schema", "delete", "merge", "branch", "update",
     ):
         argv = ["run", *argv]
 
@@ -474,6 +501,23 @@ def main(argv: list[str] | None = None) -> int:
                      help="stage the delete on a branch ref (write-audit-publish)")
     dlt.add_argument("--master", default=None)
 
+    upd = sub.add_parser(
+        "update",
+        help="row-level UPDATE: SET col=expr on rows matching a "
+        "predicate — copy-on-write rewrites matching partitions, "
+        "merge-on-read writes position-deletes + updated images",
+    )
+    upd.add_argument("--table", required=True)
+    upd.add_argument("--where", required=True)
+    upd.add_argument("--set", action="append", required=True,
+                     metavar="COL=SQL_EXPR",
+                     help="repeatable; expression sees the row's columns")
+    upd.add_argument("--mode", default="copy-on-write",
+                     choices=["copy-on-write", "merge-on-read"])
+    upd.add_argument("--branch", default="main",
+                     help="stage the update on a branch ref (write-audit-publish)")
+    upd.add_argument("--master", default=None)
+
     mrg = sub.add_parser(
         "merge",
         help="keyed MERGE (upsert): delta rows replace base rows with "
@@ -498,6 +542,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_schema(args)
     if args.cmd == "delete":
         return _run_delete(args)
+    if args.cmd == "update":
+        return _run_update(args)
     if args.cmd == "merge":
         return _run_merge(args)
     if args.cmd == "plan":

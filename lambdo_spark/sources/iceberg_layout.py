@@ -229,6 +229,21 @@ class IcebergLayoutTable:
         with contextlib.suppress(OSError):
             os.remove(self._ref_path(name))
 
+    def snapshot_as_of(self, ts: float) -> dict:
+        """Timestamp time travel (``FOR SYSTEM_TIME AS OF``): the
+        newest snapshot on THIS ref's history whose commit time is
+        ≤ ``ts`` (epoch seconds), found by walking parent pointers
+        from the head — never a snapshot from another branch."""
+        node = self.current_snapshot()
+        while node is not None:
+            if node.get("committed_at", 0) <= ts:
+                return node
+            parent = node.get("parent")
+            node = self.snapshot(parent) if parent is not None else None
+        raise FileNotFoundError(
+            f"no snapshot at or before ts={ts} on branch {self.branch!r}"
+        )
+
     def committed_parts(self, snapshot_id: int | None = None) -> set[str]:
         snap = (
             self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
@@ -1152,16 +1167,23 @@ class IcebergLayoutTable:
         snapshot_id: int | None = None,
         prune: dict | None = None,
         with_pos: bool = False,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Snapshot-isolated view: exactly the partition versions the
         (current or time-travel) snapshot committed, read as explicit
         directories — partition pruning by construction, and immune to
-        concurrent rewrites of newer versions.
+        concurrent rewrites of newer versions. Time travel by id
+        (``snapshot_id``) or commit timestamp (``as_of`` epoch
+        seconds, resolved on this ref's parent chain).
 
         ``prune`` ({col: (lo, hi)} or {col: value}) additionally skips
         data files via manifest column stats (:meth:`plan_files`) and
         applies the same range as a residual WHERE — exact results,
         with IO proportional to the files that can match."""
+        if as_of is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of, not both")
+            snapshot_id = self.snapshot_as_of(as_of)["snapshot_id"]
         snap = (
             self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         )
@@ -1542,6 +1564,137 @@ class IcebergLayoutTable:
         return self.overwrite_parts(
             kept, matching, part_col=part_col,
             input_snapshot=f"delete:{predicate}",
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set: dict[str, str],
+        prune: dict | None = None,
+        mode: str = "copy-on-write",
+    ) -> dict:
+        """Row-level UPDATE — ``UPDATE t SET col = expr WHERE pred`` —
+        completing the DML triad with :meth:`merge_rows` and
+        :meth:`delete_where`. Rows where the predicate is false or
+        NULL are untouched (SQL three-valued semantics); ``set`` maps
+        column names to SQL expressions evaluated against the row.
+
+        - ``copy-on-write``: rewrite only the partitions containing
+          matches, applying ``CASE WHEN pred THEN expr ELSE col END``
+          projections — one stat-pruned scan plus the bounded rewrite.
+        - ``merge-on-read``: an update is a position-delete of the
+          matched rows plus an APPEND of their updated images — both
+          O(matched rows), zero base rewrite (Iceberg v2 MOR update).
+          Readers see the new images; compaction materializes.
+        """
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.meta_dir}")
+        part_col = snap.get("part_col", "part")
+        unknown = [c for c in set if c == part_col]
+        if unknown:
+            raise ValueError(f"cannot SET the partition column {part_col!r}")
+        if mode == "merge-on-read":
+            return self._update_where_mor(spark, snap, predicate, set, prune, part_col)
+        cand = self.read_tier(spark, prune=prune)
+        matching = sorted(
+            str(r[0])
+            for r in cand.where(F.expr(predicate))
+            .select(part_col).distinct().collect()
+        )
+        if not matching:
+            return snap
+        base = self._read_versions(
+            spark, self._version_pairs(snap, matching), part_col,
+            target_schema=self.schema(snap.get("schema_id"))
+            if snap.get("schema_id") is not None else None,
+            deletes=self._delete_descs(snap, matching),
+        ).drop("snapv")
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        types = dict(base.dtypes)  # UPDATE never changes a column's type
+        updated = base.select(*[
+            (F.when(hit, F.expr(set[c]).cast(types[c]))
+             .otherwise(F.col(c)).alias(c)
+             if c in set else F.col(c))
+            for c in base.columns
+        ])
+        return self.overwrite_parts(
+            updated, matching, part_col=part_col,
+            input_snapshot=f"update:{predicate}",
+        )
+
+    def _update_where_mor(
+        self, spark, snap, predicate: str, set: dict[str, str],
+        prune: dict | None, part_col: str,
+    ) -> dict:
+        """Merge-on-read UPDATE: one scan finds the matched rows; their
+        positions become a position-delete file and their updated
+        images append as new data files — the same commit carries both,
+        so readers atomically flip from old to new images."""
+        scan = self.read_tier(spark, prune=prune, with_pos=True)
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        matched = scan.where(hit)
+        affected = sorted(
+            str(r[0]) for r in matched.select(part_col).distinct().collect()
+        )
+        if not affected:
+            return snap
+        v = self._claim_version()
+        # position-delete files for the old images
+        out_dir = os.path.join(self.root, "deletes", f"delv={v}")
+        matched.select(part_col, "_file", "_pos").write.partitionBy(
+            part_col
+        ).parquet(out_dir)
+        # updated images append (written through the normal path:
+        # manifests, file stats, schema handling); set-expressions
+        # cast to the column's existing type — UPDATE never retypes
+        body = matched.drop("_file", "_pos")
+        types = dict(body.dtypes)
+        images = body.select(*[
+            (F.expr(set[c]).cast(types[c]).alias(c) if c in set else F.col(c))
+            for c in body.columns
+        ])
+        schema_id, expect_schema = self._ensure_write_schema(images, part_col)
+        self._write_parts(
+            images, affected, v, part_col, f"update-mor:{predicate}", schema_id
+        )
+        counts = {
+            str(r[0]): int(r[1])
+            for r in spark.read.parquet(out_dir).groupBy(part_col).count().collect()
+        }
+        add_dels = {
+            p: [{
+                "path": f"deletes/delv={v}/{part_col}={p}",
+                "kind": "pos",
+                "rows": counts.get(p, 0),
+                "seq": v,
+            }]
+            for p in affected
+        }
+        base_vers = {p: snap["parts"][p] for p in affected}
+        return self._commit(
+            {},
+            {
+                "input_snapshot": f"update:{predicate}",
+                "new_parts": [],
+                "add_parts": affected,
+                "delete_parts": affected,
+                "part_col": part_col,
+                "schema_id": schema_id,
+            },
+            update=base_vers,
+            base_versions=base_vers,
+            expect_schema=expect_schema,
+            add_deletes=add_dels,
+            add_adds={p: [v] for p in affected},
+            expect_row_state={
+                p: (
+                    snap.get("adds", {}).get(p, []),
+                    (snap.get("deletes") or {}).get(p, []),
+                )
+                for p in affected
+            },
         )
 
     def _delete_where_mor(

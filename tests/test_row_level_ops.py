@@ -382,6 +382,72 @@ def test_mor_merge_then_mor_delete_interop(spark, tmp_path):
     assert pruned.count() == back.where("url >= 'u1' and url <= 'u3'").count()
 
 
+def test_update_where_cow_and_mor_agree(spark, tmp_path):
+    """UPDATE ... SET v = v*10 WHERE pred: CoW and MOR produce the
+    same logical rows; MOR never rewrites a base version and only
+    touches matched partitions."""
+    rows = None
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = IcebergLayoutTable(str(tmp_path / mode))
+        t.write_tier(_mk(spark))
+        v0 = dict(t.part_versions())
+        snap = t.update_where(
+            spark, "url = 'u1' and part = 0", {"v": "v * 10 + 1"}, mode=mode
+        )
+        got = sorted(
+            (r["url"], r["bucket_s"], r["v"], r["part"])
+            for r in t.read_tier(spark).collect()
+        )
+        if rows is None:
+            rows = got
+        else:
+            assert got == rows
+        if mode == "merge-on-read":
+            assert t.part_versions() == v0
+            assert snap["add_parts"] == ["0"]
+        else:
+            assert snap["new_parts"] == ["0"]
+            assert t.part_versions()["604800"] == v0["604800"]
+    # the predicate actually fired
+    t = IcebergLayoutTable(str(tmp_path / "merge-on-read"))
+    upd = t.read_tier(spark).where("url = 'u1' and part = 0").collect()
+    assert upd and all(r["v"] % 10 == 1 for r in upd)
+
+
+def test_update_where_null_semantics_and_noop(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(spark.createDataFrame(
+        [("a", 1, 1.0, 0), ("b", 2, None, 0), ("c", 3, 9.0, 0)],
+        "url string, bucket_s bigint, v double, part bigint",
+    ))
+    s0 = t.current_snapshot()["snapshot_id"]
+    t.update_where(spark, "v > 5", {"v": "0.0"}, mode="merge-on-read")
+    back = {r["url"]: r["v"] for r in t.read_tier(spark).collect()}
+    assert back == {"a": 1.0, "b": None, "c": 0.0}  # NULL row untouched
+    assert t.update_where(spark, "url = 'zz'", {"v": "1.0"})["snapshot_id"] == s0 + 1
+    import pytest
+    with pytest.raises(ValueError, match="partition column"):
+        t.update_where(spark, "v = 1.0", {"part": "1"})
+
+
+def test_read_tier_as_of_timestamp(spark, tmp_path):
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark, parts=(0,)))
+    import time as _time
+    ts_after_base = _time.time()
+    _time.sleep(0.05)
+    t.delete_where(spark, "url = 'u0'", mode="merge-on-read")
+    n_now = t.read_tier(spark).count()
+    n_then = t.read_tier(spark, as_of=ts_after_base).count()
+    assert n_then > n_now
+    assert t.read_tier(spark, as_of=_time.time()).count() == n_now
+    import pytest
+    with pytest.raises(FileNotFoundError, match="no snapshot at or before"):
+        t.snapshot_as_of(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read_tier(spark, snapshot_id=0, as_of=ts_after_base)
+
+
 def test_rewrite_deletes_targets_taxed_parts_only(spark, tmp_path):
     """rewrite_deletes(min_files=2) compacts only partitions whose MOR
     read tax reached the threshold; cheap partitions keep their state."""

@@ -423,6 +423,26 @@ def _q_gapfill_interp(spark, sf_dir):
     return out.select(F.col("url").alias("user_id"), "bucket_s", "sum_c_i")
 
 
+def _q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsample: per (user, 1h pixel column) the
+    min/max/first/last cents + time extent — one algebraic groupBy;
+    first/last tie-break deterministically via struct min/max."""
+    from lambdo_spark.rollup.timeseries import m4_downsample
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    return m4_downsample(ev, "cents", "ts", 3600, ["user_id"])
+
+
+def _q_time_weighted_1h(spark, sf_dir):
+    """Time-weighted average per (user, 1h): LOCF-within-bucket hold
+    times weight each sample; exact long partials + integer-division
+    mean (the gauge mean that ignores sampling-rate bursts)."""
+    from lambdo_spark.rollup.timeseries import time_weighted
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    return time_weighted(ev, "cents", "ts", 3600, ["user_id"])
+
+
 def _q_tier_p95_1d(spark, sf_dir):
     """Exact per-bucket order statistic (holistic aggregate the
     partial+final tiers cannot carry): p95 of cents per (user, day),
@@ -1191,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_interp": _q_gapfill_interp,
         "tier_p95_1d": _q_tier_p95_1d,
+        "m4_downsample_1h": _q_m4_downsample,
+        "time_weighted_1h": _q_time_weighted_1h,
         "distinct_users_1d": _q_distinct_users_1d,
         "distinct_sketch_1h": _q_distinct_sketch_1h,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
@@ -1712,6 +1734,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, bucket_s, cents AS p95_cents
             FROM ranked WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+        """,
+        "m4_downsample_1h": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(floor(ts_s/3600)*3600 AS BIGINT) AS bucket_s,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   min(cents) AS v_min,
+                   max(cents) AS v_max,
+                   (min(struct_pack(t := ts_s, v := cents))).v AS v_first,
+                   (max(struct_pack(t := ts_s, v := cents))).v AS v_last,
+                   min(ts_s) AS first_ts_s,
+                   max(ts_s) AS last_ts_s
+            FROM ev GROUP BY 1, 2
+        """,
+        "time_weighted_1h": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), b AS (
+              SELECT user_id, ts_s, cents,
+                     CAST(floor(ts_s/3600)*3600 AS BIGINT) AS bucket_s
+              FROM ev
+            ), h AS (
+              SELECT user_id, bucket_s, ts_s, cents,
+                     COALESCE(lead(ts_s) OVER (
+                       PARTITION BY user_id, bucket_s
+                       ORDER BY ts_s, cents), bucket_s + 3600) - ts_s
+                     AS hold_s
+              FROM b
+            )
+            SELECT user_id, bucket_s,
+                   CAST(sum(cents * hold_s) AS BIGINT) AS wsum,
+                   CAST(max(bucket_s + 3600 - ts_s) AS BIGINT) AS covered_s,
+                   CAST(sum(cents * hold_s)
+                        // max(bucket_s + 3600 - ts_s) AS BIGINT) AS twa
+            FROM h GROUP BY 1, 2
         """,
         "distinct_users_1d": """
             SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,

@@ -178,6 +178,14 @@ def _run_maintain(args) -> int:
                 snap.get("new_parts", []) if snap["snapshot_id"] != before else []
             )
             out["snapshot_id"] = snap["snapshot_id"]
+        if args.drop_older_than is not None:
+            before = (t.current_snapshot() or {}).get("snapshot_id")
+            snap = t.drop_parts_older_than(args.drop_older_than)
+            out["dropped_parts"] = (
+                snap.get("dropped_parts", [])
+                if snap["snapshot_id"] != before else []
+            )
+            out["snapshot_id"] = snap["snapshot_id"]
         if args.expire_keep is not None:
             deleted = t.expire_snapshots(keep_last=args.expire_keep)
             out["expired_version_dirs"] = len(deleted)
@@ -421,6 +429,11 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--target-files", type=int, default=1)
     mnt.add_argument("--expire-keep", type=int, default=None,
                      help="keep only the N most recent snapshots")
+    mnt.add_argument("--drop-older-than", type=int, default=None,
+                     metavar="CUTOFF",
+                     help="age-based retention: drop partitions whose "
+                     "time-bucket value is < CUTOFF — metadata-only "
+                     "(zero data IO; expire reclaims bytes later)")
     mnt.add_argument("--rewrite-deletes", type=int, default=None,
                      metavar="MIN_FILES",
                      help="compact only partitions whose merge-on-read "

@@ -200,6 +200,7 @@ def _table_deps(tdef: dict) -> set[str]:
     if op in (
         "extend", "project", "map", "sink", "grouping_sets", "sessions",
         "order_stat", "distinct", "distinct_sketch", "heavy_hitters",
+        "m4", "time_weighted",
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash",
     ):
@@ -622,6 +623,23 @@ class Workflow:
                 self.tables[tdef["source"]], tdef["keys"], tdef["value"],
                 float(tdef["q"]), tdef.get("tiebreak", ()),
                 tdef.get("output", "order_stat"), tdef.get("exact", True),
+            )
+        if op == "m4":
+            from lambdo_spark.rollup.timeseries import m4_downsample
+
+            return m4_downsample(
+                self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                int(tdef["tier_seconds"]), tdef["keys"],
+                bucket_col=tdef.get("bucket_col", "bucket_s"),
+            )
+        if op == "time_weighted":
+            from lambdo_spark.rollup.timeseries import time_weighted
+
+            return time_weighted(
+                self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                int(tdef["tier_seconds"]), tdef["keys"],
+                bucket_col=tdef.get("bucket_col", "bucket_s"),
+                tiebreak=tdef.get("tiebreak", ()),
             )
         if op == "distinct":
             from lambdo_spark.rollup.timeseries import distinct_per_bucket

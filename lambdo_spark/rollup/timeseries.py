@@ -239,6 +239,103 @@ def order_stat(
     )
 
 
+# --------------------------------------- visualization / time-weighted
+
+def m4_downsample(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014):
+    per (key, time bucket) keep the min, max, first and last values
+    plus the bucket's time extent — the aggregate that makes a line
+    rendering over the bucket pixel-exact while reducing n rows to
+    4 per pixel column.
+
+    ONE groupBy of algebraic aggregates — map-side combined, fully
+    whole-stage-codegen, no window pass. first/last are lexicographic
+    struct min/max over (ts, value), so ties on the timestamp break
+    deterministically on the value: an engine-independent definition
+    (DuckDB's ``min(struct_pack(...))`` computes the identical pick),
+    unlike ``first_value``-style picks that depend on physical row
+    order."""
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    v = F.col(value_col)
+    edge = F.struct(ts_s.alias("t"), v.alias("v"))
+    return df.groupBy(
+        *partition_by,
+        (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.min(edge).getField("v").alias("v_first"),
+        F.max(edge).getField("v").alias("v_last"),
+        F.min(ts_s).alias("first_ts_s"),
+        F.max(ts_s).alias("last_ts_s"),
+    )
+
+
+def time_weighted(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Time-weighted aggregate per (key, bucket) with LOCF-within-
+    bucket semantics (the shape of TimescaleDB's
+    ``time_weight('LOCF', ...)``, bucket-bounded): each sample's value
+    holds from its timestamp until the next sample in the same
+    key+bucket; the last sample holds until the bucket's end — the
+    right mean for irregularly-sampled gauges, where the arithmetic
+    mean over-weights bursts of samples.
+
+    ``value_col`` must already be an exact integer (e.g. cents).
+    Emits exact long partials — ``wsum = Σ value·hold_s`` and
+    ``covered_s`` (bucket end − first sample) — plus
+    ``twa = wsum div covered_s``: integer division over exact
+    partials keeps cross-engine hash parity (float means drift in
+    the last bit), and the partials re-merge across tiers like any
+    sum (1h → 1d is ``sum(wsum) div sum(covered_s)``).
+
+    One shuffle total: the ``lead`` window and the groupBy both key
+    on (keys, bucket), so the window's hash exchange satisfies the
+    aggregate and Catalyst plans no second exchange."""
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    prepared = df.select(
+        *partition_by,
+        (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
+        ts_s.alias("_ts_s"),
+        F.col(value_col).cast("long").alias("_v"),
+        *[F.col(c) for c in tiebreak],
+    )
+    w = Window.partitionBy(*partition_by, bucket_col).orderBy(
+        "_ts_s", "_v", *tiebreak
+    )
+    hold = (
+        F.coalesce(F.lead("_ts_s").over(w), F.col(bucket_col) + width_s)
+        - F.col("_ts_s")
+    )
+    return (
+        prepared.withColumn("_hold_s", hold)
+        .groupBy(*partition_by, bucket_col)
+        .agg(
+            F.sum(F.col("_v") * F.col("_hold_s")).alias("wsum"),
+            F.max(F.col(bucket_col) + width_s - F.col("_ts_s")).alias(
+                "covered_s"
+            ),
+        )
+        .withColumn("twa", F.expr("wsum div covered_s"))
+    )
+
+
 # ------------------------------------------------------ distinct count
 
 def distinct_per_bucket(

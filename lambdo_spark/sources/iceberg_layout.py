@@ -350,6 +350,7 @@ class IcebergLayoutTable:
         add_deletes: dict[str, list[dict]] | None = None,
         add_adds: dict[str, list[int]] | None = None,
         expect_row_state: dict[str, tuple] | None = None,
+        remove: set[str] | None = None,
     ) -> dict:
         """Commit a new snapshot. Single-writer form: ``parts`` is the
         full map (as computed by the caller). Optimistic-concurrency
@@ -373,12 +374,12 @@ class IcebergLayoutTable:
                     f"schema evolved since base: expected schema_id="
                     f"{expect_schema}, found {prev.get('schema_id')}"
                 )
-            if update is not None:
+            if update is not None or remove is not None:
                 latest = dict(prev.get("parts", {}))
                 if base_versions is not None:
                     changed = {
-                        p: latest[p]
-                        for p in update
+                        p: latest.get(p)
+                        for p in (*(update or {}), *(remove or ()))
                         if latest.get(p) != base_versions.get(p)
                     }
                     if changed:
@@ -386,7 +387,9 @@ class IcebergLayoutTable:
                             f"partitions rewritten since base snapshot: "
                             f"{sorted(changed)}"
                         )
-                parts = {**latest, **update}
+                parts = {**latest, **(update or {})}
+                for p in remove or ():
+                    parts.pop(p, None)
             if expect_row_state is not None:
                 # serializable row-state validation (Iceberg's
                 # validateNoConflicting{Deletes,AppendedData}): a MOR
@@ -1914,6 +1917,41 @@ class IcebergLayoutTable:
         return deleted
 
     # ------------------------------------------------------------ expire
+    def drop_parts_older_than(self, cutoff: int) -> dict:
+        """Age-based data retention as a METADATA-ONLY commit (the
+        drop_chunks / ALTER TABLE DROP PARTITION idiom): partitions
+        whose time-bucket value is < ``cutoff`` leave the new
+        snapshot's parts map — zero data files are read, rewritten, or
+        deleted, so retention on a 100 TB table costs one JSON write.
+        Older snapshots still time-travel to the dropped data;
+        :meth:`expire_snapshots` later reclaims the bytes. Commit
+        validation rejects a concurrent rewrite of a partition being
+        dropped (the rewrite would otherwise resurrect under GC)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.meta_dir}")
+        part_col = snap.get("part_col", "part")
+        try:
+            doomed = sorted(p for p in snap["parts"] if int(p) < cutoff)
+        except ValueError as e:
+            raise ValueError(
+                f"drop_parts_older_than needs numeric {part_col!r} "
+                f"partition values (time buckets)"
+            ) from e
+        if not doomed:
+            return snap
+        return self._commit(
+            {},
+            {
+                "input_snapshot": f"drop:{part_col}<{cutoff}",
+                "new_parts": [],
+                "dropped_parts": doomed,
+                "part_col": part_col,
+            },
+            base_versions={p: snap["parts"][p] for p in doomed},
+            remove=set(doomed),
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Garbage-collect partition versions referenced only by
         snapshots older than the ``keep_last`` most recent. Returns the

@@ -195,6 +195,10 @@ def test_workflow_timeseries_table_ops(spark):
         {"id": "gs", "operation": "grouping_sets", "source": "ev",
          "keys": ["k", "cat"],
          "aggregations": [{"id": "s", "kernel": "sum", "inputs": ["v"]}]},
+        {"id": "m4", "operation": "m4", "source": "ev",
+         "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 86400},
+        {"id": "tw", "operation": "time_weighted", "source": "ev",
+         "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 86400},
     ]}
     out = compile_workflow(spec, spark, data)
     sess = out["sess"].toPandas()
@@ -207,6 +211,13 @@ def test_workflow_timeseries_table_ops(spark):
     assert hh["cat"].tolist() == ["a", "a"]
     gs = out["gs"].toPandas()
     assert gs[gs["grouping_id"] == 3]["s"].tolist() == [18]
+    m4 = out["m4"].toPandas().sort_values("k")
+    # u's day bucket: min 1, max 9, first 5 (t=0), last 9 (t=7200)
+    assert m4[m4["k"] == "u"][["v_min", "v_max", "v_first", "v_last"]].iloc[
+        0].tolist() == [1, 9, 5, 9]
+    tw = out["tw"].toPandas().sort_values("k")
+    # u: 5 holds 10s, 1 holds 7190s, 9 holds to day end (79200s)
+    assert tw[tw["k"] == "u"]["wsum"].iloc[0] == 5 * 10 + 1 * 7190 + 9 * 79200
 
 
 def test_reference_style_spec_with_lambdas(spark):

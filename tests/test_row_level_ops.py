@@ -482,3 +482,36 @@ def test_merge_then_read_changes_shows_row_deltas(spark, tmp_path):
     dels = {(r["url"], r["bucket_s"], r["v"]) for r in ch.where("_change='delete'").collect()}
     assert ins == {("u0", 0, 42.0)}
     assert dels == {("u0", 0, 0.0)}
+
+
+def test_drop_parts_older_than_metadata_only(spark, tmp_path):
+    """Age-based retention: dropping old partitions touches ZERO data
+    files (drop_chunks idiom) — the old snapshot still time-travels to
+    them, and expire_snapshots reclaims the bytes afterwards."""
+    import os
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    t.write_tier(_mk(spark))
+    s0 = t.current_snapshot()["snapshot_id"]
+    data_dirs = sorted(
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(t.root) for d in ds if d.startswith("snapv=")
+    )
+    mtimes = {d: os.path.getmtime(d) for d in data_dirs}
+    snap = t.drop_parts_older_than(1209600)
+    assert snap["dropped_parts"] == ["0", "604800"]
+    assert sorted(t.part_versions()) == ["1209600"]
+    # metadata-only: every data dir still on disk, untouched
+    assert {d: os.path.getmtime(d) for d in data_dirs} == mtimes
+    assert t.read_tier(spark).count() == 30
+    # time travel still reads the dropped data
+    assert t.read_tier(spark, snapshot_id=s0).count() == 90
+    # no-op below all buckets: same snapshot back, no commit
+    assert t.drop_parts_older_than(0)["snapshot_id"] == snap["snapshot_id"]
+    # GC after expiry reclaims the dropped partitions' bytes
+    t.expire_snapshots(keep_last=1)
+    assert t.read_tier(spark).count() == 30
+    live = {
+        d for d in data_dirs if os.path.isdir(d)
+    }
+    assert all("part=1209600" in d for d in live)

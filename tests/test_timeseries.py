@@ -330,3 +330,54 @@ def test_grouping_sets_cube_levels(spark):
     assert len(out) == 8
     g2_level = out[out["grouping_id"] == 2].sort_values("g2")
     assert g2_level["s"].tolist() == [5, 2]
+
+
+def test_m4_downsample_golden(spark):
+    """Hand-computed M4 bucket: min/max/first/last with a ts tie —
+    the tie at t=0 breaks to the SMALLER value for first (struct min)
+    and the tie at t=90 breaks to the LARGER value for last."""
+    from lambdo_spark.rollup.timeseries import m4_downsample
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 5), ("u", _ts(0), 2), ("u", _ts(30), 9),
+         ("u", _ts(90), 1), ("u", _ts(90), 4), ("u", _ts(100), 7)],
+        "k string, ts timestamp, v long",
+    )
+    out = m4_downsample(df, "v", "ts", 3600, ["k"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_points"], r["v_min"], r["v_max"]) == (6, 1, 9)
+    assert (r["v_first"], r["v_last"]) == (2, 7)
+    assert r["last_ts_s"] - r["first_ts_s"] == 100
+
+
+def test_time_weighted_locf_golden(spark):
+    """v=10 holds 0..60, v=40 holds 60..3600 within a 1h bucket:
+    wsum = 10*60 + 40*3540, covered = 3600, twa = 39 (int div).
+    A second bucket with one sample mid-bucket covers only its tail."""
+    from lambdo_spark.rollup.timeseries import time_weighted
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 10), ("u", _ts(60), 40), ("u", _ts(5400), 8)],
+        "k string, ts timestamp, v long",
+    )
+    out = {r["bucket_s"]: r for r in
+           time_weighted(df, "v", "ts", 3600, ["k"]).collect()}
+    b0 = out[1704067200]
+    assert (b0["wsum"], b0["covered_s"]) == (10 * 60 + 40 * 3540, 3600)
+    assert b0["twa"] == (10 * 60 + 40 * 3540) // 3600
+    b1 = out[1704067200 + 3600]
+    assert (b1["wsum"], b1["covered_s"], b1["twa"]) == (8 * 1800, 1800, 8)
+
+
+def test_time_weighted_one_exchange(spark):
+    """The lead window and the aggregate share one hash exchange —
+    exactly one Exchange in the plan (the scale property)."""
+    from lambdo_spark.rollup.timeseries import time_weighted
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 10)], "k string, ts timestamp, v long",
+    )
+    plan = time_weighted(df, "v", "ts", 3600, ["k"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -443,6 +443,23 @@ def _q_time_weighted_1h(spark, sf_dir):
     return time_weighted(ev, "cents", "ts", 3600, ["user_id"])
 
 
+def _q_counter_increase_1d(spark, sf_dir):
+    """Mergeable counter aggregate (PromQL increase / TimescaleDB
+    counter_agg): the 1d result is computed by DOWNSAMPLING 1h
+    partials — never re-scanning raw rows — and the oracle computes
+    1d directly from raw, proving the merge algebra (within-bucket
+    pair sums + reset-aware boundary terms between present partials)."""
+    from lambdo_spark.rollup.timeseries import (
+        counter_downsample,
+        counter_finalize,
+        counter_partials,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    p1h = counter_partials(ev, "cents", "ts", 3600, ["user_id"])
+    return counter_finalize(counter_downsample(p1h, 86400, ["user_id"]))
+
+
 def _q_tier_p95_1d(spark, sf_dir):
     """Exact per-bucket order statistic (holistic aggregate the
     partial+final tiers cannot carry): p95 of cents per (user, day),
@@ -1213,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_p95_1d": _q_tier_p95_1d,
         "m4_downsample_1h": _q_m4_downsample,
         "time_weighted_1h": _q_time_weighted_1h,
+        "counter_increase_1d": _q_counter_increase_1d,
         "distinct_users_1d": _q_distinct_users_1d,
         "distinct_sketch_1h": _q_distinct_sketch_1h,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
@@ -1752,6 +1770,33 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_s) AS first_ts_s,
                    max(ts_s) AS last_ts_s
             FROM ev GROUP BY 1, 2
+        """,
+        "counter_increase_1d": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v
+              FROM events
+            ), b AS (
+              SELECT user_id, ts_s, v,
+                     CAST(floor(ts_s/86400)*86400 AS BIGINT) AS bucket_s
+              FROM ev
+            ), d AS (
+              SELECT user_id, bucket_s, ts_s, v,
+                     lag(v) OVER (PARTITION BY user_id, bucket_s
+                                  ORDER BY ts_s, v) AS pv
+              FROM b
+            )
+            SELECT user_id, bucket_s,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   (min(struct_pack(t := ts_s, v := v))).t AS first_ts_s,
+                   (min(struct_pack(t := ts_s, v := v))).v AS first_v,
+                   (max(struct_pack(t := ts_s, v := v))).t AS last_ts_s,
+                   (max(struct_pack(t := ts_s, v := v))).v AS last_v,
+                   CAST(sum(CASE WHEN pv IS NULL THEN 0
+                                 WHEN v >= pv THEN v - pv
+                                 ELSE v END) AS BIGINT) AS increase
+            FROM d GROUP BY 1, 2
         """,
         "time_weighted_1h": """
             WITH ev AS (

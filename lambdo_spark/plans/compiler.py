@@ -200,7 +200,7 @@ def _table_deps(tdef: dict) -> set[str]:
     if op in (
         "extend", "project", "map", "sink", "grouping_sets", "sessions",
         "order_stat", "distinct", "distinct_sketch", "heavy_hitters",
-        "m4", "time_weighted",
+        "m4", "time_weighted", "counter",
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash",
     ):
@@ -641,6 +641,28 @@ class Workflow:
                 bucket_col=tdef.get("bucket_col", "bucket_s"),
                 tiebreak=tdef.get("tiebreak", ()),
             )
+        if op == "counter":
+            from lambdo_spark.rollup.timeseries import (
+                counter_downsample,
+                counter_finalize,
+                counter_partials,
+            )
+
+            cp = counter_partials(
+                self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                int(tdef["tier_seconds"]), tdef["keys"],
+                bucket_col=tdef.get("bucket_col", "bucket_s"),
+            )
+            if tdef.get("merge_to"):
+                cp = counter_downsample(
+                    cp, int(tdef["merge_to"]), tdef["keys"],
+                    bucket_col=tdef.get("bucket_col", "bucket_s"),
+                )
+            if tdef.get("finalize", True):
+                cp = counter_finalize(
+                    cp, output=tdef.get("output", "increase")
+                )
+            return cp
         if op == "distinct":
             from lambdo_spark.rollup.timeseries import distinct_per_bucket
 

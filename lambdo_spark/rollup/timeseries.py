@@ -336,6 +336,118 @@ def time_weighted(
     )
 
 
+# ------------------------------------------- mergeable counter chain
+
+def counter_partials(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """Per-(key, bucket) MERGEABLE partials of a monotonic counter with
+    reset detection (the TimescaleDB ``counter_agg`` / PromQL
+    ``increase`` shape). ``increase`` is holistic — it needs
+    consecutive-sample deltas, so a naive 1d computation rescans raw
+    rows — but it decomposes: per bucket keep the first and last
+    samples (lexicographic struct min/max over (ts, value) — the same
+    deterministic pick as :func:`m4_downsample`) plus the sum of
+    within-bucket pair contributions, where a consecutive pair
+    (prev, v) contributes ``v - prev`` if the counter rose, else ``v``
+    (a reset: the counter restarted and climbed back to v).
+    :func:`counter_downsample` then re-aggregates these partials to
+    any coarser tier without touching raw data.
+
+    ONE shuffle: the lag window partitions by (key, bucket) — a pair
+    crossing a bucket edge is reconstructed by the downsample's
+    boundary term, so within-bucket lag suffices — and the groupBy
+    keys on the same columns, reusing the window's exchange (finer
+    partitioning than per-key, so one hot key spreads over its
+    buckets). ``value_col`` must be an exact integer."""
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    prepared = df.select(
+        *partition_by,
+        (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
+        ts_s.alias("_ts_s"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = _ordered_window([*partition_by, bucket_col], ["_ts_s", "_v"])
+    pv = F.lag("_v").over(w)
+    contrib = (
+        F.when(pv.isNull(), F.lit(0))  # bucket's first sample: no pair
+        .when(F.col("_v") >= pv, F.col("_v") - pv)
+        .otherwise(F.col("_v"))  # counter fell: reset, climbed back to v
+    )
+    edge = F.struct(F.col("_ts_s").alias("t"), F.col("_v").alias("v"))
+    return (
+        prepared.withColumn("_c", contrib)
+        .groupBy(*partition_by, bucket_col)
+        .agg(
+            F.min(edge).alias("first"),
+            F.max(edge).alias("last"),
+            F.sum("_c").alias("inc"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def counter_downsample(
+    partials: DataFrame,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """Merge counter partials to a coarser tier: within each coarse
+    bucket, sum the fine ``inc`` and add the boundary contribution
+    between consecutive PRESENT fine buckets (this bucket's first
+    sample vs the previous fine bucket's last — reset-aware, and
+    correct across empty-bucket gaps because lag skips to the previous
+    present partial). The output has the same schema as
+    :func:`counter_partials`, so the chain composes 1h → 1d → 30d —
+    ``increase(1d)`` from 720 tiny rows per key instead of a raw
+    rescan; exactly equal to computing the 1d partials from raw
+    (pinned by tests and the DuckDB oracle)."""
+    coarse = (
+        F.floor(F.col(bucket_col) / width_s) * width_s
+    ).cast("long").alias("_cb")
+    w = _ordered_window(partition_by, [bucket_col])
+    pl, pcb = F.lag("last").over(w), F.lag("_cb").over(w)
+    fv = F.col("first").getField("v")
+    boundary = F.when(
+        pcb == F.col("_cb"),
+        F.when(fv >= pl.getField("v"), fv - pl.getField("v")).otherwise(fv),
+    ).otherwise(F.lit(0))
+    return (
+        partials.withColumn("_cb", coarse)
+        .withColumn("_b", boundary)
+        .groupBy(*partition_by, "_cb")
+        .agg(
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
+            (F.sum("inc") + F.sum("_b")).alias("inc"),
+            F.sum("n_points").alias("n_points"),
+        )
+        .withColumnRenamed("_cb", bucket_col)
+    )
+
+
+def counter_finalize(
+    partials: DataFrame, output: str = "increase"
+) -> DataFrame:
+    """Project counter partials to driver-friendly scalars: the
+    bucket-internal increase plus the first/last sample coordinates
+    (struct columns flattened — arrays/structs don't canonicalize)."""
+    return partials.select(
+        *[c for c in partials.columns if c not in ("first", "last", "inc")],
+        F.col("first").getField("t").alias("first_ts_s"),
+        F.col("first").getField("v").alias("first_v"),
+        F.col("last").getField("t").alias("last_ts_s"),
+        F.col("last").getField("v").alias("last_v"),
+        F.col("inc").alias(output),
+    )
+
+
 # ------------------------------------------------------ distinct count
 
 def distinct_per_bucket(

@@ -199,6 +199,9 @@ def test_workflow_timeseries_table_ops(spark):
          "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 86400},
         {"id": "tw", "operation": "time_weighted", "source": "ev",
          "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 86400},
+        {"id": "cnt", "operation": "counter", "source": "ev",
+         "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 3600,
+         "merge_to": 86400},
     ]}
     out = compile_workflow(spec, spark, data)
     sess = out["sess"].toPandas()
@@ -218,6 +221,9 @@ def test_workflow_timeseries_table_ops(spark):
     tw = out["tw"].toPandas().sort_values("k")
     # u: 5 holds 10s, 1 holds 7190s, 9 holds to day end (79200s)
     assert tw[tw["k"] == "u"]["wsum"].iloc[0] == 5 * 10 + 1 * 7190 + 9 * 79200
+    cnt = out["cnt"].toPandas().sort_values("k")
+    # u via the 1h→1d chain: 5→1 reset contributes 1, 1→9 rises 8
+    assert cnt[cnt["k"] == "u"]["increase"].iloc[0] == 1 + 8
 
 
 def test_reference_style_spec_with_lambdas(spark):

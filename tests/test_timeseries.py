@@ -381,3 +381,56 @@ def test_time_weighted_one_exchange(spark):
     plan = time_weighted(df, "v", "ts", 3600, ["k"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_counter_partials_golden_resets(spark):
+    """Counter 10→15→3→8 in one bucket: rises 5, reset contributes the
+    restarted value 3, rise 5 — increase 13; first/last pinned."""
+    from lambdo_spark.rollup.timeseries import counter_finalize, counter_partials
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 10), ("u", _ts(60), 15), ("u", _ts(120), 3),
+         ("u", _ts(180), 8)],
+        "k string, ts timestamp, v long",
+    )
+    out = counter_finalize(counter_partials(df, "v", "ts", 3600, ["k"])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["increase"] == 5 + 3 + 5
+    assert (r["first_v"], r["last_v"], r["n_points"]) == (10, 8, 4)
+
+
+def test_counter_chain_equals_direct(spark):
+    """The tier chain (1h partials → 1d downsample) returns EXACTLY the
+    1d partials computed from raw — including resets that land on 1h
+    boundaries and keys with empty 1h gaps."""
+    from lambdo_spark.rollup.timeseries import counter_downsample, counter_partials
+
+    rows = []
+    v = 0
+    for k in ("a", "b"):
+        v = 0
+        for i in range(200):
+            # sawtooth with jitter: resets every 37 samples; samples
+            # every 11 min → crosses many 1h edges, some hours empty
+            v = (v + 7 + (i * 13) % 5) if i % 37 else 1
+            rows.append((k, _ts(i * 660 + (i % 3)), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    chain = counter_downsample(
+        counter_partials(df, "v", "ts", 3600, ["k"]), 86400, ["k"]
+    )
+    direct = counter_partials(df, "v", "ts", 86400, ["k"])
+    a = sorted(map(tuple, chain.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+
+
+def test_counter_partials_one_exchange(spark):
+    from lambdo_spark.rollup.timeseries import counter_partials
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 1)], "k string, ts timestamp, v long",
+    )
+    plan = counter_partials(df, "v", "ts", 3600, ["k"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -460,6 +460,23 @@ def _q_counter_increase_1d(spark, sf_dir):
     return counter_finalize(counter_downsample(p1h, 86400, ["user_id"]))
 
 
+def _q_hist_p95_1d(spark, sf_dir):
+    """Mergeable histogram-sketch quantile: p95 at the 1d tier from
+    1h histogram partials (bin_width=100 cents) — the tier-chain
+    counterpart of the holistic tier_p95_1d, never rescanning raw
+    rows; estimate = lower bound of the ceil(q·n)-th point's bin."""
+    from lambdo_spark.rollup.timeseries import (
+        quantile_from_hist,
+        value_hist_downsample,
+        value_hist_partials,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    h1h = value_hist_partials(ev, "cents", "ts", 3600, ["user_id"], 100)
+    h1d = value_hist_downsample(h1h, 86400, ["user_id"])
+    return quantile_from_hist(h1d, 0.95, ["user_id"], output="p95_est")
+
+
 def _q_tier_p95_1d(spark, sf_dir):
     """Exact per-bucket order statistic (holistic aggregate the
     partial+final tiers cannot carry): p95 of cents per (user, day),
@@ -1231,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_1h": _q_m4_downsample,
         "time_weighted_1h": _q_time_weighted_1h,
         "counter_increase_1d": _q_counter_increase_1d,
+        "hist_p95_1d": _q_hist_p95_1d,
         "distinct_users_1d": _q_distinct_users_1d,
         "distinct_sketch_1h": _q_distinct_sketch_1h,
         "heavy_hitters_1d": _q_heavy_hitters_1d,
@@ -1797,6 +1815,32 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN v >= pv THEN v - pv
                                  ELSE v END) AS BIGINT) AS increase
             FROM d GROUP BY 1, 2
+        """,
+        "hist_p95_1d": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v
+              FROM events
+            ), h AS (
+              SELECT user_id,
+                     CAST(floor(ts_s/86400)*86400 AS BIGINT) AS bucket_s,
+                     CAST(floor(v/100)*100 AS BIGINT) AS bin,
+                     count(*) AS n
+              FROM ev GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT user_id, bucket_s, bin, n,
+                     sum(n) OVER (PARTITION BY user_id, bucket_s
+                                  ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n) OVER (PARTITION BY user_id, bucket_s) AS tot
+              FROM h
+            )
+            SELECT user_id, bucket_s, bin AS p95_est,
+                   CAST(tot AS BIGINT) AS n_points
+            FROM c
+            WHERE cum - n < CAST(ceil(0.95 * tot) AS BIGINT)
+              AND CAST(ceil(0.95 * tot) AS BIGINT) <= cum
         """,
         "time_weighted_1h": """
             WITH ev AS (

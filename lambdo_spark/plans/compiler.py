@@ -200,7 +200,7 @@ def _table_deps(tdef: dict) -> set[str]:
     if op in (
         "extend", "project", "map", "sink", "grouping_sets", "sessions",
         "order_stat", "distinct", "distinct_sketch", "heavy_hitters",
-        "m4", "time_weighted", "counter",
+        "m4", "time_weighted", "counter", "value_hist",
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash",
     ):
@@ -663,6 +663,31 @@ class Workflow:
                     cp, output=tdef.get("output", "increase")
                 )
             return cp
+        if op == "value_hist":
+            from lambdo_spark.rollup.timeseries import (
+                quantile_from_hist,
+                value_hist_downsample,
+                value_hist_partials,
+            )
+
+            vh = value_hist_partials(
+                self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                int(tdef["tier_seconds"]), tdef["keys"],
+                int(tdef["bin_width"]),
+                bucket_col=tdef.get("bucket_col", "bucket_s"),
+            )
+            if tdef.get("merge_to"):
+                vh = value_hist_downsample(
+                    vh, int(tdef["merge_to"]), tdef["keys"],
+                    bucket_col=tdef.get("bucket_col", "bucket_s"),
+                )
+            if tdef.get("q") is not None:
+                vh = quantile_from_hist(
+                    vh, float(tdef["q"]), tdef["keys"],
+                    bucket_col=tdef.get("bucket_col", "bucket_s"),
+                    output=tdef.get("output", "q_est"),
+                )
+            return vh
         if op == "distinct":
             from lambdo_spark.rollup.timeseries import distinct_per_bucket
 

@@ -448,6 +448,93 @@ def counter_finalize(
     )
 
 
+# --------------------------------------- mergeable histogram quantile
+
+def value_hist_partials(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    width_s: int,
+    partition_by: Sequence[str],
+    bin_width: int,
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """Fixed-width-bin histogram of an integer value per (key, bucket),
+    as MERGEABLE long rows ``(keys…, bucket, bin, n)`` — ``bin`` is the
+    bin's lower bound (``floor(v / bin_width) * bin_width``). One
+    map-side-combined groupBy; the rows re-aggregate to coarser tiers
+    by plain sums (:func:`value_hist_downsample`), so an approximate
+    quantile at the 30d tier (:func:`quantile_from_hist`) costs a scan
+    of tiny histogram rows, never the raw table. The sketch's error is
+    bounded by construction: the estimate is within one ``bin_width``
+    of the exact order statistic (pinned by tests). This is the
+    mergeable counterpart of :func:`order_stat` — exact quantiles are
+    holistic and cannot ride the tier chain; binned ones can."""
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    v = F.col(value_col).cast("long")
+    return (
+        df.groupBy(
+            *partition_by,
+            (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
+            (F.floor(v / bin_width) * bin_width).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def value_hist_downsample(
+    partials: DataFrame,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """Merge histogram rows to a coarser tier: same-bin counts add."""
+    coarse = (F.floor(F.col(bucket_col) / width_s) * width_s).cast("long")
+    return (
+        partials.withColumn(bucket_col, coarse)
+        .groupBy(*partition_by, bucket_col, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def quantile_from_hist(
+    partials: DataFrame,
+    q: float,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+    output: str = "q_est",
+) -> DataFrame:
+    """Deterministic quantile estimate from histogram rows: the lower
+    bound of the bin holding the ``ceil(q·n)``-th point (ascending
+    cumulative count) — the same engine-independent rank definition as
+    :func:`order_stat`, discretized to bins. One window pass keyed on
+    (keys, bucket); emits ``n_points`` alongside the estimate."""
+    keys = [*partition_by, bucket_col]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    cum = F.sum("n").over(w_cum)
+    tot = F.sum("n").over(w_tot)
+    k = F.ceil(F.lit(q) * tot).cast("long")
+    return (
+        partials.select(
+            *keys,
+            F.col("bin"),
+            cum.alias("_cum"),
+            (cum - F.col("n")).alias("_below"),
+            k.alias("_k"),
+            tot.alias("_n"),
+        )
+        .where((F.col("_below") < F.col("_k")) & (F.col("_k") <= F.col("_cum")))
+        .select(
+            *keys, F.col("bin").alias(output), F.col("_n").alias("n_points")
+        )
+    )
+
+
 # ------------------------------------------------------ distinct count
 
 def distinct_per_bucket(

@@ -202,6 +202,9 @@ def test_workflow_timeseries_table_ops(spark):
         {"id": "cnt", "operation": "counter", "source": "ev",
          "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 3600,
          "merge_to": 86400},
+        {"id": "vh", "operation": "value_hist", "source": "ev",
+         "keys": ["k"], "value": "v", "ts": "ts", "tier_seconds": 3600,
+         "bin_width": 4, "merge_to": 86400, "q": 0.5},
     ]}
     out = compile_workflow(spec, spark, data)
     sess = out["sess"].toPandas()
@@ -224,6 +227,9 @@ def test_workflow_timeseries_table_ops(spark):
     cnt = out["cnt"].toPandas().sort_values("k")
     # u via the 1h→1d chain: 5→1 reset contributes 1, 1→9 rises 8
     assert cnt[cnt["k"] == "u"]["increase"].iloc[0] == 1 + 8
+    vh = out["vh"].toPandas().sort_values("k")
+    # u's values 5,1,9 → median 5 → bin floor(5/4)*4 = 4
+    assert vh[vh["k"] == "u"]["q_est"].iloc[0] == 4
 
 
 def test_reference_style_spec_with_lambdas(spark):

@@ -434,3 +434,44 @@ def test_counter_partials_one_exchange(spark):
     plan = counter_partials(df, "v", "ts", 3600, ["k"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hist_quantile_chain_and_error_bound(spark):
+    """Histogram-sketch quantile: the 1h→1d chain equals the 1d-direct
+    histogram, and the estimate is within one bin_width of the exact
+    order statistic at every (key, bucket)."""
+    import pyspark.sql.functions as F
+
+    from lambdo_spark.rollup.timeseries import (
+        order_stat,
+        quantile_from_hist,
+        value_hist_downsample,
+        value_hist_partials,
+    )
+
+    rows = [
+        ("a" if i % 3 else "b", _ts(i * 660), (i * 137) % 1000)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    chain = value_hist_downsample(
+        value_hist_partials(df, "v", "ts", 3600, ["k"], bin_width=50),
+        86400, ["k"],
+    )
+    direct = value_hist_partials(df, "v", "ts", 86400, ["k"], bin_width=50)
+    assert sorted(map(tuple, chain.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = quantile_from_hist(chain, 0.95, ["k"]).toPandas()
+    exact = order_stat(
+        df.withColumn(
+            "bucket_s",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long"),
+        ),
+        ["k", "bucket_s"], "v", 0.95, output="p95",
+    ).toPandas()
+    m = est.merge(exact, on=["k", "bucket_s"])
+    assert len(m) == len(est) == len(exact) > 1
+    assert ((m["p95"] - m["q_est"]).abs() <= 50).all()
+    # the bin estimate never exceeds the true order statistic
+    assert (m["q_est"] <= m["p95"]).all()

@@ -342,6 +342,32 @@ def _q_asof_snapshot(spark, sf_dir):
     return out.select("event_id", "snap_cents")
 
 
+def _q_asof_tolerance(spark, sf_dir):
+    """As-of join with a match-distance bound (pandas merge_asof
+    tolerance): snapshots farther than 1800 s from the event come
+    back NULL, left rows all kept."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents()).withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    snaps = (
+        ev.groupBy(
+            "user_id",
+            (F.floor(F.col("ts_s") / 3600) * 3600).cast("long").alias("snap_s"),
+        )
+        .agg(F.max("cents").alias("snap_cents"))
+    )
+    out = T.asof_join(
+        ev.select("user_id", "event_id", "ts_s"),
+        snaps,
+        ["user_id"],
+        "ts_s",
+        "snap_s",
+        ["snap_cents"],
+        tolerance=1800,
+    )
+    return out.select("event_id", "snap_cents")
+
+
 def _q_roll_range_1h(spark, sf_dir):
     """Time-range trailing window (C2 range variant — the reference
     only has row-count windows): per-user sum of cents over the
@@ -1237,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_predict": _q_train_predict,
         "train_grouped": _q_train_grouped,
         "asof_snapshot": _q_asof_snapshot,
+        "asof_tolerance": _q_asof_tolerance,
         "roll_range_1h": _q_roll_range_1h,
         # timeseries toolkit (rollup/timeseries.py)
         "window_agg_1h": _q_window_agg_1h,
@@ -1623,6 +1650,24 @@ def oracle_sql() -> dict[str, str]:
               FROM ev GROUP BY 1, 2
             )
             SELECT e.event_id, s.snap_cents
+            FROM ev e ASOF LEFT JOIN snaps s
+              ON e.user_id = s.user_id AND e.ts_s >= s.snap_s
+        """,
+        "asof_tolerance": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), snaps AS (
+              SELECT user_id,
+                     CAST(floor(ts_s / 3600) * 3600 AS BIGINT) AS snap_s,
+                     max(cents) AS snap_cents
+              FROM ev GROUP BY 1, 2
+            )
+            SELECT e.event_id,
+                   CASE WHEN e.ts_s - s.snap_s <= 1800
+                        THEN s.snap_cents END AS snap_cents
             FROM ev e ASOF LEFT JOIN snaps s
               ON e.user_id = s.user_id AND e.ts_s >= s.snap_s
         """,

@@ -158,6 +158,7 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of join — the timeseries join the reference lacks entirely
     (SURVEY §2.4: left equi-join only) and Spark has no native form of.
@@ -166,6 +167,9 @@ def asof_join(
     the greatest ``right_ts`` <= ``left_ts`` (direction='backward';
     'forward' = smallest right_ts >= left_ts). Ties at equal
     timestamps match (inclusive), like DuckDB/pandas ASOF.
+    ``tolerance`` (pandas ``merge_asof`` semantics) drops a match
+    farther than that many seconds from the left timestamp — the
+    value columns come back NULL, the left row stays.
 
     Scale shape: union the two sides tagged, ONE shuffle on
     (key, ts), then a running ``last(value, ignorenulls)`` window —
@@ -184,6 +188,8 @@ def asof_join(
         F.lit(0).alias("__side__"),
         *[F.col(c) for c in vals],
     )
+    # matched right timestamp rides along so tolerance can compare it
+    r = r.withColumn("__rts__", F.col("__ts__"))
     left_rest = [c for c in left.columns if c not in key and c != left_ts]
     l = left.select(  # noqa: E741
         *key,
@@ -191,8 +197,13 @@ def asof_join(
         F.lit(1).alias("__side__"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in vals],
         *[F.col(c) for c in left_rest],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts__"),
     )
-    r = r.select(*l.columns[: 3 + len(vals)], *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_rest])
+    r = r.select(
+        *key, "__ts__", "__side__", *vals,
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_rest],
+        "__rts__",
+    )
 
     merged = l.unionByName(r)
     # backward: right rows sort BEFORE left at equal ts so they are
@@ -203,17 +214,38 @@ def asof_join(
             .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        picked = [F.last(c, ignorenulls=True).over(w).alias(c) for c in vals]
+        picked = [
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in (*vals, "__rts__")
+        ]
     else:
         w = (
             Window.partitionBy(*key)
             .orderBy(F.col("__ts__").asc(), F.col("__side__").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        picked = [F.first(c, ignorenulls=True).over(w).alias(c) for c in vals]
+        picked = [
+            F.first(c, ignorenulls=True).over(w).alias(c)
+            for c in (*vals, "__rts__")
+        ]
     out = merged.select(
         *key, "__ts__", "__side__", *picked, *left_rest
     ).where(F.col("__side__") == 1)
+    if tolerance is not None:
+        is_ts = dict(left.dtypes)[left_ts] == "timestamp"
+
+        def _num(c):
+            return F.unix_timestamp(c) if is_ts else c
+
+        ok = F.col("__rts__").isNotNull() & (
+            F.abs(_num(F.col("__ts__")) - _num(F.col("__rts__")))
+            <= F.lit(tolerance)
+        )
+        out = out.select(
+            *key, "__ts__",
+            *[F.when(ok, F.col(c)).alias(c) for c in vals],
+            *left_rest,
+        )
     return out.select(
         *key, F.col("__ts__").alias(left_ts), *vals, *left_rest
     )

@@ -602,6 +602,7 @@ class Workflow:
                 tdef["right_ts"],
                 tdef["values"],
                 tdef.get("direction", "backward"),
+                tolerance=tdef.get("tolerance"),
             )
         if op == "grouping_sets":
             return T.aggregate_grouping_sets(

@@ -152,3 +152,60 @@ def test_asof_and_setops_through_compiler(spark):
     j = out["joined"].toPandas().sort_values("ts")
     assert j["px"].tolist() == [10.0, 20.0]
     assert out["both"].count() == 4
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """tolerance: matches farther than N seconds come back NULL
+    (pandas merge_asof tolerance semantics), left rows all kept."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    lts = np.sort(rng.integers(0, 1000, 150))
+    rts = np.sort(rng.choice(1000, 20, replace=False))
+    lpd = pd.DataFrame({
+        "k": ["x"] * 150,
+        "ts": pd.to_datetime(lts, unit="s"),
+        "ev": np.arange(150),
+    })
+    rpd = pd.DataFrame({
+        "k": ["x"] * 20,
+        "rts": pd.to_datetime(rts, unit="s"),
+        "px": np.arange(20) * 1.5,
+    })
+    exp = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k",
+        tolerance=pd.Timedelta(seconds=30),
+    ).sort_values("ev")
+    got = (
+        asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            ["k"], "ts", "rts", ["px"], tolerance=30,
+        )
+        .toPandas()
+        .sort_values("ev")
+    )
+    assert len(got) == 150
+    pd.testing.assert_series_equal(
+        got["px"].reset_index(drop=True), exp["px"].reset_index(drop=True)
+    )
+
+
+def test_asof_tolerance_forward_long_ts(spark):
+    """Forward direction with plain long timestamps: @16 has a match
+    at 20 within tol 5; @5 matches itself at 5; @40's nearest later
+    right is 100 — beyond tol — so NULL."""
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 16), ("k", 40)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 20, 2.0), ("k", 100, 3.0)],
+        "k string, rts long, px double",
+    )
+    out = (
+        asof_join(left, right, ["k"], "ts", "rts", ["px"],
+                  direction="forward", tolerance=5)
+        .toPandas().sort_values("ts")
+    )
+    assert out["px"].tolist()[0] == 1.0
+    assert out["px"].tolist()[1] == 2.0
+    assert pd.isna(out["px"].tolist()[2])

@@ -469,6 +469,23 @@ def _q_time_weighted_1h(spark, sf_dir):
     return time_weighted(ev, "cents", "ts", 3600, ["user_id"])
 
 
+def _q_time_weighted_1d_chain(spark, sf_dir):
+    """Time-weighted 1d via the 1h partials chain — boundary holds
+    (an hour's last sample holding into later hours) reconstructed at
+    downsample; the oracle computes 1d DIRECTLY from raw in DuckDB,
+    so a hash match proves the merge algebra."""
+    from lambdo_spark.rollup.timeseries import (
+        time_weighted_downsample,
+        time_weighted_finalize,
+        time_weighted_partials,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    p1h = time_weighted_partials(ev, "cents", "ts", 3600, ["user_id"])
+    p1d = time_weighted_downsample(p1h, 3600, 86400, ["user_id"])
+    return time_weighted_finalize(p1d, 86400)
+
+
 def _q_counter_increase_1d(spark, sf_dir):
     """Mergeable counter aggregate (PromQL increase / TimescaleDB
     counter_agg): the 1d result is computed by DOWNSAMPLING 1h
@@ -1274,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_p95_1d": _q_tier_p95_1d,
         "m4_downsample_1h": _q_m4_downsample,
         "time_weighted_1h": _q_time_weighted_1h,
+        "time_weighted_1d_chain": _q_time_weighted_1d_chain,
         "counter_increase_1d": _q_counter_increase_1d,
         "hist_p95_1d": _q_hist_p95_1d,
         "distinct_users_1d": _q_distinct_users_1d,
@@ -1833,6 +1851,31 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_s) AS first_ts_s,
                    max(ts_s) AS last_ts_s
             FROM ev GROUP BY 1, 2
+        """,
+        "time_weighted_1d_chain": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), b AS (
+              SELECT user_id, ts_s, cents,
+                     CAST(floor(ts_s/86400)*86400 AS BIGINT) AS bucket_s
+              FROM ev
+            ), h AS (
+              SELECT user_id, bucket_s, ts_s, cents,
+                     COALESCE(lead(ts_s) OVER (
+                       PARTITION BY user_id, bucket_s
+                       ORDER BY ts_s, cents), bucket_s + 86400) - ts_s
+                     AS hold_s
+              FROM b
+            )
+            SELECT user_id, bucket_s,
+                   CAST(sum(cents * hold_s) AS BIGINT) AS wsum,
+                   CAST(max(bucket_s + 86400 - ts_s) AS BIGINT) AS covered_s,
+                   CAST(sum(cents * hold_s)
+                        // max(bucket_s + 86400 - ts_s) AS BIGINT) AS twa
+            FROM h GROUP BY 1, 2
         """,
         "counter_increase_1d": """
             WITH ev AS (

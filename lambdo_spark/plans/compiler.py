@@ -634,14 +634,32 @@ class Workflow:
                 bucket_col=tdef.get("bucket_col", "bucket_s"),
             )
         if op == "time_weighted":
-            from lambdo_spark.rollup.timeseries import time_weighted
-
-            return time_weighted(
-                self.tables[tdef["source"]], tdef["value"], tdef["ts"],
-                int(tdef["tier_seconds"]), tdef["keys"],
-                bucket_col=tdef.get("bucket_col", "bucket_s"),
-                tiebreak=tdef.get("tiebreak", ()),
+            from lambdo_spark.rollup.timeseries import (
+                time_weighted,
+                time_weighted_downsample,
+                time_weighted_finalize,
+                time_weighted_partials,
             )
+
+            bcol = tdef.get("bucket_col", "bucket_s")
+            fine = int(tdef["tier_seconds"])
+            if not tdef.get("merge_to"):
+                return time_weighted(
+                    self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                    fine, tdef["keys"], bucket_col=bcol,
+                    tiebreak=tdef.get("tiebreak", ()),
+                )
+            coarse = int(tdef["merge_to"])
+            tw = time_weighted_downsample(
+                time_weighted_partials(
+                    self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                    fine, tdef["keys"], bucket_col=bcol,
+                ),
+                fine, coarse, tdef["keys"], bucket_col=bcol,
+            )
+            if tdef.get("finalize", True):
+                tw = time_weighted_finalize(tw, coarse, bucket_col=bcol)
+            return tw
         if op == "counter":
             from lambdo_spark.rollup.timeseries import (
                 counter_downsample,

@@ -302,8 +302,11 @@ def time_weighted(
     ``covered_s`` (bucket end − first sample) — plus
     ``twa = wsum div covered_s``: integer division over exact
     partials keeps cross-engine hash parity (float means drift in
-    the last bit), and the partials re-merge across tiers like any
-    sum (1h → 1d is ``sum(wsum) div sum(covered_s)``).
+    the last bit). For re-aggregating to coarser tiers use
+    :func:`time_weighted_partials` / :func:`time_weighted_downsample`
+    — a plain sum of ``wsum`` is NOT the coarser integral, because
+    each bucket's last sample holds past its bucket end under the
+    coarser bucketing (the downsample adds those boundary holds).
 
     One shuffle total: the ``lead`` window and the groupBy both key
     on (keys, bucket), so the window's hash exchange satisfies the
@@ -334,6 +337,101 @@ def time_weighted(
         )
         .withColumn("twa", F.expr("wsum div covered_s"))
     )
+
+
+def time_weighted_partials(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """MERGEABLE form of :func:`time_weighted`: per (key, bucket) keep
+    the first/last samples (lexicographic struct min/max) alongside the
+    bucket-bounded integral ``wsum`` — enough state for
+    :func:`time_weighted_downsample` to reconstruct the coarser-bucket
+    integral exactly (the last sample's hold extends past the fine
+    bucket's end; first/last tell the downsample how far)."""
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    prepared = df.select(
+        *partition_by,
+        (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
+        ts_s.alias("_ts_s"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy(*partition_by, bucket_col).orderBy("_ts_s", "_v")
+    hold = (
+        F.coalesce(F.lead("_ts_s").over(w), F.col(bucket_col) + width_s)
+        - F.col("_ts_s")
+    )
+    edge = F.struct(F.col("_ts_s").alias("t"), F.col("_v").alias("v"))
+    return (
+        prepared.withColumn("_hold_s", hold)
+        .groupBy(*partition_by, bucket_col)
+        .agg(
+            F.min(edge).alias("first"),
+            F.max(edge).alias("last"),
+            F.sum(F.col("_v") * F.col("_hold_s")).alias("wsum"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def time_weighted_downsample(
+    partials: DataFrame,
+    fine_width_s: int,
+    coarse_width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """Merge time-weighted partials to a coarser tier EXACTLY: under
+    the coarser bucketing a fine bucket's last sample holds until the
+    next present fine bucket's first sample (or the coarse bucket's
+    end), not the fine bucket's end — so each fine ``wsum`` gains
+    ``last_v · (extend_to − fine_end)``. Output schema matches
+    :func:`time_weighted_partials`; equals partials computed directly
+    at the coarse width from raw (pinned by tests + DuckDB oracle)."""
+    coarse = (
+        F.floor(F.col(bucket_col) / coarse_width_s) * coarse_width_s
+    ).cast("long").alias("_cb")
+    w = _ordered_window(partition_by, [bucket_col])
+    nf, ncb = F.lead("first").over(w), F.lead("_cb").over(w)
+    fine_end = F.col(bucket_col) + fine_width_s
+    extend_to = F.when(ncb == F.col("_cb"), nf.getField("t")).otherwise(
+        F.col("_cb") + coarse_width_s
+    )
+    correction = F.col("last").getField("v") * (extend_to - fine_end)
+    return (
+        partials.withColumn("_cb", coarse)
+        .withColumn("_corr", correction)
+        .groupBy(*partition_by, "_cb")
+        .agg(
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
+            (F.sum("wsum") + F.sum("_corr")).alias("wsum"),
+            F.sum("n_points").alias("n_points"),
+        )
+        .withColumnRenamed("_cb", bucket_col)
+    )
+
+
+def time_weighted_finalize(
+    partials: DataFrame,
+    width_s: int,
+    bucket_col: str = "bucket_s",
+    output: str = "twa",
+) -> DataFrame:
+    """Project time-weighted partials to the user-facing row:
+    ``covered_s`` (bucket end − first sample) and the integer-division
+    mean, same columns as :func:`time_weighted`."""
+    covered = F.col(bucket_col) + width_s - F.col("first").getField("t")
+    return partials.select(
+        *[c for c in partials.columns
+          if c not in ("first", "last", "wsum", "n_points")],
+        F.col("wsum"),
+        covered.alias("covered_s"),
+    ).withColumn(output, F.expr("wsum div covered_s"))
 
 
 # ------------------------------------------- mergeable counter chain

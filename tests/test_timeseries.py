@@ -475,3 +475,39 @@ def test_hist_quantile_chain_and_error_bound(spark):
     assert ((m["p95"] - m["q_est"]).abs() <= 50).all()
     # the bin estimate never exceeds the true order statistic
     assert (m["q_est"] <= m["p95"]).all()
+
+
+def test_time_weighted_chain_equals_direct(spark):
+    """1h time-weighted partials downsampled to 1d equal the 1d
+    partials from raw — the boundary holds (last sample of an hour
+    holding into later hours / to day end) are reconstructed exactly,
+    including across empty-hour gaps; finalize matches too."""
+    from lambdo_spark.rollup.timeseries import (
+        time_weighted,
+        time_weighted_downsample,
+        time_weighted_finalize,
+        time_weighted_partials,
+    )
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(120):
+            # irregular sampling: 41-minute stride + jitter → many
+            # empty hours, occasional same-hour bursts
+            rows.append((k, _ts(i * 2460 + (i % 7) * 11), (i * 37) % 500))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    chain = time_weighted_downsample(
+        time_weighted_partials(df, "v", "ts", 3600, ["k"]),
+        3600, 86400, ["k"],
+    )
+    direct = time_weighted_partials(df, "v", "ts", 86400, ["k"])
+    assert sorted(map(tuple, chain.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    fin = time_weighted_finalize(chain, 86400).toPandas()
+    one = time_weighted(df, "v", "ts", 86400, ["k"]).toPandas()
+    m = fin.merge(one, on=["k", "bucket_s"], suffixes=("_c", "_d"))
+    assert len(m) == len(fin) == len(one) > 2
+    assert (m["wsum_c"] == m["wsum_d"]).all()
+    assert (m["covered_s_c"] == m["covered_s_d"]).all()
+    assert (m["twa_c"] == m["twa_d"]).all()

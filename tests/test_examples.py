@@ -4,6 +4,8 @@
 import json
 import os
 
+import pandas as pd
+
 import pytest
 
 from lambdo_spark.plans.compiler import Workflow, strip_comments
@@ -322,3 +324,34 @@ def test_continuous_tiers_example(spark):
     assert IcebergLayoutTable("/tmp/lambdo_example_tiers").current_snapshot()[
         "new_parts"
     ] == []
+
+
+def test_mergeable_tiers_example(spark):
+    """The mergeable-aggregate chains as one workflow: each 1d table
+    must equal the library chain called directly."""
+    from lambdo_spark.rollup.timeseries import (
+        counter_downsample,
+        counter_finalize,
+        counter_partials,
+    )
+
+    tables = Workflow(_load("mergeable_tiers.json"), spark).execute()
+    m4 = tables["m4_1h"].toPandas()
+    assert {"v_min", "v_max", "v_first", "v_last"} <= set(m4.columns)
+    assert (m4["v_min"] <= m4["v_max"]).all()
+    ev = tables["events"]
+    lib = counter_finalize(
+        counter_downsample(
+            counter_partials(ev, "cents", "ts", 3600, ["user_id"]),
+            86400, ["user_id"],
+        )
+    ).toPandas().sort_values(["user_id", "bucket_s"]).reset_index(drop=True)
+    got = (
+        tables["counter_1d"].toPandas()
+        .sort_values(["user_id", "bucket_s"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, lib)
+    twa = tables["twa_1d"].toPandas()
+    assert (twa["covered_s"] <= 86400).all() and (twa["covered_s"] > 0).all()
+    p95 = tables["p95_1d"].toPandas()
+    assert (p95["p95_est"] % 100 == 0).all()

@@ -140,6 +140,39 @@ register(Kernel("size", agg=_simple(lambda c: F.count(F.lit(1))), pandas_fn=lamb
 register(Kernel("stddev", agg=_simple(lambda c: F.stddev_samp(c[0])), pandas_fn=lambda s: s[0].std()))
 register(Kernel("first", agg=_simple(lambda c: F.first(c[0])), pandas_fn=lambda s: s[0].iloc[0]))
 register(Kernel("last", agg=_simple(lambda c: F.last(c[0])), pandas_fn=lambda s: s[0].iloc[-1]))
+
+
+def _edge(c: list[Column]) -> Column:
+    # lexicographic (order, value) struct: deterministic pick at ties,
+    # algebraic (min/max merge), streaming-state safe — unlike
+    # first/last, which depend on physical row order
+    return F.struct(c[1].alias("o"), c[0].alias("v"))
+
+
+register(
+    Kernel(
+        "first_by",
+        agg=_simple(lambda c: F.min(_edge(c)).getField("v")),
+        pandas_fn=lambda s: s[0].iloc[
+            __import__("pandas").DataFrame({"o": s[1], "v": s[0]})
+            .sort_values(["o", "v"]).index[0]
+        ],
+        doc="value at the smallest (order, value) — M4 'first'; "
+        "inputs [value, order_col]",
+    )
+)
+register(
+    Kernel(
+        "last_by",
+        agg=_simple(lambda c: F.max(_edge(c)).getField("v")),
+        pandas_fn=lambda s: s[0].iloc[
+            __import__("pandas").DataFrame({"o": s[1], "v": s[0]})
+            .sort_values(["o", "v"]).index[-1]
+        ],
+        doc="value at the largest (order, value) — M4 'last'; "
+        "inputs [value, order_col]",
+    )
+)
 register(
     Kernel(
         "count_distinct",

@@ -228,3 +228,55 @@ def test_stream_sink_rejects_batch_source(spark, tmp_path):
 
     with pytest.raises(ValueError, match="batch table"):
         Workflow(spec, spark).execute()
+
+
+def test_m4_kernels_stream_parity(spark, tmp_path):
+    """M4 via window_aggregate's first_by/last_by kernels (struct
+    min/max — algebraic, so streaming-state safe) equals the batch
+    m4_downsample library op on the same input."""
+    from lambdo_spark.rollup.timeseries import m4_downsample
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(EVENTS, os.path.join(src, "e-0.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spec = (
+        '{"tables": ['
+        '{"id": "events", "operation": "source", "format": "parquet",'
+        f' "path": "{src}", "stream": true,'
+        ' "watermark": {"ts": "ts", "delay": "0 seconds"},'
+        ' "columns": [{"id": "ts_s", "operation": "calculate",'
+        '   "kernel": "int", "inputs": ["ts"]}]},'
+        '{"id": "m4", "operation": "window_aggregate", "source": "events",'
+        ' "ts": "ts", "duration": "1 hour", "keys": ["user_id"],'
+        ' "aggregations": ['
+        '  {"id": "n_points", "kernel": "count"},'
+        '  {"id": "v_min", "kernel": "min", "inputs": ["value"]},'
+        '  {"id": "v_max", "kernel": "max", "inputs": ["value"]},'
+        '  {"id": "v_first", "kernel": "first_by", "inputs": ["value", "ts_s"]},'
+        '  {"id": "v_last", "kernel": "last_by", "inputs": ["value", "ts_s"]}]},'
+        '{"id": "sink", "operation": "stream_sink", "source": "m4",'
+        f' "path": "{out}", "checkpoint": "{ckpt}"}}'
+        "]}"
+    )
+    wf = Workflow(spec, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+
+    streamed = (
+        spark.read.parquet(out).toPandas()
+        .sort_values(["user_id", "bucket_s"]).reset_index(drop=True)
+    )
+    batch = (
+        m4_downsample(spark.read.parquet(EVENTS), "value", "ts", 3600,
+                      ["user_id"])
+        .drop("first_ts_s", "last_ts_s")
+        .toPandas()
+        .sort_values(["user_id", "bucket_s"]).reset_index(drop=True)
+    )
+    merged = streamed.merge(
+        batch, on=["user_id", "bucket_s"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed) > 0
+    for c in ("n_points", "v_min", "v_max", "v_first", "v_last"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all()

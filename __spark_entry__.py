@@ -469,6 +469,17 @@ def _q_time_weighted_1h(spark, sf_dir):
     return time_weighted(ev, "cents", "ts", 3600, ["user_id"])
 
 
+def _q_lttb_1h(spark, sf_dir):
+    """LTTB downsample (parallel mean-anchor variant): one point per
+    (user, 1h bucket) maximizing the triangle vs neighbor-bucket
+    centroids; edge buckets emit first/last points. The oracle runs
+    the identical IEEE-double area formula in DuckDB."""
+    from lambdo_spark.rollup.timeseries import lttb_downsample
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents())
+    return lttb_downsample(ev, "cents", "ts", 3600, ["user_id"])
+
+
 def _q_time_weighted_1d_chain(spark, sf_dir):
     """Time-weighted 1d via the 1h partials chain — boundary holds
     (an hour's last sample holding into later hours) reconstructed at
@@ -1292,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_1h": _q_m4_downsample,
         "time_weighted_1h": _q_time_weighted_1h,
         "time_weighted_1d_chain": _q_time_weighted_1d_chain,
+        "lttb_1h": _q_lttb_1h,
         "counter_increase_1d": _q_counter_increase_1d,
         "hist_p95_1d": _q_hist_p95_1d,
         "distinct_users_1d": _q_distinct_users_1d,
@@ -1851,6 +1863,59 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_s) AS first_ts_s,
                    max(ts_s) AS last_ts_s
             FROM ev GROUP BY 1, 2
+        """,
+        "lttb_1h": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     CAST(round(value * 100, 0) AS BIGINT) AS v
+              FROM events
+            ), pts AS (
+              SELECT user_id, t, v,
+                     CAST(floor(t/3600)*3600 AS BIGINT) AS bucket_s
+              FROM ev
+            ), cent AS (
+              SELECT user_id, bucket_s,
+                     count(*) AS n, sum(t) AS st, sum(v) AS sv
+              FROM pts GROUP BY 1, 2
+            ), anch AS (
+              SELECT user_id, bucket_s,
+                     CAST(lag(st) OVER w AS DOUBLE)
+                       / CAST(lag(n) OVER w AS DOUBLE) AS ax,
+                     CAST(lag(sv) OVER w AS DOUBLE)
+                       / CAST(lag(n) OVER w AS DOUBLE) AS ay,
+                     CAST(lead(st) OVER w AS DOUBLE)
+                       / CAST(lead(n) OVER w AS DOUBLE) AS cx,
+                     CAST(lead(sv) OVER w AS DOUBLE)
+                       / CAST(lead(n) OVER w AS DOUBLE) AS cy
+              FROM cent
+              WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s)
+            ), j AS (
+              SELECT p.user_id, p.bucket_s, p.t, p.v, a.ax, a.ay, a.cx, a.cy,
+                     abs((a.ax - CAST(p.t AS DOUBLE))
+                           * (a.cy - CAST(p.v AS DOUBLE))
+                         - (a.cx - CAST(p.t AS DOUBLE))
+                           * (a.ay - CAST(p.v AS DOUBLE))) AS area
+              FROM pts p JOIN anch a USING (user_id, bucket_s)
+            ), g AS (
+              SELECT user_id, bucket_s,
+                     max(CASE WHEN ax IS NOT NULL AND cx IS NOT NULL
+                              THEN struct_pack(a := area, t := t, v := v)
+                         END) AS best,
+                     min(struct_pack(t := t, v := v)) AS fst,
+                     max(struct_pack(t := t, v := v)) AS lst,
+                     bool_or(ax IS NOT NULL) AS has_prev,
+                     bool_or(cx IS NOT NULL) AS has_next
+              FROM j GROUP BY 1, 2
+            )
+            SELECT user_id, bucket_s,
+                   CASE WHEN NOT has_prev THEN (fst).t
+                        WHEN NOT has_next THEN (lst).t
+                        ELSE (best).t END AS ts_s,
+                   CASE WHEN NOT has_prev THEN (fst).v
+                        WHEN NOT has_next THEN (lst).v
+                        ELSE (best).v END AS cents
+            FROM g
         """,
         "time_weighted_1d_chain": """
             WITH ev AS (

@@ -200,7 +200,7 @@ def _table_deps(tdef: dict) -> set[str]:
     if op in (
         "extend", "project", "map", "sink", "grouping_sets", "sessions",
         "order_stat", "distinct", "distinct_sketch", "heavy_hitters",
-        "m4", "time_weighted", "counter", "value_hist",
+        "m4", "time_weighted", "counter", "value_hist", "lttb",
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash",
     ):
@@ -629,6 +629,14 @@ class Workflow:
             from lambdo_spark.rollup.timeseries import m4_downsample
 
             return m4_downsample(
+                self.tables[tdef["source"]], tdef["value"], tdef["ts"],
+                int(tdef["tier_seconds"]), tdef["keys"],
+                bucket_col=tdef.get("bucket_col", "bucket_s"),
+            )
+        if op == "lttb":
+            from lambdo_spark.rollup.timeseries import lttb_downsample
+
+            return lttb_downsample(
                 self.tables[tdef["source"]], tdef["value"], tdef["ts"],
                 int(tdef["tier_seconds"]), tdef["keys"],
                 bucket_col=tdef.get("bucket_col", "bucket_s"),

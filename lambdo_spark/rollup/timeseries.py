@@ -280,6 +280,89 @@ def m4_downsample(
     )
 
 
+def lttb_downsample(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    width_s: int,
+    partition_by: Sequence[str],
+    bucket_col: str = "bucket_s",
+) -> DataFrame:
+    """LTTB visualization downsampling, parallel mean-anchor variant
+    (Steinarsson, "Downsampling Time Series for Visual
+    Representation", 2013): one point per (key, time bucket) — the
+    point forming the largest triangle with the PREVIOUS present
+    bucket's centroid and the NEXT present bucket's centroid. The
+    classic algorithm anchors on the previously *selected* point,
+    which is inherently sequential; anchoring on the neighbor bucket's
+    mean (the same substitution LTTB itself applies to the right
+    anchor) makes every bucket independent — embarrassingly parallel,
+    visually near-identical, and the standard scale-out form.
+
+    A bucket with no previous present bucket emits its first point
+    (lexicographic struct min); no next → its last point. Triangle
+    areas are IEEE doubles computed by the identical formula the
+    DuckDB oracle runs — bit-equal cross-engine — with ties broken
+    deterministically on (ts, value) via struct max.
+
+    Plan: one groupBy for bucket centroids (map-side combined), a
+    tiny lag/lead window over the centroids, one shuffle join of the
+    points to their bucket's anchor row, one max-struct groupBy —
+    raw rows shuffle twice (centroid agg + join), centroid rows are
+    |buckets| ≪ |points|."""
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    pts = df.select(
+        *partition_by,
+        (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
+        ts_s.alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    cent = pts.groupBy(*partition_by, bucket_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_t").alias("_st"),
+        F.sum("_v").alias("_sv"),
+    )
+    w = _ordered_window(partition_by, [bucket_col])
+    anchors = cent.select(
+        *partition_by, bucket_col,
+        (F.lag("_st").over(w) / F.lag("_n").over(w)).alias("_ax"),
+        (F.lag("_sv").over(w) / F.lag("_n").over(w)).alias("_ay"),
+        (F.lead("_st").over(w) / F.lead("_n").over(w)).alias("_cx"),
+        (F.lead("_sv").over(w) / F.lead("_n").over(w)).alias("_cy"),
+    )
+    j = pts.join(anchors, [*partition_by, bucket_col])
+    px, py = F.col("_t").cast("double"), F.col("_v").cast("double")
+    area = F.abs(
+        (F.col("_ax") - px) * (F.col("_cy") - py)
+        - (F.col("_cx") - px) * (F.col("_ay") - py)
+    )
+    edge = F.struct(F.col("_t").alias("t"), F.col("_v").alias("v"))
+    best = F.struct(area.alias("a"), F.col("_t").alias("t"), F.col("_v").alias("v"))
+    picked = j.groupBy(*partition_by, bucket_col).agg(
+        F.max(F.when(F.col("_ax").isNotNull() & F.col("_cx").isNotNull(), best))
+        .alias("_best"),
+        F.min(edge).alias("_first"),
+        F.max(edge).alias("_last"),
+        F.max(F.col("_ax").isNotNull()).alias("_has_prev"),
+        F.max(F.col("_cx").isNotNull()).alias("_has_next"),
+    )
+    pick = (
+        F.when(~F.col("_has_prev"), F.col("_first"))
+        .when(~F.col("_has_next"), F.col("_last"))
+        .otherwise(
+            F.struct(
+                F.col("_best").getField("t").alias("t"),
+                F.col("_best").getField("v").alias("v"),
+            )
+        )
+    )
+    return picked.select(
+        *partition_by, bucket_col,
+        pick.getField("t").alias("ts_s"),
+        pick.getField("v").alias(value_col),
+    )
+
+
 def time_weighted(
     df: DataFrame,
     value_col: str,

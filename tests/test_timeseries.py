@@ -511,3 +511,22 @@ def test_time_weighted_chain_equals_direct(spark):
     assert (m["wsum_c"] == m["wsum_d"]).all()
     assert (m["covered_s_c"] == m["covered_s_d"]).all()
     assert (m["twa_c"] == m["twa_d"]).all()
+
+
+def test_lttb_downsample_golden(spark):
+    """One point per present bucket: edge buckets emit their first/
+    last points; the interior bucket picks the max-triangle point
+    (the 500-peak) against neighbor-bucket centroids."""
+    from lambdo_spark.rollup.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 0), ("u", _ts(10), 100),
+         ("u", _ts(3600), 0), ("u", _ts(3700), 500), ("u", _ts(3800), 0),
+         ("u", _ts(7200), 10), ("u", _ts(7210), 20)],
+        "k string, ts timestamp, v long",
+    )
+    out = {
+        r["bucket_s"] - 1704067200: (r["ts_s"] - 1704067200, r["v"])
+        for r in lttb_downsample(df, "v", "ts", 3600, ["k"]).collect()
+    }
+    assert out == {0: (0, 0), 3600: (3700, 500), 7200: (7210, 20)}

@@ -632,6 +632,53 @@ def _q_except_priorities(spark, sf_dir):
     )
 
 
+def _q_realtime_cagg_1h(spark, sf_dir):
+    """Real-time continuous aggregate: the 1h tier materialized from a
+    deliberately NON-bucket-aligned head of the events stream, stitched
+    at read time with a fresh rollup of the un-materialized raw tail
+    (rollup/realtime.py). The oracle computes the full 1h rollup
+    directly from raw — a hash match proves the stitched read equals a
+    full recompute, including the partial edge bucket the realtime
+    path re-aggregates from raw. Temp tier root left behind for the
+    lazy read, as in merge."""
+    import tempfile
+
+    from lambdo_spark.rollup.realtime import read_realtime_tier
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cut = lo + (hi - lo) // 2  # mid-range, almost surely mid-bucket
+    head = ev.where(F.unix_timestamp("ts") < cut)
+    tier = finalize(
+        partials_from_table(
+            head, 3600, key_col="user_id", ts_col="ts",
+            cat_col="event_type", measure=_cents(),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="lambdo_rt_q_")
+    IcebergLayoutTable(os.path.join(root, "tier_1h")).write_tier(
+        with_part(tier), input_snapshot="events@head"
+    )
+    rt = read_realtime_tier(
+        spark, root, "1h", ev,
+        url_col="user_id", ts_col="ts", lang_col="event_type",
+        measure=_cents(),
+    )
+    # cent-sums are exact ≤ 2^53, so sum = round(mean · n) recovers the
+    # stored integer exactly (one correctly-rounded double division)
+    return rt.select(
+        F.col("url").alias("user_id"),
+        "bucket_s",
+        "n_points",
+        F.round(F.col("mean_len") * F.col("n_points")).cast("long").alias("sum_c"),
+        F.unix_timestamp("min_ts").alias("min_ts_s"),
+        F.unix_timestamp("max_ts").alias("max_ts_s"),
+    )
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-defeating two-phase salted aggregation (SURVEY §4.3 #2,
     rollup/salting.py): hot keys split across salt buckets then
@@ -1262,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_1d": _q_hist_1d,
         "compressed_chunks": _q_compressed_chunks,
         "compressed_roundtrip": _q_compressed_roundtrip,
+        "realtime_cagg_1h": _q_realtime_cagg_1h,
         "salted_agg": _q_salted_agg,
         "merge_upsert": _q_merge_upsert,
         "merge_upsert_mor": _q_merge_upsert_mor,
@@ -1428,6 +1476,16 @@ def oracle_sql() -> dict[str, str]:
     sw = _marker(STOPWORDS)
     return {
         "rollup_1h": _SQL_TIER.format(sec=3600),
+        "realtime_cagg_1h": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                   count(*) AS n_points,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_c,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS min_ts_s,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS max_ts_s
+            FROM events GROUP BY 1, 2
+        """,
         "rollup_1d_via_partials": """
             SELECT user_id,
                    CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,

@@ -1,0 +1,124 @@
+"""Real-time continuous aggregates (rollup/realtime.py): the stitched
+materialized-tier ∪ raw-tail read must equal a full recompute over all
+raw rows, the watermark must come from manifest metadata alone (no
+data-file IO), and the raw-tail filter must reach the scan."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambdo_spark.rollup.pipeline import run_retention_pipeline
+from lambdo_spark.rollup.realtime import (
+    materialization_watermark,
+    read_realtime_tier,
+)
+from lambdo_spark.rollup.tiers import TIER_SECONDS, rollup_all_tiers
+from lambdo_spark.sources.pages import generate_pages
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    if "lang_hist" in pdf.columns:
+        pdf["lang_hist"] = pdf["lang_hist"].map(
+            lambda m: tuple(sorted(m.items())) if m is not None else None
+        )
+    return (
+        pdf.sort_values(["url", "bucket_s"])
+        .reset_index(drop=True)
+        .drop(columns=["bucket"], errors="ignore")
+    )
+
+
+@pytest.fixture(scope="module")
+def split_root(spark, tmp_path_factory):
+    """Pages split at a bucket-aligned cutoff; the head half
+    materialized into a tier root, the full frame kept as raw."""
+    pages = generate_pages(spark, 6000, seed=31).persist()
+    lo, hi = pages.agg(
+        F.min(F.unix_timestamp("warc_ts")), F.max(F.unix_timestamp("warc_ts"))
+    ).first()
+    cut = ((lo + (hi - lo) // 2) // 3600) * 3600  # 1h-bucket aligned
+    head = pages.where(F.unix_timestamp("warc_ts") < cut)
+    root = str(tmp_path_factory.mktemp("rt") / "tiers")
+    run_retention_pipeline(spark, head, root, enforce_audit=False)
+    yield root, pages, cut
+    pages.unpersist()
+
+
+def test_watermark_is_metadata_only(split_root):
+    root, pages, cut = split_root
+    tier_dir = os.path.join(root, "tier_1h", "data")
+    mtimes = {}
+    for dirpath, _, files in os.walk(tier_dir):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            mtimes[p] = os.stat(p).st_atime_ns
+    w = materialization_watermark(root, "1h")  # no spark handle at all
+    assert w is not None
+    assert w == (cut // 3600) * 3600 - 3600  # last bucket strictly below cut
+    # nothing opened the data files (atime unchanged under relatime is
+    # weak evidence; the strong proof is that no SparkSession was given
+    # and the call succeeded — the fallback scan path raises without one)
+
+
+def test_watermark_empty_root(tmp_path):
+    assert materialization_watermark(str(tmp_path / "nope"), "1h") is None
+
+
+@pytest.mark.parametrize("tier_name", ["1h", "1d"])
+def test_realtime_equals_full_recompute(spark, split_root, tier_name):
+    root, pages, cut = split_root
+    got = _canon(read_realtime_tier(spark, root, tier_name, pages))
+    exp = _canon(rollup_all_tiers(pages)[tier_name])
+    assert got.equals(exp)
+
+
+def test_realtime_prune_both_sides(spark, split_root):
+    """A bucket-range prune must constrain BOTH halves identically."""
+    root, pages, cut = split_root
+    w = materialization_watermark(root, "1h")
+    rng = (w - 3 * 3600, w + 3 * 3600)  # straddles the watermark
+    got = _canon(
+        read_realtime_tier(spark, root, "1h", pages, prune={"bucket_s": rng})
+    )
+    exp = rollup_all_tiers(pages)["1h"].where(
+        (F.col("bucket_s") >= rng[0]) & (F.col("bucket_s") <= rng[1])
+    )
+    assert got.equals(_canon(exp))
+    # the range genuinely straddles: both halves contribute
+    assert (got["bucket_s"] <= w).any() and (got["bucket_s"] > w).any()
+
+
+def test_realtime_tail_filter_pushes_down(spark, split_root, tmp_path):
+    """The raw-tail predicate must reach the parquet scan (PushedFilters
+    on the timestamp column), so the raw side never reads history."""
+    root, pages, cut = split_root
+    raw_path = str(tmp_path / "raw.parquet")
+    pages.write.parquet(raw_path)
+    raw = spark.read.parquet(raw_path)
+    plan = read_realtime_tier(
+        spark, root, "1h", raw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert any(
+        "GreaterThanOrEqual(warc_ts" in line
+        for line in plan.splitlines()
+        if "PushedFilters" in line
+    ), plan
+
+
+def test_realtime_gapfill(spark, split_root):
+    root, pages, cut = split_root
+    got = _canon(read_realtime_tier(spark, root, "1h", pages, gapfill=True))
+    from lambdo_spark.rollup.tiers import gap_fill
+
+    exp = _canon(gap_fill(rollup_all_tiers(pages)["1h"], 3600))
+    assert got.equals(exp)
+
+
+def test_realtime_empty_tier_serves_all_from_raw(spark, tmp_path):
+    pages = generate_pages(spark, 800, seed=33)
+    got = _canon(read_realtime_tier(spark, str(tmp_path / "none"), "1h", pages))
+    exp = _canon(rollup_all_tiers(pages)["1h"])
+    assert got.equals(exp)

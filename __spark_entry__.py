@@ -955,6 +955,32 @@ def _q_workflow_compiled(spark, sf_dir):
     return compile_workflow(spec, spark)["events"]
 
 
+_SQL_WORKFLOW = """
+    SELECT c_nationkey AS nationkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+def _q_workflow_sql(spark, sf_dir):
+    """operation:"sql" — the compiler's Spark-SQL escape hatch (the
+    reference has no SQL surface at all, SURVEY §2.4/§3). The SAME SQL
+    string is the oracle: Spark and DuckDB plan it independently and
+    must hash-match (integer cents keep the float sum exact)."""
+    spec = {"tables": [
+        {"id": "orders", "operation": "source", "format": "parquet",
+         "path": os.path.join(sf_dir, "orders.parquet")},
+        {"id": "customer", "operation": "source", "format": "parquet",
+         "path": os.path.join(sf_dir, "customer.parquet")},
+        {"id": "by_nation", "operation": "sql",
+         "inputs": ["orders", "customer"], "query": _SQL_WORKFLOW},
+    ]}
+    return compile_workflow(spec, spark)["by_nation"]
+
+
 _CENTS_COLS = [
     {"id": "v100", "operation": "calculate", "kernel": "mul",
      "inputs": ["value"], "model": {"value": 100}, "exclude": True},
@@ -1331,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_filter_slice": _q_row_filter_slice,
         "topk_orders": _q_topk_orders,
         "workflow_compiled": _q_workflow_compiled,
+        "workflow_sql": _q_workflow_sql,
         "extend_table": _q_extend_table,
         "column_noop": _q_column_noop,
         "rename_fillna": _q_rename_fillna,
@@ -1709,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 100
         """,
+        "workflow_sql": _SQL_WORKFLOW,
         "workflow_compiled": """
             SELECT event_id,
                    CAST(round(value * 100, 0) AS BIGINT) AS cents,

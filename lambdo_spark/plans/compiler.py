@@ -22,7 +22,7 @@ Spec format (one dict)::
 
     {"tables": [
       {"id": T, "operation": "source|data|extend|project|product|join|
-                              aggregate|map",
+                              aggregate|map|sql",
        ...population args...,
        "order_by": [cols], "partition_by": [cols],   # window defaults
        "columns": [ {"id": C, "operation": "calculate|roll|shift|all|
@@ -205,8 +205,10 @@ def _table_deps(tdef: dict) -> set[str]:
         "text_analysis", "dedup_exact", "dedup_minhash",
     ):
         deps.add(tdef["source"])
-    elif op in ("join", "product", "union", "intersect", "except"):
+    elif op in ("join", "product", "union", "intersect", "except", "sql"):
         deps.update(tdef.get("inputs", []))
+    if op == "source" and isinstance(tdef.get("realtime"), dict):
+        deps.add(tdef["realtime"]["raw"])
     elif op == "aggregate":
         deps.add(tdef["source"])
     elif op == "asof_join":
@@ -529,6 +531,24 @@ class Workflow:
                     }
                 tier = tdef.get("tier", "1h")
                 if tier:
+                    rt = tdef.get("realtime")
+                    if isinstance(rt, dict):
+                        # real-time continuous aggregate: finalized
+                        # tier ∪ fresh rollup of the raw table's
+                        # un-materialized tail (rollup/realtime.py);
+                        # `raw` names another workflow table
+                        from lambdo_spark.rollup.realtime import read_realtime_tier
+
+                        return read_realtime_tier(
+                            self.spark, tdef["path"], tier,
+                            self.tables[rt["raw"]],
+                            url_col=rt.get("key", "url"),
+                            ts_col=rt.get("ts", "warc_ts"),
+                            text_col=rt.get("text", "text"),
+                            lang_col=rt.get("lang", "lang"),
+                            gapfill=bool(tdef.get("gapfill", False)),
+                            prune=prune,
+                        )
                     from lambdo_spark.rollup.incremental import read_finalized_tier
 
                     return read_finalized_tier(
@@ -556,6 +576,15 @@ class Workflow:
             fn = self._batch_callable(tdef["function"])
             pdf = fn(**(tdef.get("model") or {}))
             return self.spark.createDataFrame(pdf)
+        if op == "sql":
+            # Spark-SQL escape hatch (beyond the reference — it has no
+            # SQL surface at all, SURVEY §3): each input table
+            # registers as a temp view named by its workflow id, and
+            # the query plans through Catalyst like any compiled stage
+            # (pushdown / pruning / AQE / broadcast all apply).
+            for dep in tdef.get("inputs", []):
+                self.tables[dep].createOrReplaceTempView(dep)
+            return self.spark.sql(tdef["query"])
         if op == "extend":
             return T.extend(self.tables[tdef["source"]])
         if op == "project":

@@ -391,3 +391,66 @@ def test_tier_sink_checkpointed_write(spark, tmp_path):
     assert sorted(t.part_versions()) == ["0", "604800"]
     snap2 = Workflow(spec, spark, data).execute() and t.current_snapshot()
     assert snap2["new_parts"] == []  # resumed, nothing rewritten
+
+
+def test_sql_operation(spark):
+    """operation:"sql" — the Spark-SQL escape hatch (the reference has
+    no SQL surface; SURVEY §3): inputs register as temp views named by
+    their workflow ids, results feed downstream stages like any table."""
+    facts = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "idx long, k string, v long"
+    )
+    dims = spark.createDataFrame([("a", "X"), ("b", "Y")], "k string, grp string")
+    spec = {"tables": [
+        {"id": "facts", "operation": "data"},
+        {"id": "dims", "operation": "data"},
+        {"id": "by_grp", "operation": "sql", "inputs": ["facts", "dims"],
+         "query": """
+            SELECT grp, count(*) AS n, sum(v) AS total
+            FROM facts JOIN dims ON facts.k = dims.k
+            GROUP BY grp
+         """},
+        {"id": "top", "operation": "sql", "inputs": ["by_grp"],
+         "query": "SELECT grp FROM by_grp WHERE total >= 30"},
+    ]}
+    out = compile_workflow(spec, spark, data={"facts": facts, "dims": dims})
+    got = {r["grp"]: (r["n"], r["total"]) for r in out["by_grp"].collect()}
+    assert got == {"X": (2, 30), "Y": (1, 5)}
+    assert [r["grp"] for r in out["top"].collect()] == ["X"]
+
+
+def test_tier_source_realtime(spark, tmp_path):
+    """format:"tier" + realtime: the workflow-language form of the
+    real-time continuous aggregate — materialized head ∪ raw tail must
+    equal a full recompute over the raw table."""
+    from pyspark.sql import functions as F
+
+    from lambdo_spark.rollup.pipeline import run_retention_pipeline
+    from lambdo_spark.rollup.tiers import rollup_all_tiers
+    from lambdo_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 2000, seed=11).persist()
+    lo, hi = pages.agg(
+        F.min(F.unix_timestamp("warc_ts")), F.max(F.unix_timestamp("warc_ts"))
+    ).first()
+    cut = lo + (hi - lo) // 2  # deliberately not bucket-aligned
+    root = str(tmp_path / "tiers")
+    run_retention_pipeline(
+        spark, pages.where(F.unix_timestamp("warc_ts") < cut), root
+    )
+
+    spec = {"tables": [
+        {"id": "raw", "operation": "data"},
+        {"id": "rt", "operation": "source", "format": "tier",
+         "path": root, "tier": "1h",
+         "realtime": {"raw": "raw", "key": "url", "ts": "warc_ts",
+                      "text": "text", "lang": "lang"}},
+    ]}
+    got = compile_workflow(spec, spark, data={"raw": pages})["rt"]
+    exp = rollup_all_tiers(pages)["1h"]
+    g = got.select("url", "bucket_s", "n_points").toPandas().sort_values(
+        ["url", "bucket_s"]).reset_index(drop=True)
+    e = exp.select("url", "bucket_s", "n_points").toPandas().sort_values(
+        ["url", "bucket_s"]).reset_index(drop=True)
+    assert g.equals(e)
+    pages.unpersist()

@@ -1249,6 +1249,31 @@ def _q_text_analysis(spark, sf_dir):
     )
 
 
+def _q_webtext_quality(spark, sf_dir):
+    """Gopher/C4-style web-text quality rules (functions/text.py):
+    word repetition, duplicate-bigram fraction, mean word length, and
+    the composite keep/drop boolean — all pure-JVM array/regexp
+    expressions, re-derived exactly in the DuckDB oracle."""
+    from lambdo_spark.functions.text import (
+        dup_bigram_fraction,
+        gopher_filter,
+        mean_word_length,
+        repetition_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(repetition_ratio(c), 6).alias("repetition"),
+        F.round(dup_bigram_fraction(c), 6).alias("dup_bigram"),
+        F.round(mean_word_length(c), 6).alias("mean_word_len"),
+        gopher_filter(
+            c, min_words=20, max_repetition=0.5, min_distinct_stopwords=1
+        ).cast("int").alias("gopher_keep"),
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     """FNV-1a fingerprints (rows-only; pinned vs pure-Python reference
     in tests/test_text.py)."""
@@ -1401,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "text_analysis": _q_text_analysis,
         "doc_quality": _q_doc_quality,
+        "webtext_quality": _q_webtext_quality,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -1501,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
     fr = _marker(LANG_MARKERS["fr"])
     es = _marker(LANG_MARKERS["es"])
     sw = _marker(STOPWORDS)
+    sw_in = ",".join(f"'{w}'" for w in STOPWORDS)
     return {
         "rollup_1h": _SQL_TIER.format(sec=3600),
         "realtime_cagg_1h": """
@@ -2372,6 +2399,44 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'es'
                    END AS lang_guess
             FROM documents
+        """,
+        "webtext_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, toks,
+                     len(toks) AS n,
+                     len(toks) - len(list_distinct(toks)) AS rep_n,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END AS bg,
+                     list_sum(list_transform(toks, t -> length(t))) AS sumlen,
+                     length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS sym_n
+              FROM t
+            )
+            SELECT doc_id,
+                   round(CASE WHEN n > 0 THEN CAST(rep_n AS DOUBLE)/n
+                         ELSE 0.0 END, 6) AS repetition,
+                   round(CASE WHEN len(bg) > 0 THEN
+                           CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)/len(bg)
+                         ELSE 0.0 END, 6) AS dup_bigram,
+                   round(CASE WHEN n > 0 THEN CAST(sumlen AS DOUBLE)/n
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   CAST(n >= 20 AND n <= 100000
+                        AND (CASE WHEN n > 0 THEN CAST(sumlen AS DOUBLE)/n
+                             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                        AND (CASE WHEN n > 0 THEN CAST(sym_n AS DOUBLE)/n
+                             ELSE 0.0 END) <= 0.1
+                        AND (CASE WHEN n > 0 THEN CAST(rep_n AS DOUBLE)/n
+                             ELSE 0.0 END) <= 0.5
+                        AND len(list_distinct(list_filter(toks,
+                              t -> lower(t) IN ({sw_in})))) >= 1
+                        AS INT) AS gopher_keep
+            FROM m
         """,
         "fingerprint": _fingerprint_oracle(),
         "media_features": _media_features_oracle(),

@@ -92,6 +92,91 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+# --------------------------------------- Gopher/C4-style quality rules
+# Rahm et al. "Scaling Language Models" (Gopher, 2021) §A1.1 and the C4
+# pipeline popularized cheap repetition/shape heuristics for web-text
+# filtering. All pure JVM array/regexp expressions — no Python in the
+# hot path, exactly replicable in the DuckDB oracle.
+
+
+def repetition_ratio(col: Column) -> Column:
+    """(tokens − distinct tokens) / tokens — word-level repetition.
+    1.0-ish for boilerplate floods, 0 for all-unique text."""
+    toks = tokens(col)
+    n, d = F.size(toks), F.size(F.array_distinct(toks))
+    return F.when(n > 0, (n - d).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def bigram_array(col: Column) -> Column:
+    """Adjacent word pairs. NB Spark ``sequence(0, -1)`` is DESCENDING
+    (not empty) — short inputs must be guarded."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_bigram_fraction(col: Column) -> Column:
+    """(bigrams − distinct bigrams) / bigrams — catches repeated
+    phrases that unigram repetition misses (Gopher's dup-n-gram
+    family at n=2)."""
+    bg = bigram_array(col)
+    m = F.size(bg)
+    return F.when(
+        m > 0, (m - F.size(F.array_distinct(bg))).cast("double") / m
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    s = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, s.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """('#' + ellipsis occurrences) / words — Gopher's symbol ratio."""
+    n = token_count(col)
+    hashes = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    ell = F.size(F.regexp_extract_all(col, F.lit(r"\.\.\.|…"), F.lit(0)))
+    return F.when(n > 0, (hashes + ell).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def gopher_filter(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_repetition: float = 0.3,
+    min_distinct_stopwords: int = 2,
+) -> Column:
+    """Composite keep/drop boolean over the Gopher §A1.1 rules. All
+    sub-metrics are deterministic integer-count divisions, so the
+    boolean is engine-portable bit-for-bit."""
+    toks = tokens(col)
+    n = F.size(toks)
+    sw_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    )
+    mwl = mean_word_length(col)
+    return (
+        (n >= F.lit(min_words))
+        & (n <= F.lit(max_words))
+        & (mwl >= F.lit(min_mean_word_len))
+        & (mwl <= F.lit(max_mean_word_len))
+        & (symbol_word_ratio(col) <= F.lit(max_symbol_ratio))
+        & (repetition_ratio(col) <= F.lit(max_repetition))
+        & (sw_distinct >= F.lit(min_distinct_stopwords))
+    )
+
+
 # ------------------------------------------------------- fingerprinting
 
 _FP_BASE = np.uint64(1099511628211)

@@ -62,3 +62,68 @@ def test_analyze_on_real_documents(spark):
     assert out.count() == docs.count()
     row = out.first()
     assert row["n_tokens"] > 0 and 0 <= row["quality"] <= 1
+
+
+def test_gopher_metrics_hand_computed(spark):
+    from lambdo_spark.functions.text import (
+        dup_bigram_fraction,
+        mean_word_length,
+        repetition_ratio,
+        symbol_word_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # 5 toks, 2 distinct; bigrams: ab ba ab ba → 4,2
+            (2, "one two three"),       # all unique
+            (3, "### wow ... fine …"),  # 3 hashes + 2 ellipses over 5 tokens
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            repetition_ratio(F.col("text")).alias("rep"),
+            dup_bigram_fraction(F.col("text")).alias("dup2"),
+            mean_word_length(F.col("text")).alias("mwl"),
+            symbol_word_ratio(F.col("text")).alias("sym"),
+        ).collect()
+    }
+    assert got[1]["rep"] == pytest.approx(3 / 5)
+    assert got[1]["dup2"] == pytest.approx(2 / 4)
+    assert got[2]["rep"] == 0.0 and got[2]["dup2"] == 0.0
+    assert got[2]["mwl"] == pytest.approx((3 + 3 + 5) / 3)
+    assert got[3]["sym"] == pytest.approx((3 + 2) / 5)
+    assert got[4]["rep"] == 0.0 and got[4]["mwl"] == 0.0 and got[4]["sym"] == 0.0
+
+
+def test_gopher_filter_rules(spark):
+    from lambdo_spark.functions.text import gopher_filter
+
+    good = "the cat and dog sat " * 12              # 60 words, stopwords, unique-ish
+    short = "the cat"                                # < min_words
+    symbols = ("the and of to in " + "# " * 60)      # symbol flood
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id",
+            gopher_filter(F.col("text"), max_repetition=0.95).alias("keep"),
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_bigram_array_short_input_guard(spark):
+    """Spark sequence(0,-1) is descending, not empty — one-token and
+    empty docs must yield empty bigram arrays, not a crash."""
+    from lambdo_spark.functions.text import bigram_array
+
+    df = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r["bg"] for r in df.select(
+        "doc_id", bigram_array(F.col("text")).alias("bg")).collect()}
+    assert got[1] == [] and got[2] == []

@@ -202,7 +202,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "order_stat", "distinct", "distinct_sketch", "heavy_hitters",
         "m4", "time_weighted", "counter", "value_hist", "lttb",
         "window_aggregate", "dedup", "stream_sink",
-        "text_analysis", "dedup_exact", "dedup_minhash",
+        "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
     ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except", "sql"):
@@ -779,6 +779,23 @@ class Workflow:
             return analyze_documents(
                 self.tables[tdef["source"]], text_col=tdef.get("text", "text")
             )
+        if op == "quality_filter":
+            # Gopher/C4 web-text rules (functions/text.py): keep rows
+            # passing the composite boolean, or flag them when
+            # `flag: "<col>"` is given (filter stays pushdown-friendly
+            # — it's one JVM expression over the text column)
+            from pyspark.sql import functions as F
+
+            from lambdo_spark.functions.text import gopher_filter
+
+            src = self.tables[tdef["source"]]
+            keep = gopher_filter(
+                F.col(tdef.get("text", "text")), **(tdef.get("rules") or {})
+            )
+            flag = tdef.get("flag")
+            if flag:
+                return src.withColumn(flag, keep)
+            return src.where(keep)
         if op == "dedup_exact":
             from lambdo_spark.functions.dedup import dedup_exact
 

@@ -454,3 +454,23 @@ def test_tier_source_realtime(spark, tmp_path):
         ["url", "bucket_s"]).reset_index(drop=True)
     assert g.equals(e)
     pages.unpersist()
+
+
+def test_quality_filter_op(spark):
+    """operation:"quality_filter" — Gopher rules from the workflow
+    language, filter and flag modes."""
+    good = "the quick brown foxes jumped over packs of lazy sleeping hounds " * 6
+    df = spark.createDataFrame(
+        [(1, good), (2, "the cat"), (3, "zz " * 80)], "doc_id long, text string"
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "kept", "operation": "quality_filter", "source": "docs",
+         "rules": {"min_words": 20, "max_repetition": 0.95}},
+        {"id": "flagged", "operation": "quality_filter", "source": "docs",
+         "flag": "keep", "rules": {"min_words": 20, "max_repetition": 0.95}},
+    ]}
+    out = compile_workflow(spec, spark, data={"docs": df})
+    assert [r["doc_id"] for r in out["kept"].collect()] == [1]
+    flags = {r["doc_id"]: r["keep"] for r in out["flagged"].collect()}
+    assert flags == {1: True, 2: False, 3: False}

@@ -221,6 +221,41 @@ def _run_schema(args) -> int:
     return 0
 
 
+def _run_evolve_parts(args) -> int:
+    """Partition spec evolution. A populated table needs a Spark
+    session for the one-shot re-bucketing rewrite; an empty one
+    evolves metadata-only."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    spark = get_spark(app_name="lambdo_spark:evolve-parts", master=args.master)
+    try:
+        out: dict = {"part_seconds": args.part_seconds}
+        if args.root:
+            from lambdo_spark.rollup.incremental import evolve_root_partitioning
+
+            snaps = evolve_root_partitioning(spark, args.root, args.part_seconds)
+            out["root"] = args.root
+            out["evolved"] = {
+                name: {"snapshot_id": s["snapshot_id"],
+                       "part_spec_id": s.get("part_spec_id"),
+                       "parts": len(s.get("parts", {}))}
+                for name, s in snaps.items()
+            }
+        else:
+            t = IcebergLayoutTable(args.table)
+            s = t.evolve_partitioning(
+                args.part_seconds, spark=spark, rewrite=True
+            )
+            out["table"] = args.table
+            out["snapshot_id"] = s.get("snapshot_id")
+            out["part_spec_id"] = s.get("part_spec_id")
+            out["parts"] = sorted(s.get("parts", {}))
+        print(json.dumps(out, indent=1))
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_branch(args) -> int:
     """Metadata-only (no SparkSession): create / publish / drop branch
     refs — the write-audit-publish control surface."""
@@ -370,7 +405,7 @@ def main(argv: list[str] | None = None) -> int:
     # legacy form: `python -m lambdo_spark workflow.json [...]`
     if argv and argv[0] not in (
         "retention", "refresh", "maintain", "stream-refresh", "plan",
-        "schema", "delete", "merge", "branch", "update",
+        "schema", "delete", "merge", "branch", "update", "evolve-parts",
     ):
         argv = ["run", *argv]
 
@@ -481,6 +516,21 @@ def main(argv: list[str] | None = None) -> int:
     sch.add_argument("--widen", action="append", default=[], metavar="NAME:TYPE",
                      help="promote a type (tinyint→…→bigint, float→double)")
 
+    evo = sub.add_parser(
+        "evolve-parts",
+        help="partition spec evolution: change a table's (or a whole "
+        "retention root's) time-partition width; empty tables evolve "
+        "metadata-only, populated ones re-bucket in one atomic commit",
+    )
+    tgt = evo.add_mutually_exclusive_group(required=True)
+    tgt.add_argument("--table", help="one table root (e.g. .../tier_1h)")
+    tgt.add_argument("--root", help="retention root: partials store + "
+                     "every tier table evolve in lockstep")
+    evo.add_argument("--part-seconds", type=int, required=True,
+                     metavar="SECONDS", help="new partition width "
+                     "(86400=daily, 604800=weekly)")
+    evo.add_argument("--master", default=None)
+
     brn = sub.add_parser(
         "branch",
         help="create/publish/drop branch refs (write-audit-publish): "
@@ -551,6 +601,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "branch":
         return _run_branch(args)
+    if args.cmd == "evolve-parts":
+        return _run_evolve_parts(args)
     if args.cmd == "schema":
         return _run_schema(args)
     if args.cmd == "delete":

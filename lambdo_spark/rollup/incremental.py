@@ -85,18 +85,19 @@ def _read_store_parts(
 
 
 def _parts_containing_overlapping_buckets(
-    aff_weeks: set[int], tsec: int
+    aff_weeks: set[int], tsec: int, ps: int = PART_SECONDS
 ) -> set[int]:
-    """Weekly partitions holding any tier bucket that OVERLAPS an
-    affected week. For tsec ≤ a week (1h/1d, which divide 604800) that
-    is the affected weeks themselves; a 30d bucket is not week-aligned,
-    so data in one week can change a bucket whose start (= partition)
-    lies weeks earlier."""
+    """Partitions (width ``ps``, weekly by default — the store's
+    partition spec) holding any tier bucket that OVERLAPS an affected
+    partition. For tsec ≤ ps (1h/1d under weekly) that is the affected
+    partitions themselves; a 30d bucket is not week-aligned, so data
+    in one partition can change a bucket whose start (= partition)
+    lies earlier."""
     parts: set[int] = set()
     for w in aff_weeks:
-        b = (w // tsec) * tsec  # first bucket overlapping the week
-        while b < w + PART_SECONDS:
-            parts.add((b // PART_SECONDS) * PART_SECONDS)
+        b = (w // tsec) * tsec  # first bucket overlapping the partition
+        while b < w + ps:
+            parts.add((b // ps) * ps)
             b += tsec
     return parts
 
@@ -108,6 +109,7 @@ def _recompress_chunks(
     tsec: int,
     rewritten_weeks: set[int],
     chunk_buckets: int,
+    ps: int = PART_SECONDS,
 ) -> dict | None:
     from lambdo_spark.rollup.compress_stage import compress_tier
 
@@ -115,7 +117,7 @@ def _recompress_chunks(
     chunks: set[int] = set()
     for w in rewritten_weeks:
         c = w // span
-        while c * span < w + PART_SECONDS:
+        while c * span < w + ps:
             chunks.add(c)
             c += 1
     tier_table = _tier_table(root, tier_name)
@@ -124,7 +126,7 @@ def _recompress_chunks(
         p: v
         for p, v in versions.items()
         if any(
-            int(p) < (c + 1) * span and int(p) + PART_SECONDS > c * span
+            int(p) < (c + 1) * span and int(p) + ps > c * span
             for c in chunks
         )
     }
@@ -165,19 +167,21 @@ def _rebuild_tiers(
     # dynamic overwrite replaces whole partitions — so every
     # partition containing an affected bucket is rebuilt IN FULL
     # (all its buckets), never partially.
+    ps = store.part_spec()["part_seconds"]
     aff_weeks = {int(p) for p in affected}
     for tier_name, tsec in TIER_SECONDS.items():
         parts_to_rewrite = _parts_containing_overlapping_buckets(
-            aff_weeks, tsec
+            aff_weeks, tsec, ps
         )
-        # source weeks: a bucket starting in a rewritten week ends
-        # at most tsec past that week (30d buckets span ~5 weeks)
+        # source partitions: a bucket starting in a rewritten
+        # partition ends at most tsec past it (30d buckets span ~5
+        # weekly partitions)
         need_weeks = set()
         for p in parts_to_rewrite:
             w = p
-            while w < p + PART_SECONDS + tsec:
+            while w < p + ps + tsec:
                 need_weeks.add(str(w))
-                w += PART_SECONDS
+                w += ps
         src = _read_store_parts(spark, store, need_weeks)
         if src is None:
             continue
@@ -185,7 +189,7 @@ def _rebuild_tiers(
         tier_partials = (
             part1h if tsec == TIER_SECONDS["1h"] else downsample(part1h, tsec)
         )
-        out = with_part(finalize(tier_partials), part_seconds=PART_SECONDS)
+        out = with_part(finalize(tier_partials), part_seconds=ps)
         out = out.where(
             F.col("part").isin(sorted(parts_to_rewrite))
         )
@@ -214,6 +218,7 @@ def _rebuild_tiers(
                 tsec,
                 {int(p) for p in result["affected_parts"][tier_name]},
                 chunk_buckets,
+                ps,
             )
             if csnap is not None:
                 result["affected_parts"][f"compressed_{tier_name}"] = csnap[
@@ -299,9 +304,10 @@ def refresh_from_pages(
             )
         return result
 
+    ps = store.part_spec()["part_seconds"]
     delta = with_part(
         partials_from_pages(new_pages, TIER_SECONDS["1h"]),
-        part_seconds=PART_SECONDS,
+        part_seconds=ps,
     ).persist()
     delta_parts = {str(r[0]) for r in delta.select("part").distinct().collect()}
     # a crashed predecessor's pending weeks ride along with this delta
@@ -319,7 +325,7 @@ def refresh_from_pages(
             merged = delta.drop("part")
             if existing is not None:
                 merged = merged.unionByName(existing.drop("part"))
-            merged = with_part(_merge_partials(merged), part_seconds=PART_SECONDS)
+            merged = with_part(_merge_partials(merged), part_seconds=ps)
             snap = store.overwrite_parts(
                 merged,
                 sorted(delta_parts),
@@ -351,6 +357,30 @@ def refresh_from_pages(
     finally:
         delta.unpersist()
     return result
+
+
+def evolve_root_partitioning(
+    spark: SparkSession, root: str, part_seconds: int
+) -> dict:
+    """Evolve the partition width of a whole retention/refresh root —
+    the partials store and every tier table in lockstep, each as one
+    atomic rewrite commit (``IcebergLayoutTable.evolve_partitioning``).
+    The refresh part math derives widths from the STORE's spec, so the
+    root must stay uniform; compressed tables partition on chunk id
+    and are untouched. Use case: a table growing past ~10^3 files per
+    weekly partition moves to daily partitions without downtime —
+    readers on prior snapshots keep the old layout (MVCC), and the
+    next refresh just works."""
+    out: dict = {}
+    tables = {"partials_1h": _partials_store(root)}
+    for t in TIER_SECONDS:
+        if os.path.exists(os.path.join(root, f"tier_{t}", "metadata", "CURRENT")):
+            tables[f"tier_{t}"] = _tier_table(root, t)
+    for name, tab in tables.items():
+        out[name] = tab.evolve_partitioning(
+            part_seconds, spark=spark, rewrite=True
+        )
+    return out
 
 
 def read_finalized_tier(

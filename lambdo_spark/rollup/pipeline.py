@@ -73,7 +73,9 @@ def run_retention_pipeline(
         store = IcebergLayoutTable(os.path.join(out_root, "partials_1h"))
         result["partials_1h"] = {
             "tier": store.write_tier(
-                with_part(p1h), input_snapshot="pages@partials_1h"
+                # spec-aware: a root whose partitioning was evolved
+                # (evolve_partitioning) keeps its granularity
+                store.with_part(p1h), input_snapshot="pages@partials_1h"
             )
         }
         for tier_name, part in partials.items():
@@ -85,7 +87,7 @@ def run_retention_pipeline(
                     os.path.join(out_root, f"tier_{tier_name}")
                 )
                 snap = table.write_tier(
-                    with_part(tier_df), input_snapshot=f"pages@{tier_name}"
+                    table.with_part(tier_df), input_snapshot=f"pages@{tier_name}"
                 )
                 comp = compress_tier(
                     tier_df, value_col=compress_value_col,

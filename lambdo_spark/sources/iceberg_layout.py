@@ -68,6 +68,8 @@ class ConcurrentWriteConflict(RuntimeError):
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+DEFAULT_PART_SECONDS = 7 * 86400  # weekly time partitions (spec 0)
+
 
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
@@ -335,7 +337,10 @@ class IcebergLayoutTable:
     # applied-delta ledger) and the current schema pointer must survive
     # maintenance commits like compaction — these keys carry forward
     # unless explicitly replaced
-    CARRIED_EXTRA_KEYS = ("applied_deltas", "pending", "schema_id", "applied_upserts")
+    CARRIED_EXTRA_KEYS = (
+        "applied_deltas", "pending", "schema_id", "applied_upserts",
+        "part_spec_id",
+    )
 
     # sentinel: "don't validate the schema pointer at commit time"
     _SCHEMA_UNCHECKED = object()
@@ -351,6 +356,7 @@ class IcebergLayoutTable:
         add_adds: dict[str, list[int]] | None = None,
         expect_row_state: dict[str, tuple] | None = None,
         remove: set[str] | None = None,
+        expect_extra: dict | None = None,
     ) -> dict:
         """Commit a new snapshot. Single-writer form: ``parts`` is the
         full map (as computed by the caller). Optimistic-concurrency
@@ -362,6 +368,16 @@ class IcebergLayoutTable:
         concurrent writers to disjoint partitions all land."""
         with self._commit_lock():
             prev = self.current_snapshot() or {}
+            for k, v in (expect_extra or {}).items():
+                # generic metadata CAS (same shape as the schema check
+                # below): the committer derived its work from prev[k]
+                # == v; a concurrent commit moving that pointer means
+                # this commit would silently clobber it
+                if prev.get(k) != v:
+                    raise ConcurrentWriteConflict(
+                        f"{k} changed since base: expected {v!r}, "
+                        f"found {prev.get(k)!r}"
+                    )
             if expect_schema is not self._SCHEMA_UNCHECKED and (
                 prev.get("schema_id") != expect_schema
             ):
@@ -622,6 +638,142 @@ class IcebergLayoutTable:
             tgt[0]["type"] = dtype
             return fields, last
         return self._evolve(mutate, f"widen {name}:{dtype}")
+
+    # ------------------------------------------------- partition spec
+    # Iceberg's partition-spec evolution, adapted to this layout's
+    # single-level time partitioning: the table carries a current
+    # `part-spec-<n>.json` ({bucket_col, part_seconds}); `with_part`
+    # derives the partition value from it, so writers pick up a new
+    # granularity without code changes. Unlike Iceberg (where old
+    # files keep their old spec forever), the refresh machinery's
+    # part math (incremental.py) requires ONE spec across all live
+    # partitions — so evolving a non-empty table REWRITES it into the
+    # new spec in one atomic commit (rewrite=True), and the metadata-
+    # only form is allowed only while the table is empty. Time travel
+    # to pre-evolution snapshots still sees the old layout.
+
+    def part_spec(self, spec_id: int | None = None) -> dict:
+        """Current (or requested) partition spec. Spec 0 is the
+        implicit default (weekly buckets of ``bucket_s``) for tables
+        created before specs existed."""
+        if spec_id is None:
+            snap = self.current_snapshot() or {}
+            spec_id = snap.get("part_spec_id", 0)
+        if spec_id == 0:
+            return {
+                "spec_id": 0,
+                "bucket_col": "bucket_s",
+                "part_seconds": DEFAULT_PART_SECONDS,
+            }
+        s = _read_json(os.path.join(self.meta_dir, f"part-spec-{spec_id}.json"))
+        if s is None:
+            raise FileNotFoundError(f"no part-spec-{spec_id}.json in {self.meta_dir}")
+        return s
+
+    def _claim_part_spec(self, spec: dict) -> int:
+        existing = [
+            int(f.rsplit("-", 1)[1].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("part-spec-") and f.endswith(".json")
+        ]
+        n = max(existing, default=0) + 1
+        _atomic_write_json(
+            os.path.join(self.meta_dir, f"part-spec-{n}.json"),
+            {**spec, "spec_id": n},
+        )
+        return n
+
+    def with_part(self, df: DataFrame) -> DataFrame:
+        """Derive the partition column from the table's CURRENT spec —
+        the spec-aware form of the module-level :func:`with_part`."""
+        spec = self.part_spec()
+        return with_part(
+            df, bucket_col=spec["bucket_col"], part_seconds=spec["part_seconds"]
+        )
+
+    def evolve_partitioning(
+        self,
+        part_seconds: int,
+        bucket_col: str = "bucket_s",
+        spark: SparkSession | None = None,
+        rewrite: bool = False,
+    ) -> dict:
+        """Change the partition granularity for this table.
+
+        Empty table: metadata-only commit of the new spec. Non-empty:
+        requires ``rewrite=True`` (and ``spark``) — the committed rows
+        are re-bucketed under the new spec and land as one atomic
+        replace-all commit (old partitions leave the parts map; MVCC
+        readers on prior snapshots are unaffected, and time travel
+        still serves the old layout). The single-spec invariant keeps
+        every partition-math consumer (incremental refresh, retention,
+        chunk recompression) correct without per-part spec lookups.
+        """
+        cur = self.part_spec()
+        snap = self.current_snapshot()
+        if (
+            cur["part_seconds"] == part_seconds
+            and cur["bucket_col"] == bucket_col
+        ):
+            return snap or {}
+        base_spec_id = (snap or {}).get("part_spec_id")
+        part_col = (snap or {}).get("part_col", "part")
+        sid = self._claim_part_spec(
+            {
+                "bucket_col": bucket_col,
+                "part_seconds": int(part_seconds),
+                "parent_spec_id": cur["spec_id"],
+            }
+        )
+        old_parts = dict((snap or {}).get("parts", {}))
+        if not old_parts:
+            return self._commit(
+                {},
+                {
+                    "input_snapshot": f"partition-evolution:{part_seconds}s",
+                    "new_parts": [],
+                    "part_col": part_col,
+                    "part_spec_id": sid,
+                },
+                update={},
+                base_versions={},
+                expect_extra={"part_spec_id": base_spec_id},
+            )
+        if not rewrite:
+            raise ValueError(
+                "table has committed partitions — pass rewrite=True "
+                "(and spark=) to re-bucket them under the new spec; "
+                "mixed-width partitions would break refresh/retention "
+                "part math"
+            )
+        if spark is None:
+            raise ValueError("rewrite=True needs spark=")
+        rows = self.read_tier(spark).drop(part_col)
+        df = with_part(rows, bucket_col=bucket_col, part_seconds=part_seconds)
+        new_parts = sorted(
+            {str(r[0]) for r in df.select(part_col).distinct().collect()}
+        )
+        schema_id, expect_schema = self._ensure_write_schema(df, part_col)
+        version = self._claim_version()
+        self._write_parts(
+            df, new_parts, version, part_col,
+            f"partition-evolution:{part_seconds}s", schema_id,
+        )
+        return self._commit(
+            {},
+            {
+                "input_snapshot": f"partition-evolution:{part_seconds}s",
+                "new_parts": new_parts,
+                "part_col": part_col,
+                "part_spec_id": sid,
+                "schema_id": schema_id,
+            },
+            update={p: version for p in new_parts},
+            base_versions=old_parts,
+            remove=set(old_parts) - set(new_parts),
+            expect_schema=expect_schema,
+            expect_extra={"part_spec_id": base_spec_id},
+        )
 
     def _normalize_to_schema(
         self, df: DataFrame, written: dict | None, target: dict, part_col: str
@@ -2030,7 +2182,11 @@ class IcebergLayoutTable:
         return deleted
 
 
-def with_part(df: DataFrame, bucket_col: str = "bucket_s", part_seconds: int = 7 * 86400) -> DataFrame:
+def with_part(
+    df: DataFrame,
+    bucket_col: str = "bucket_s",
+    part_seconds: int = DEFAULT_PART_SECONDS,
+) -> DataFrame:
     """Derive the partition value (weekly by default) from the bucket."""
     return df.withColumn(
         "part",

@@ -355,3 +355,17 @@ def test_mergeable_tiers_example(spark):
     assert (twa["covered_s"] <= 86400).all() and (twa["covered_s"] > 0).all()
     p95 = tables["p95_1d"].toPandas()
     assert (p95["p95_est"] % 100 == 0).all()
+
+
+def test_training_data_prep_new_stages(spark):
+    """Round-2 stages of the ingest example: Gopher flag column and
+    the SQL summary stage."""
+    tables = Workflow(_load("training_data_prep.json"), spark).execute()
+    flagged = tables["gopher_flagged"].toPandas()
+    assert flagged["gopher_keep"].isin([True, False]).all()
+    stats = tables["corpus_stats"].toPandas()
+    assert {"lang_guess", "n_docs", "n_gopher_keep", "avg_quality"} <= set(
+        stats.columns
+    )
+    assert stats["n_docs"].sum() == len(flagged)
+    assert (stats["n_gopher_keep"] <= stats["n_docs"]).all()

@@ -132,6 +132,41 @@ O(1) shuffles, and there is no Python anywhere (`BatchEvalPython` /
     stacked = rate(stacked, "r", "value", "ts", ["ts", "event_id"], ["user_id"])
     sections[-1] = (sections[-1][0], sections[-1][1], fmt(stacked))
 
+    # real-time continuous aggregate: materialized tier ∪ raw tail
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lambdo_spark.rollup.pipeline import run_retention_pipeline
+    from lambdo_spark.rollup.realtime import read_realtime_tier
+
+    rt_root = tempfile.mkdtemp(prefix="plans_rt_")
+    lo, hi = pages.agg(
+        F.min(F.unix_timestamp("warc_ts")), F.max(F.unix_timestamp("warc_ts"))
+    ).first()
+    cut = ((lo + 9 * (hi - lo) // 10) // 3600) * 3600
+    run_retention_pipeline(
+        spark, pages.where(F.unix_timestamp("warc_ts") < cut), rt_root,
+        enforce_audit=False,
+    )
+    sections.append(
+        (
+            "real-time continuous aggregate (materialized tier ∪ raw tail)",
+            """
+What to look for:
+- TWO scans under the Union: the tier table's parquet (pre-aggregated
+  rows, no re-aggregation below the watermark) and the raw pages scan
+  with `PushedFilters: [IsNotNull(warc_ts), GreaterThanOrEqual(warc_ts, ...)]`
+  — the tail predicate reaches the raw reader, so history files are
+  skipped at the scan, and only the tail flows into the fresh
+  HashAggregate;
+- the watermark itself appears as a literal (computed driver-side
+  from manifest file stats — no Spark job ran to find it).
+""",
+            fmt(read_realtime_tier(spark, rt_root, "1h", pages)),
+        )
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             """# PLANS — physical-plan evidence for the scale claims

@@ -71,6 +71,13 @@ def get_spark(
         # than the 10k default; 256k regresses)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark still defaults parquet timestamps to legacy INT96,
+        # which carries NO column statistics — a `ts >= watermark`
+        # predicate then cannot skip a single row group, so every
+        # time-range read scans all history. int64 micros restores
+        # min/max stats (measured: the realtime-read tail scan drops
+        # from 100% to ~3% of raw bytes, tools/bench_realtime.py).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -122,3 +122,62 @@ def test_realtime_empty_tier_serves_all_from_raw(spark, tmp_path):
     got = _canon(read_realtime_tier(spark, str(tmp_path / "none"), "1h", pages))
     exp = _canon(rollup_all_tiers(pages)["1h"])
     assert got.equals(exp)
+
+
+def _fresh_split_root(spark, tmp_path, n=3000, seed=35):
+    pages = generate_pages(spark, n, seed=seed)
+    lo, hi = pages.agg(
+        F.min(F.unix_timestamp("warc_ts")), F.max(F.unix_timestamp("warc_ts"))
+    ).first()
+    cut = ((lo + (hi - lo) // 2) // 3600) * 3600
+    root = str(tmp_path / "tiers")
+    run_retention_pipeline(
+        spark, pages.where(F.unix_timestamp("warc_ts") < cut), root,
+        enforce_audit=False,
+    )
+    return root, pages
+
+
+def test_realtime_after_partition_evolution(spark, tmp_path):
+    """Evolving the root's partition spec (weekly → daily) must not
+    disturb the realtime read: the watermark walk is spec-independent
+    (it maxes file stats across whatever parts the snapshot lists) and
+    the stitched result still equals a full recompute."""
+    from lambdo_spark.rollup.incremental import evolve_root_partitioning
+
+    root, pages = _fresh_split_root(spark, tmp_path)
+    w_before = materialization_watermark(root, "1h")
+    evolve_root_partitioning(spark, root, 86400)
+    assert materialization_watermark(root, "1h") == w_before  # no spark handle
+    got = _canon(read_realtime_tier(spark, root, "1h", pages))
+    exp = _canon(rollup_all_tiers(pages)["1h"])
+    assert got.equals(exp)
+
+
+def test_realtime_mor_delete_below_watermark_stays_deleted(spark, tmp_path):
+    """Documented contract: rows deleted from the tier below the
+    watermark stay deleted — the raw tail never resurrects their
+    buckets — and the watermark itself (a *processing* threshold from
+    file stats) is unmoved by deletes, even of the newest tier rows."""
+    from lambdo_spark.rollup.incremental import _tier_table
+
+    root, pages = _fresh_split_root(spark, tmp_path, seed=36)
+    w = materialization_watermark(root, "1h")
+    full = _canon(rollup_all_tiers(pages)["1h"])
+    below = full[full["bucket_s"] < w]
+    victim = below.iloc[len(below) // 2]
+    url, b0 = victim["url"], int(victim["bucket_s"])
+
+    t = _tier_table(root, "1h")
+    s0 = t.current_snapshot()["snapshot_id"]
+    snap = t.delete_where(
+        spark, f"url = '{url}' AND bucket_s = {b0}", mode="merge-on-read"
+    )
+    assert snap["snapshot_id"] != s0  # something was deleted
+
+    assert materialization_watermark(root, "1h") == w  # threshold unmoved
+    got = _canon(read_realtime_tier(spark, root, "1h", pages))
+    exp = full[~((full["url"] == url) & (full["bucket_s"] == b0))].reset_index(
+        drop=True
+    )
+    assert got.equals(exp)

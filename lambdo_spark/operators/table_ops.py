@@ -117,6 +117,7 @@ def join_tables(
     dfs: Sequence[DataFrame],
     keys: Sequence[Sequence[str] | None],
     suffixes: Sequence[str] | None = None,
+    left_suffix: str | None = None,
 ) -> DataFrame:
     """T6 — left-join a list of tables onto the first (reference
     lambdo/std.py:15-57). ``keys[i]`` are the join columns for table
@@ -125,7 +126,9 @@ def join_tables(
     counts + offsets — no single-partition sort).
 
     Column collisions on the right side get ``suffixes[i]`` appended
-    (std.py suffix renaming). Catalyst picks broadcast vs sort-merge.
+    (std.py suffix renaming); a truthy ``left_suffix`` also renames the
+    LEFT side's clashing columns, matching ``pd.merge(suffixes=[l, r])``
+    renaming both sides. Catalyst picks broadcast vs sort-merge.
     """
     suffixes = suffixes or [f"_{i+1}" for i in range(len(dfs) - 1)]
 
@@ -140,12 +143,22 @@ def join_tables(
                 left = with_rn(left)
             right = with_rn(right)
             on = ["__rn__"]
+        elif isinstance(key, dict):
+            # differing key names (reference std.py left_on/right_on +
+            # drop of the right key): rename right keys to left names
+            for lc, rc in zip(key["left"], key["right"]):
+                if rc != lc:
+                    right = right.withColumnRenamed(rc, lc)
+            on = list(key["left"])
         else:
             on = list(key)
-        # suffix-rename right-side collisions (except join keys)
+        # suffix-rename collisions (except join keys): right always,
+        # left too when left_suffix is set (pd.merge renames both)
         clash = (set(left.columns) & set(right.columns)) - set(on)
         for c in clash:
             right = right.withColumnRenamed(c, c + suffixes[i])
+            if left_suffix:
+                left = left.withColumnRenamed(c, c + left_suffix)
         left = left.join(right, on=on, how="left")
     return left.drop("__rn__")
 

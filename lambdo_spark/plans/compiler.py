@@ -147,6 +147,10 @@ _WELLKNOWN_FUNCTIONS = {
     "numpy.core.fromnumeric:sum": "sum",
     "numpy:amin": "min",
     "numpy:amax": "max",
+    "numpy.core.fromnumeric:amin": "min",
+    "numpy.core.fromnumeric:amax": "max",
+    "numpy:size": "size",
+    "lambdo.std:mean_weighted": "mean_weighted",
 }
 
 
@@ -356,6 +360,59 @@ class Workflow:
             td["path"] = model["path_or_buf"]
             td["source"] = inputs[0]
             td["single_file"] = True
+        elif fn == "lambdo.std:join":
+            # reference std.py:15-57 — left-join onto the first table;
+            # model.keys = [left_on, right_on_i...] (absent → join by
+            # row number), model.suffixes = [main, *rights]
+            td["operation"] = "join"
+            n_right = len(inputs) - 1
+            ks = model.get("keys") or []
+            if ks:
+                left_on, keys = ks[0], []
+                for i in range(n_right):
+                    r = ks[i + 1] if i + 1 < len(ks) else None
+                    if r is None:
+                        keys.append(None)
+                    elif r == left_on:
+                        keys.append([r] if isinstance(r, str) else list(r))
+                    else:
+                        # pd.merge(left_on=, right_on=) with DIFFERENT
+                        # names then drop of the right key (std.py:53)
+                        keys.append(
+                            {
+                                "left": [left_on] if isinstance(left_on, str) else list(left_on),
+                                "right": [r] if isinstance(r, str) else list(r),
+                            }
+                        )
+                td["keys"] = keys
+            sfx = model.get("suffixes") or []
+            if sfx:
+                td["left_suffix"] = sfx[0] or None
+                td["suffixes"] = [
+                    sfx[i + 1] if i + 1 < len(sfx) else f"_{i + 1}"
+                    for i in range(n_right)
+                ]
+        elif fn == "lambdo.std:aggregate":
+            # reference std.py:59-134 — group by model.keys, attach
+            # model.aggregations (each {function, inputs, id/outputs})
+            td["operation"] = "aggregate"
+            td["source"] = inputs[0]
+            ks = model["keys"]
+            td["keys"] = [ks] if isinstance(ks, str) else list(ks)
+            aggs = []
+            for a in model.get("aggregations", []):
+                a = dict(a)
+                if "outputs" in a and "id" not in a:
+                    a["id"] = a.pop("outputs")
+                _rewrite_wellknown_function(a)
+                if "kernel" not in a and a.get("function"):
+                    raise ValueError(
+                        f"lambdo.std:aggregate function {a['function']!r} "
+                        "has no registry kernel; use operation "
+                        "'aggregate' with a kernel name"
+                    )
+                aggs.append(a)
+            td["aggregations"] = aggs
         elif not inputs:
             td["operation"] = "function_source"
         elif len(inputs) == 1:
@@ -598,6 +655,7 @@ class Workflow:
                 [self.tables[t] for t in tdef["inputs"]],
                 tdef.get("keys", []),
                 tdef.get("suffixes"),
+                tdef.get("left_suffix"),
             )
         if op == "aggregate":
             return T.aggregate_table(

@@ -161,3 +161,110 @@ def test_table_aggregate_parity(spark):
     ref = ref.sort_index()
     assert got["n"].tolist() == ref["n"].tolist()
     assert got["sb"].tolist() == ref["sb"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Workflow-LEVEL parity on the reference's std-lib table functions: the
+# SAME JSON spec (function strings and all) runs through the reference
+# engine and through this compiler; only the data injection differs
+# (pandas frame vs the same frame as a Spark DataFrame).
+# ---------------------------------------------------------------------------
+
+from lambdo_spark.plans.compiler import Workflow as SparkWorkflow  # noqa: E402
+
+
+def run_ours(spark, wf_json: dict, inject: dict[str, pd.DataFrame]):
+    data = {k: spark.createDataFrame(v) for k, v in inject.items()}
+    return SparkWorkflow(
+        wf_json, spark, data, reference_compat=True
+    ).execute()
+
+
+def test_std_join_rownum_workflow_parity(spark):
+    """reference tests/test_table_join.py:15-57 — join by row number,
+    right side longer than the main table; suffix renaming."""
+    wf = {"tables": [
+        {"id": "Main"},
+        {"id": "Second", "operation": "noop"},
+        {"id": "Merged", "function": "lambdo.std:join",
+         "inputs": ["Main", "Second"], "model": {"suffixes": ["", "_J"]}},
+    ]}
+    inject = {
+        "Main": pd.DataFrame({"A": [0, 1, 2]}),
+        "Second": pd.DataFrame({"A": [3, 4, 5, 6, 7]}),
+    }
+    ref = run_reference(wf, inject)["Merged"]
+    got = run_ours(spark, wf, inject)["Merged"].toPandas()
+    assert got.columns.tolist() == ref.columns.tolist() == ["A", "A_J"]
+    assert sorted(got["A"]) == sorted(ref["A"])
+    assert sorted(got["A_J"]) == sorted(ref["A_J"])
+
+
+def test_std_join_keyed_workflow_parity(spark):
+    """reference tests/test_table_join.py:62-106 — keys with DIFFERING
+    names (left_on='A', right_on='B'); the right key column is dropped.
+
+    The reference engine itself cannot run this path under pandas >= 2
+    (std.py:54 ``df.drop(right_on, 1)`` — the positional axis argument
+    was removed), so parity is pinned to the reference's OWN unit-test
+    assertions (4 rows, columns exactly ['A', 'C']) plus the values
+    its documented pd.merge semantics produce."""
+    wf = {"tables": [
+        {"id": "Main"},
+        {"id": "Second", "operation": "noop"},
+        {"id": "Merged", "function": "lambdo.std:join",
+         "inputs": ["Main", "Second"], "model": {"keys": ["A", "B"]}},
+    ]}
+    inject = {
+        "Main": pd.DataFrame({"A": ["a", "a", "b", "b"]}),
+        "Second": pd.DataFrame({"B": ["a", "b", "c"], "C": [1, 2, 3]}),
+    }
+    with pytest.raises(TypeError):  # documents the reference's pandas-2 rot
+        run_reference(wf, inject)
+    got = (
+        run_ours(spark, wf, inject)["Merged"]
+        .toPandas().sort_values(["A", "C"]).reset_index(drop=True)
+    )
+    assert got.columns.tolist() == ["A", "C"]  # right key dropped
+    assert len(got) == 4
+    exp = pd.DataFrame({"A": ["a", "a", "b", "b"], "C": [1, 1, 2, 2]})
+    assert got.equals(exp)
+
+
+def test_std_aggregate_workflow_parity(spark):
+    """Same lambdo.std:aggregate JSON through both engines (the
+    operator-level variant above calls table_ops directly)."""
+    wf = {"tables": [
+        {"id": "S"},
+        {"id": "G", "function": "lambdo.std:aggregate", "inputs": ["S"],
+         "model": {"keys": ["K"], "aggregations": [
+             {"id": "n", "function": "numpy:size", "inputs": []},
+             {"id": "sb", "function": "numpy:sum", "inputs": ["B"]},
+         ]}},
+    ]}
+    inject = {"S": pd.DataFrame({"K": ["x", "x", "y"], "B": [1.0, 3.0, 6.0]})}
+    ref = run_reference(wf, inject)["G"].sort_index()
+    got = run_ours(spark, wf, inject)["G"].toPandas().sort_values("K")
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["sb"].tolist() == ref["sb"].tolist()
+
+
+def test_std_mean_weighted_roll_workflow_parity(spark):
+    """reference tests/test_roll.py:139-168 shape — rolling
+    lambdo.std:mean_weighted over [value, weight] columns."""
+    wf = {"tables": [
+        {"id": "S", "columns": [
+            {"id": "W2", "function": "lambdo.std:mean_weighted",
+             "window": "2", "inputs": ["P", "V"]},
+        ]},
+    ]}
+    inject = {"S": pd.DataFrame({
+        "P": [10.0, 20.0, 30.0, 40.0],
+        "V": [1.0, 3.0, 1.0, 1.0],
+    })}
+    ref = run_reference(wf, inject)["S"]
+    got = run_ours(spark, wf, inject)["S"].toPandas()
+    import numpy as np
+    assert np.allclose(
+        got["W2"].to_numpy(), ref["W2"].to_numpy(), equal_nan=True
+    )

@@ -679,6 +679,54 @@ def _q_realtime_cagg_1h(spark, sf_dir):
     )
 
 
+def _q_realtime_cagg_1d_cascade(spark, sf_dir):
+    """Hierarchical real-time read at the 1d tier (rollup/realtime.py
+    cascade=True): materialized 1d rows below the tier watermark, the
+    edge day rebuilt from the durable 1h partials store, and raw
+    scanned only above the STORE's watermark — so the raw tail is
+    bounded by the refresh cadence, not the coarse bucket width. The
+    oracle computes the full 1d rollup directly from raw: a hash match
+    proves the three-level stitch (1d tier ∪ 1h store ∪ raw tail) is
+    exact, including both partial edge buckets."""
+    import tempfile
+
+    from lambdo_spark.rollup.realtime import read_realtime_tier
+    from lambdo_spark.rollup.tiers import downsample, finalize, partials_from_table
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cut = lo + (hi - lo) // 2  # mid-range: partial hour AND partial day
+    head = ev.where(F.unix_timestamp("ts") < cut)
+    p1h = partials_from_table(
+        head, 3600, key_col="user_id", ts_col="ts",
+        cat_col="event_type", measure=_cents(),
+    )
+    root = tempfile.mkdtemp(prefix="lambdo_rt_casc_q_")
+    IcebergLayoutTable(os.path.join(root, "partials_1h")).write_tier(
+        with_part(p1h), input_snapshot="events@head"
+    )
+    IcebergLayoutTable(os.path.join(root, "tier_1d")).write_tier(
+        with_part(finalize(downsample(p1h, 86400))),
+        input_snapshot="events@head",
+    )
+    rt = read_realtime_tier(
+        spark, root, "1d", ev,
+        url_col="user_id", ts_col="ts", lang_col="event_type",
+        measure=_cents(), cascade=True,
+    )
+    return rt.select(
+        F.col("url").alias("user_id"),
+        "bucket_s",
+        "n_points",
+        F.round(F.col("mean_len") * F.col("n_points")).cast("long").alias("sum_c"),
+        F.unix_timestamp("min_ts").alias("min_ts_s"),
+        F.unix_timestamp("max_ts").alias("max_ts_s"),
+    )
+
+
 def _q_salted_agg(spark, sf_dir):
     """Skew-defeating two-phase salted aggregation (SURVEY §4.3 #2,
     rollup/salting.py): hot keys split across salt buckets then
@@ -1361,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_chunks": _q_compressed_chunks,
         "compressed_roundtrip": _q_compressed_roundtrip,
         "realtime_cagg_1h": _q_realtime_cagg_1h,
+        "realtime_cagg_1d_cascade": _q_realtime_cagg_1d_cascade,
         "salted_agg": _q_salted_agg,
         "merge_upsert": _q_merge_upsert,
         "merge_upsert_mor": _q_merge_upsert_mor,
@@ -1533,6 +1582,16 @@ def oracle_sql() -> dict[str, str]:
         "realtime_cagg_1h": """
             SELECT user_id,
                    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                   count(*) AS n_points,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_c,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS min_ts_s,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS max_ts_s
+            FROM events GROUP BY 1, 2
+        """,
+        "realtime_cagg_1d_cascade": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s,
                    count(*) AS n_points,
                    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                        AS sum_c,

@@ -47,7 +47,12 @@ from lambdo_spark.rollup.incremental import (
     _tier_table,
     read_finalized_tier,
 )
-from lambdo_spark.rollup.tiers import finalize, gap_fill, partials_from_table
+from lambdo_spark.rollup.tiers import (
+    downsample,
+    finalize,
+    gap_fill,
+    partials_from_table,
+)
 
 __all__ = ["materialization_watermark", "read_realtime_tier"]
 
@@ -71,7 +76,10 @@ def materialization_watermark(
     column) fall back to one Spark ``max(col)`` over the tier —
     requires ``spark``. Returns ``None`` for an empty/absent tier.
     """
-    t = _tier_table(root, tier_name)
+    return _table_watermark(_tier_table(root, tier_name), spark, col)
+
+
+def _table_watermark(t, spark: SparkSession | None, col: str) -> int | None:
     snap = t.current_snapshot()
     if snap is None:
         return None
@@ -92,7 +100,7 @@ def materialization_watermark(
     if need_scan:
         if spark is None:
             raise ValueError(
-                f"tier {tier_name} has files without {col} stats; pass "
+                f"table {t.root} has files without {col} stats; pass "
                 "spark= to allow the one-column max() fallback scan"
             )
         mx = t.read_tier(spark).agg(F.max(col).alias("mx")).first()["mx"]
@@ -114,6 +122,7 @@ def read_realtime_tier(
     gapfill: bool = False,
     prune: dict | None = None,
     watermark: int | None = None,
+    cascade: bool = False,
 ) -> DataFrame:
     """Finalized tier rows ∪ fresh rollup of the raw tail.
 
@@ -126,6 +135,20 @@ def read_realtime_tier(
     ``prune`` is forwarded to the materialized read (manifest-stat file
     skipping) and re-applied to the fresh side as a plain filter, so
     both halves see the same predicate.
+
+    ``cascade=True`` (coarse tiers only) is the hierarchical read
+    TimescaleDB's tiered caggs do: the fresh side's history comes from
+    the durable **1h partials store** instead of raw, and raw is
+    scanned only ABOVE the store's own watermark. Without it, a
+    realtime 30d read re-aggregates the whole un-materialized edge
+    bucket — up to 30 *days* of raw — from the pages table; with it,
+    the raw tail is bounded by the store's refresh cadence (≤ 1h for
+    an hourly refresh) no matter how wide the coarse bucket is. The
+    merge is exact: store rows are algebraic 1h partials, and
+    ``downsample`` re-aggregates them with the raw-derived partials in
+    one union. Requires a retention/refresh-built root (those always
+    persist the store); ``measure``/``lang_col`` must match what the
+    store was built from, same contract as ``refresh_from_pages``.
     """
     tsec = TIER_SECONDS[tier_name]
     w = (
@@ -135,6 +158,7 @@ def read_realtime_tier(
     )
     if measure is None:
         measure = F.length(F.col(text_col)).cast("long")
+    store_partials = None
     if w is None:
         # nothing materialized yet — the whole read is the fresh path
         mat, tail = None, raw
@@ -142,25 +166,44 @@ def read_realtime_tier(
         # The newest materialized bucket W may be PARTIAL — ingestion
         # rarely stops on a bucket boundary (a 1h-aligned cutoff leaves
         # the 1d/30d edge buckets half-full). Serve materialized rows
-        # strictly below W and re-aggregate W itself from raw along
-        # with the tail: one extra bucket of raw scan buys correctness
-        # at every tier regardless of where ingestion stopped.
+        # strictly below W and re-aggregate W itself along with the
+        # tail: one extra bucket of rebuild buys correctness at every
+        # tier regardless of where ingestion stopped.
         mat = read_finalized_tier(spark, root, tier_name, prune=prune).where(
             F.col("bucket_s") < F.lit(w)
         )
+        raw_from = w
+        if cascade and tsec > 3600:
+            from lambdo_spark.rollup.incremental import _partials_store
+
+            store = _partials_store(root)
+            w_p = _table_watermark(store, spark, "bucket_s")
+            if w_p is not None and w_p > w:
+                # 1h partials in [w, w_p) replace that span of raw; the
+                # store's own (possibly partial) newest hour w_p is
+                # re-aggregated from raw, same edge rule as the tier
+                store_partials = store.read_tier(
+                    spark, prune={"bucket_s": (w, w_p - 1)}
+                ).drop("part")
+                raw_from = w_p
         # direct column comparison (not unix_timestamp(col) >= ...) so
         # the predicate reaches the parquet scan as a pushed filter
-        tail = raw.where(F.col(ts_col) >= F.timestamp_seconds(F.lit(w)))
-    fresh = finalize(
-        partials_from_table(
-            tail,
-            tsec,
-            key_col=url_col,
-            ts_col=ts_col,
-            cat_col=lang_col,
-            measure=measure,
+        tail = raw.where(
+            F.col(ts_col) >= F.timestamp_seconds(F.lit(raw_from))
         )
+    fresh_partials = partials_from_table(
+        tail,
+        3600 if store_partials is not None else tsec,
+        key_col=url_col,
+        ts_col=ts_col,
+        cat_col=lang_col,
+        measure=measure,
     )
+    if store_partials is not None:
+        fresh_partials = downsample(
+            store_partials.unionByName(fresh_partials), tsec
+        )
+    fresh = finalize(fresh_partials)
     if prune:
         for c, bound in prune.items():
             if c not in fresh.columns:

@@ -124,6 +124,76 @@ def test_realtime_empty_tier_serves_all_from_raw(spark, tmp_path):
     assert got.equals(exp)
 
 
+@pytest.mark.parametrize("tier_name", ["1d", "30d"])
+def test_realtime_cascade_equals_full_recompute(spark, split_root, tier_name):
+    """Hierarchical read: fresh side served from the 1h partials store,
+    raw scanned only above the STORE's watermark — result identical to
+    the raw-tail path and to a full recompute."""
+    root, pages, cut = split_root
+    got = _canon(
+        read_realtime_tier(spark, root, tier_name, pages, cascade=True)
+    )
+    exp = _canon(rollup_all_tiers(pages)[tier_name])
+    assert got.equals(exp)
+
+
+def test_realtime_cascade_bounds_raw_scan_by_store_watermark(
+    spark, split_root, tmp_path
+):
+    """The raw scan's pushed lower bound must be the 1h store watermark
+    (hours above the 30d tier watermark), not the coarse bucket start —
+    the point of the cascade: raw tail cost is O(refresh cadence), not
+    O(coarse bucket width)."""
+    import datetime
+
+    from lambdo_spark.rollup.realtime import _table_watermark
+    from lambdo_spark.rollup.incremental import _partials_store
+
+    root, pages, cut = split_root
+    raw_path = str(tmp_path / "raw.parquet")
+    pages.write.parquet(raw_path)
+    raw = spark.read.parquet(raw_path)
+
+    w30 = materialization_watermark(root, "30d")
+    w_p = _table_watermark(_partials_store(root), None, "bucket_s")
+    assert w_p > w30  # the cascade genuinely narrows the raw span
+    plan = read_realtime_tier(
+        spark, root, "30d", raw, cascade=True
+    )._jdf.queryExecution().executedPlan().toString()
+    bound = datetime.datetime.fromtimestamp(
+        w_p, datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    assert any(
+        f"GreaterThanOrEqual(warc_ts,{bound}" in line
+        for line in plan.splitlines()
+        if "PushedFilters" in line
+    ), plan
+
+
+def test_realtime_cascade_without_store_falls_back_to_raw(spark, tmp_path):
+    """A tier-only root (no partials store) serves the cascade read via
+    the plain raw tail — same answer, no error."""
+    from pyspark.sql import functions as F
+
+    from lambdo_spark.rollup.tiers import finalize, partials_from_pages
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable, with_part
+
+    pages = generate_pages(spark, 2000, seed=37)
+    lo, hi = pages.agg(
+        F.min(F.unix_timestamp("warc_ts")), F.max(F.unix_timestamp("warc_ts"))
+    ).first()
+    cut = ((lo + (hi - lo) // 2) // 86400) * 86400
+    head = pages.where(F.unix_timestamp("warc_ts") < cut)
+    root = str(tmp_path / "tiers")
+    tier = finalize(partials_from_pages(head, 86400))
+    IcebergLayoutTable(os.path.join(root, "tier_1d")).write_tier(
+        with_part(tier), input_snapshot="pages@head"
+    )
+    got = _canon(read_realtime_tier(spark, root, "1d", pages, cascade=True))
+    exp = _canon(rollup_all_tiers(pages)["1d"])
+    assert got.equals(exp)
+
+
 def _fresh_split_root(spark, tmp_path, n=3000, seed=35):
     pages = generate_pages(spark, n, seed=seed)
     lo, hi = pages.agg(

@@ -59,20 +59,28 @@ def fetch_bytes(
     cols: set[str] | None = None,
     ts_col: str | None = None,
     ts_min: float | None = None,
+    ts_max: float | None = None,
 ) -> int:
     """Bytes a parquet reader fetches: projected column chunks of row
-    groups surviving the ``ts_col >= ts_min`` stats check (epoch s)."""
+    groups surviving the ``ts_min <= ts_col < ts_max`` stats check
+    (epoch seconds; timestamp or integer-epoch columns)."""
+
+    def _epoch(v):
+        return v.timestamp() if hasattr(v, "timestamp") else float(v)
+
     total = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             chunks = {g.column(c).path_in_schema: g.column(c) for c in range(g.num_columns)}
-            if ts_col is not None and ts_min is not None:
+            if ts_col is not None:
                 st = chunks[ts_col].statistics
                 if st is not None and st.has_min_max:
-                    if st.max.timestamp() < ts_min:
-                        continue  # row group entirely below the cut
+                    if ts_min is not None and _epoch(st.max) < ts_min:
+                        continue  # row group entirely below the range
+                    if ts_max is not None and _epoch(st.min) >= ts_max:
+                        continue  # entirely above
             for name, ch in chunks.items():
                 if cols is None or name.split(".")[0] in cols:
                     total += ch.total_compressed_size
@@ -163,6 +171,53 @@ def main() -> None:
             "raw_bytes_skipped_pct": round(100.0 * (1.0 - tail_bytes / full_bytes), 2),
             "reps": reps,
             "cpus": cpus,
+        }
+    )
+
+    # ---- 30d tier: plain realtime (raw tail from the 30d watermark —
+    # up to 30 DAYS of raw) vs cascade (1h store + raw above the
+    # STORE's watermark). Same answer, asserted; the bytes ratio is
+    # the point of the hierarchical read.
+    from lambdo_spark.rollup.realtime import _table_watermark
+    from lambdo_spark.rollup.incremental import _partials_store
+
+    plain_df = read_realtime_tier(spark, root, "30d", pages)
+    casc_df = read_realtime_tier(spark, root, "30d", pages, cascade=True)
+    plain_s, plain_n = best(plain_df.count)
+    casc_s, casc_n = best(casc_df.count)
+    assert plain_n == casc_n, (plain_n, casc_n)
+
+    w30 = materialization_watermark(root, "30d")
+    store = _partials_store(root)
+    w_p = _table_watermark(store, None, "bucket_s")
+    plain_raw = fetch_bytes(raw_files, need, ts_col="warc_ts", ts_min=float(w30))
+    casc_raw = fetch_bytes(raw_files, need, ts_col="warc_ts", ts_min=float(w_p))
+    store_files = [
+        f for f in glob.glob(os.path.join(root, "partials_1h", "data", "**", "*.parquet"), recursive=True)
+    ]
+    casc_store = fetch_bytes(
+        store_files, ts_col="bucket_s", ts_min=float(w30), ts_max=float(w_p)
+    )
+    tier30_files = [
+        f for f in glob.glob(os.path.join(root, "tier_30d", "data", "**", "*.parquet"), recursive=True)
+    ]
+    tier30 = fetch_bytes(tier30_files)
+    print(
+        {
+            "tier": "30d",
+            "edge_span_h": round((w_p - w30) / 3600.0, 1),
+            "plain_realtime": {
+                "wall_s": round(plain_s, 2),
+                "fetch_bytes": tier30 + plain_raw,
+                "raw_tail_bytes": plain_raw,
+            },
+            "cascade_realtime": {
+                "wall_s": round(casc_s, 2),
+                "fetch_bytes": tier30 + casc_store + casc_raw,
+                "store_bytes": casc_store,
+                "raw_tail_bytes": casc_raw,
+            },
+            "raw_tail_shrink": round(plain_raw / max(casc_raw, 1), 1),
         }
     )
 

@@ -605,6 +605,7 @@ class Workflow:
                             lang_col=rt.get("lang", "lang"),
                             gapfill=bool(tdef.get("gapfill", False)),
                             prune=prune,
+                            cascade=bool(rt.get("cascade", False)),
                         )
                     from lambdo_spark.rollup.incremental import read_finalized_tier
 

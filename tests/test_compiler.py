@@ -453,6 +453,23 @@ def test_tier_source_realtime(spark, tmp_path):
     e = exp.select("url", "bucket_s", "n_points").toPandas().sort_values(
         ["url", "bucket_s"]).reset_index(drop=True)
     assert g.equals(e)
+
+    # hierarchical form: cascade=true serves the 1d edge from the 1h
+    # partials store (retention roots persist it) — same full-recompute
+    # equality at the coarse tier
+    spec_c = {"tables": [
+        {"id": "raw", "operation": "data"},
+        {"id": "rt1d", "operation": "source", "format": "tier",
+         "path": root, "tier": "1d",
+         "realtime": {"raw": "raw", "cascade": True}},
+    ]}
+    got_c = compile_workflow(spec_c, spark, data={"raw": pages})["rt1d"]
+    exp_c = rollup_all_tiers(pages)["1d"]
+    gc = got_c.select("url", "bucket_s", "n_points").toPandas().sort_values(
+        ["url", "bucket_s"]).reset_index(drop=True)
+    ec = exp_c.select("url", "bucket_s", "n_points").toPandas().sort_values(
+        ["url", "bucket_s"]).reset_index(drop=True)
+    assert gc.equals(ec)
     pages.unpersist()
 
 

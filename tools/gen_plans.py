@@ -167,6 +167,23 @@ What to look for:
         )
     )
 
+    sections.append(
+        (
+            "cascading realtime read at a coarse tier (tier ∪ 1h store ∪ raw tail)",
+            """
+What to look for — THREE scans under the Union:
+- the 30d tier's parquet with `LessThan(bucket_s, W30)` pushed;
+- the 1h partials-store parquet with a `bucket_s` RANGE pushed
+  (`>= W30`, `< Wstore`) feeding the exact algebraic downsample —
+  no raw rows touched for that span;
+- the raw pages scan whose pushed `GreaterThanOrEqual(warc_ts, ...)`
+  bound is the STORE's watermark (hours above W30): the raw tail is
+  O(refresh cadence), not O(30-day bucket width).
+""",
+            fmt(read_realtime_tier(spark, rt_root, "30d", pages, cascade=True)),
+        )
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             """# PLANS — physical-plan evidence for the scale claims

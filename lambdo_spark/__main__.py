@@ -120,6 +120,40 @@ def _run_refresh(args) -> int:
         spark.stop()
 
 
+def _run_realtime(args) -> int:
+    from lambdo_spark.rollup.realtime import (
+        materialization_watermark,
+        read_realtime_tier,
+    )
+
+    spark = get_spark(app_name="lambdo_spark:realtime", master=args.master)
+    try:
+        raw = spark.read.parquet(args.raw)
+        w = materialization_watermark(args.root, args.tier, spark=spark)
+        df = read_realtime_tier(
+            spark, args.root, args.tier, raw,
+            gapfill=args.gapfill, cascade=args.cascade,
+        )
+        n = df.count()
+        mx = df.agg({"bucket_s": "max"}).first()[0]
+        print(
+            json.dumps(
+                {
+                    "tier": args.tier,
+                    "rows": n,
+                    "materialization_watermark": w,
+                    "max_bucket_s": mx,
+                    "cascade": args.cascade,
+                }
+            )
+        )
+        if args.show:
+            df.orderBy("bucket_s", "url").show(args.show, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
 def _run_stream_refresh(args) -> int:
     from lambdo_spark.streaming.continuous import continuous_refresh_writer
 
@@ -406,6 +440,7 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] not in (
         "retention", "refresh", "maintain", "stream-refresh", "plan",
         "schema", "delete", "merge", "branch", "update", "evolve-parts",
+        "realtime",
     ):
         argv = ["run", *argv]
 
@@ -453,6 +488,22 @@ def main(argv: list[str] | None = None) -> int:
                      help="processingTime trigger (e.g. '30 seconds'); "
                      "default: availableNow catch-up then exit")
     srf.add_argument("--master", default=None)
+
+    rtm = sub.add_parser(
+        "realtime",
+        help="real-time continuous-aggregate read: finalized tier ∪ "
+        "fresh rollup of the raw tail (--cascade: coarse-tier edge "
+        "from the 1h partials store, raw bounded by the store "
+        "watermark)",
+    )
+    rtm.add_argument("--root", required=True, help="tier root")
+    rtm.add_argument("--tier", default="1h", choices=["1h", "1d", "30d"])
+    rtm.add_argument("--raw", required=True, help="raw pages parquet path")
+    rtm.add_argument("--cascade", action="store_true")
+    rtm.add_argument("--gapfill", action="store_true")
+    rtm.add_argument("--show", type=int, default=0, metavar="N",
+                     help="print the last N buckets")
+    rtm.add_argument("--master", default=None)
 
     mnt = sub.add_parser(
         "maintain",
@@ -619,6 +670,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_refresh(args)
     if args.cmd == "stream-refresh":
         return _run_stream_refresh(args)
+    if args.cmd == "realtime":
+        return _run_realtime(args)
     if args.cmd == "maintain":
         return _run_maintain(args)
     return _run_retention(args)

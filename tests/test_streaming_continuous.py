@@ -134,3 +134,46 @@ def test_continuous_refresh_crash_resume(spark, tmp_path, monkeypatch):
     for tier_name, exp in rollup_all_tiers(d1).items():
         got = _canon(read_finalized_tier(spark, root, tier_name))
         assert got.equals(_canon(exp)), f"tier {tier_name} after resume"
+
+
+def test_stream_root_serves_cascade_realtime(spark, tmp_path):
+    """The lambda architecture end-to-end: a stream-maintained root
+    (store + tiers written by foreachBatch refresh) serves hierarchical
+    realtime reads — data landed AFTER the last micro-batch appears via
+    the raw tail above the store watermark, and the stitched coarse
+    tier equals a full recompute over everything."""
+    from pyspark.sql import functions as F
+
+    from lambdo_spark.rollup.incremental import _partials_store
+    from lambdo_spark.rollup.realtime import (
+        _table_watermark,
+        read_realtime_tier,
+    )
+
+    src, staging = str(tmp_path / "src"), str(tmp_path / "staging")
+    root, ckpt = str(tmp_path / "tiers"), str(tmp_path / "ckpt")
+    d1 = generate_pages(spark, 1500, seed=33)
+    _land(d1, staging, src, "d1")
+    stream = spark.readStream.schema(d1.schema).format("parquet").load(src)
+    q = (
+        continuous_refresh_writer(stream, root, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    # new data lands but is NOT streamed yet: only rows at/above the
+    # store watermark (below it, un-refreshed late rows are invisible
+    # by contract — same as TimescaleDB's materialization threshold)
+    w_p = _table_watermark(_partials_store(root), None, "bucket_s")
+    fresh = generate_pages(spark, 800, seed=34).where(
+        F.unix_timestamp("warc_ts") >= w_p
+    )
+    raw = d1.unionByName(fresh)
+    for tier_name in ("1d", "30d"):
+        got = _canon(
+            read_realtime_tier(spark, root, tier_name, raw, cascade=True)
+        )
+        exp = _canon(rollup_all_tiers(raw)[tier_name])
+        assert got.equals(exp), f"cascade realtime at {tier_name}"

@@ -1190,6 +1190,29 @@ def _q_dedup_tokenset(spark, sf_dir):
     return dedup_tokenset(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_keep_latest(spark, sf_dir):
+    """Keep-latest-crawl dedup (functions/dedup.py dedup_keep_latest):
+    the canonical Common-Crawl url-level dedup — one struct-max groupBy
+    (map-side combined, NO window) keeps each key's newest row, ties on
+    ts broken by event_id descending. Here: each user's latest event.
+    The oracle is ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ts DESC,
+    event_id DESC) = 1 — hash match proves the aggregate pick equals
+    the windowed semantics exactly."""
+    from lambdo_spark.functions.dedup import dedup_keep_latest
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", _cents().alias("cents")
+    )
+    kept = dedup_keep_latest(ev, ["user_id"], "ts", ["event_id"])
+    return kept.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        "event_type",
+        "cents",
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs, ORACLED: verification uses the
     3-token-shingle Jaccard the hash family itself approximates, so
@@ -1463,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_priorities": _q_except_priorities,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep_latest": _q_dedup_keep_latest,
         "dedup_tokenset": _q_dedup_tokenset,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2336,6 +2360,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "dedup_keep_latest": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   event_id,
+                   event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
         """,
         "dedup_tokenset": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

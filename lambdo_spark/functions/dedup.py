@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -397,4 +397,81 @@ def dedup_embedding_cosine(
         cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    n: int = 1,
+) -> DataFrame:
+    """Keep the newest ``n`` rows per key — the canonical Common-Crawl
+    url-level dedup (a url crawled in many dumps keeps its latest
+    capture; WARC revisit handling does exactly this).
+
+    ``n=1`` (the overwhelmingly common case) is ONE ``groupBy`` with a
+    lexicographic struct max — map-side combined, no window, no sort:
+    each task contributes one pre-reduced row per key, so a url crawled
+    10^6 times shuffles one row per task, not 10^6. ``n>1`` uses a
+    window partitioned BY KEY (never a global sort): rank within each
+    key's rows only.
+
+    Determinism: ties on ``ts_col`` break by ``tiebreak_cols``
+    descending (give a unique column, e.g. the doc id — with a unique
+    tiebreak the remaining payload never participates in the
+    comparison). Rows with NULL timestamps lose to any non-null row.
+
+    Output: the full original rows (all columns, original names), the
+    kept one(s) per key.
+
+    Rows with map-typed payload columns (Spark cannot compare maps, so
+    they cannot ride inside the struct max) fall back to the
+    keyed-window path automatically — same result, one sort per key
+    instead of the map-side-combined aggregate.
+    """
+    from pyspark.sql.types import MapType
+
+    payload = [
+        c for c in df.columns
+        if c not in set(key_cols) | {ts_col} | set(tiebreak_cols)
+    ]
+
+    def _unorderable(dt) -> bool:  # maps (incl. nested) can't be compared
+        if dt is None:
+            return False
+        if isinstance(dt, MapType):
+            return True
+        if any(_unorderable(f.dataType) for f in getattr(dt, "fields", [])):
+            return True
+        return _unorderable(getattr(dt, "elementType", None))
+
+    has_map = any(
+        _unorderable(f.dataType) for f in df.schema.fields if f.name in payload
+    )
+    if n == 1 and not has_map:
+        picked = df.groupBy(*key_cols).agg(
+            F.max(
+                F.struct(
+                    F.col(ts_col),
+                    *[F.col(c) for c in tiebreak_cols],
+                    *[F.col(c) for c in payload],
+                )
+            ).alias("_pick")
+        )
+        return picked.select(
+            *key_cols,
+            *[F.col(f"_pick.{c}").alias(c) for c in (ts_col, *tiebreak_cols, *payload)],
+        ).select(*df.columns)  # original column order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(),
+        *[F.col(c).desc() for c in tiebreak_cols],
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
     )

@@ -144,3 +144,83 @@ def test_minhash_shingle_verify_matches_exact(spark):
     )
     exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in exact_df.collect()}
     assert got == exact and (1, 2, 1.0) in got
+
+
+def test_dedup_keep_latest(spark):
+    """n=1 struct-max pick == windowed n=1 == pandas idxmax; ties break
+    by the tiebreak column descending; n=2 keeps the two newest."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from lambdo_spark.functions.dedup import dedup_keep_latest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 1, "a"),
+        ("u1", t0 + dt.timedelta(hours=2), 2, "b"),   # latest for u1
+        ("u1", t0 + dt.timedelta(hours=1), 3, "c"),
+        ("u2", t0, 4, "d"),
+        ("u2", t0, 5, "e"),                            # ts tie → id 5 wins
+        ("u3", t0 + dt.timedelta(days=1), 6, "f"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts timestamp, doc_id long, text string"
+    )
+    got = (
+        dedup_keep_latest(df, ["url"], "ts", ["doc_id"])
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [2, 5, 6]
+    assert got.columns.tolist() == ["url", "ts", "doc_id", "text"]
+
+    # windowed path (n>1) agrees on n=1 semantics via its top row
+    got2 = (
+        dedup_keep_latest(df, ["url"], "ts", ["doc_id"], n=2)
+        .toPandas().sort_values(["url", "doc_id"]).reset_index(drop=True)
+    )
+    assert got2["doc_id"].tolist() == [2, 3, 4, 5, 6]
+
+    # pandas oracle for the n=1 pick
+    pdf = pd.DataFrame(rows, columns=["url", "ts", "doc_id", "text"])
+    exp = (
+        pdf.sort_values(["ts", "doc_id"])
+        .groupby("url").tail(1)
+        .sort_values("url")["doc_id"].tolist()
+    )
+    assert got["doc_id"].tolist() == exp
+
+
+def test_dedup_keep_latest_plan_is_one_aggregate(spark):
+    """The n=1 pick must plan as hash aggregate with a map-side partial
+    (one Exchange) — no Window, no global sort."""
+    from lambdo_spark.functions.dedup import dedup_keep_latest
+
+    df = spark.range(0, 1000).selectExpr(
+        "concat('u', id % 37) AS url",
+        "timestamp_seconds(1704067200 + id * 60) AS ts",
+        "id AS doc_id",
+        "repeat('x', 10) AS text",
+    )
+    plan = (
+        dedup_keep_latest(df, ["url"], "ts", ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan  # map-side combine on the struct
+
+
+def test_dedup_keep_latest_map_payload_falls_back(spark):
+    """Map-typed payload can't ride in a struct max (maps aren't
+    orderable) — the op must fall back to the keyed window and still
+    return whole rows."""
+    from lambdo_spark.functions.dedup import dedup_keep_latest
+
+    df = spark.createDataFrame(
+        [("u1", 1, 10, {"a": 1}), ("u1", 2, 20, {"b": 2})],
+        "url string, ts long, doc_id long, props map<string,int>",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    got = dedup_keep_latest(df, ["url"], "ts", ["doc_id"]).toPandas()
+    assert got["doc_id"].tolist() == [20]
+    assert got["props"].iloc[0] == {"b": 2}

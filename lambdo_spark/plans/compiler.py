@@ -207,6 +207,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "m4", "time_weighted", "counter", "value_hist", "lttb",
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
+        "keep_latest",
     ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except", "sql"):
@@ -863,6 +864,16 @@ class Workflow:
                 id_col=tdef.get("id_col", "doc_id"),
                 text_col=tdef.get("text", "text"),
                 keep_rows=True,  # table op = surviving rows, all columns
+            )
+        if op == "keep_latest":
+            from lambdo_spark.functions.dedup import dedup_keep_latest
+
+            return dedup_keep_latest(
+                self.tables[tdef["source"]],
+                tdef["keys"],
+                tdef["ts"],
+                tdef.get("tiebreak", []),
+                n=int(tdef.get("n", 1)),
             )
         if op == "dedup_minhash":
             from lambdo_spark.functions.dedup import dedup_minhash_lsh

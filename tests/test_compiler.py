@@ -491,3 +491,22 @@ def test_quality_filter_op(spark):
     assert [r["doc_id"] for r in out["kept"].collect()] == [1]
     flags = {r["doc_id"]: r["keep"] for r in out["flagged"].collect()}
     assert flags == {1: True, 2: False, 3: False}
+
+
+def test_keep_latest_op(spark):
+    """operation:"keep_latest" — newest row per key from the workflow
+    language (struct-max plan, no window)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u1", t0, 1), ("u1", t0 + dt.timedelta(hours=1), 2), ("u2", t0, 3)],
+        "url string, ts timestamp, doc_id long",
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "latest", "operation": "keep_latest", "source": "docs",
+         "keys": ["url"], "ts": "ts", "tiebreak": ["doc_id"]},
+    ]}
+    got = compile_workflow(spec, spark, data={"docs": df})["latest"]
+    assert sorted(r["doc_id"] for r in got.collect()) == [2, 3]

@@ -128,6 +128,8 @@ def _run_realtime(args) -> int:
 
     spark = get_spark(app_name="lambdo_spark:realtime", master=args.master)
     try:
+        from pyspark.sql import functions as F
+
         raw = spark.read.parquet(args.raw)
         w = materialization_watermark(args.root, args.tier, spark=spark)
         df = read_realtime_tier(
@@ -148,7 +150,7 @@ def _run_realtime(args) -> int:
             )
         )
         if args.show:
-            df.orderBy("bucket_s", "url").show(args.show, truncate=False)
+            df.orderBy(F.col("bucket_s").desc(), "url").show(args.show, truncate=False)
         return 0
     finally:
         spark.stop()
@@ -499,7 +501,14 @@ def main(argv: list[str] | None = None) -> int:
     rtm.add_argument("--root", required=True, help="tier root")
     rtm.add_argument("--tier", default="1h", choices=["1h", "1d", "30d"])
     rtm.add_argument("--raw", required=True, help="raw pages parquet path")
-    rtm.add_argument("--cascade", action="store_true")
+    rtm.add_argument(
+        "--cascade", action="store_true",
+        help="serve the coarse-tier edge from the 1h partials store "
+        "instead of raw. Exact for rows arriving at/above the STORE "
+        "watermark; late rows with event ts in [tier watermark, store "
+        "watermark) surface only after the next partials refresh (the "
+        "non-cascade read includes them immediately)",
+    )
     rtm.add_argument("--gapfill", action="store_true")
     rtm.add_argument("--show", type=int, default=0, metavar="N",
                      help="print the last N buckets")

@@ -174,14 +174,29 @@ def dedup_minhash_lsh(
     bands: int = 16,
     bucket_cap: int = 1000,
     verify: str = "token",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Pipeline: signature → band keys → explode → self-join per band
-    bucket → dedup candidates → verify with the exact JVM Jaccard.
-    ``bucket_cap`` drops degenerate buckets (boilerplate floods) —
-    logged-at-scale trade, exact for normal corpora.
+    Pipeline: signature → band keys → explode (ids only) → self-join
+    per band bucket → dedup candidate id pairs → join the text back
+    ONCE per unique pair → verify with the exact JVM Jaccard.
+
+    Shuffle budget: the band exchange carries only ``(id, band_ix,
+    band_key)`` — fixed-width rows, NOT the document text. Text enters
+    the plan exactly twice, joined by id onto the already-deduplicated
+    candidate pairs (candidates ≈ collisions, orders of magnitude
+    smaller than docs×bands). At 100 TB the band shuffle is therefore
+    ~24 bytes × docs × bands, not corpus-bytes × bands.
+
+    ``bucket_cap`` drops degenerate buckets (boilerplate floods —
+    near-identical docs that would explode the quadratic self-join).
+    The drop is never silent: pass ``metrics={}`` to have the call
+    eagerly count the capped buckets/doc-slots into
+    ``metrics["dropped_buckets"]`` / ``metrics["dropped_doc_slots"]``
+    (one cheap aggregate over the bucket-size table), and any nonzero
+    drop is also logged at WARNING level.
 
     ``verify``: "token" (distinct-token-set Jaccard — loose, catches
     reorderings among candidates) or "shingle" (3-token-shingle
@@ -191,29 +206,53 @@ def dedup_minhash_lsh(
     oracled driver row).
     """
     bud = minhash_bands_udf(num_hashes, bands)
-    sigs = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("txt"), bud(F.col(text_col)).alias("bnd")
-    )
-    exploded = sigs.select(
-        "id", "txt", F.posexplode("bnd").alias("band_ix", "band_key")
-    )
+    # ids + band keys only — text does NOT ride the band shuffle
+    exploded = docs.select(
+        F.col(id_col).alias("id"), bud(F.col(text_col)).alias("bnd")
+    ).select("id", F.posexplode("bnd").alias("band_ix", "band_key"))
     # cap pathological buckets before the quadratic join
     sizes = exploded.groupBy("band_ix", "band_key").count()
+    if metrics is not None:
+        sizes = sizes.persist()
+        row = (
+            sizes.where(F.col("count") > bucket_cap)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("d"),
+            )
+            .first()
+        )
+        metrics["dropped_buckets"] = int(row["b"])
+        metrics["dropped_doc_slots"] = int(row["d"])
+        if metrics["dropped_buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dedup_minhash_lsh: bucket_cap=%d dropped %d flood bucket(s) "
+                "covering %d doc-slots — near-dup pairs inside those buckets "
+                "are NOT reported (recall trade; raise bucket_cap or handle "
+                "boilerplate upstream)",
+                bucket_cap, metrics["dropped_buckets"], metrics["dropped_doc_slots"],
+            )
     exploded = exploded.join(
         sizes.where(F.col("count") <= bucket_cap).drop("count"),
         ["band_ix", "band_key"],
     )
-    a = exploded.select(
-        "band_ix", "band_key", F.col("id").alias("id_a"), F.col("txt").alias("txt_a")
-    )
-    b = exploded.select(
-        "band_ix", "band_key", F.col("id").alias("id_b"), F.col("txt").alias("txt_b")
-    )
+    a = exploded.select("band_ix", "band_key", F.col("id").alias("id_a"))
+    b = exploded.select("band_ix", "band_key", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["band_ix", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "txt_a", "txt_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # text joins in ONCE per unique candidate pair, after dedup
+    txt = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    cand = (
+        cand.join(txt, cand.id_a == txt._tid)
+        .withColumnRenamed("_txt", "txt_a").drop("_tid")
+        .join(txt, cand.id_b == txt._tid)
+        .withColumnRenamed("_txt", "txt_b").drop("_tid")
     )
     jac = shingle_jaccard if verify == "shingle" else ngram_jaccard
     return (
@@ -363,17 +402,32 @@ def dedup_embedding_cosine(
       p = 1 - arccos(c)/π, e.g. recall > 1 - 1e-7 at c=0.99 with the
       defaults). This is the 100 TB path: candidate volume ~
       collisions, never O(N²).
-    * threshold < 0.7: exact all-pairs crossJoin — at low thresholds
+    * threshold < 0.7: there is no implicit path — the call RAISES
+      unless ``exact=True`` is passed explicitly. At low thresholds
       the OUTPUT is itself ~quadratic (random web-embedding pairs sit
-      at 0.3-0.6 cosine), so no sub-quadratic candidate scheme exists;
-      the exact form doubles as the small-scale oracle baseline.
+      at 0.3-0.6 cosine), so no sub-quadratic candidate scheme exists
+      and the only faithful computation is an all-pairs crossJoin;
+      that is a deliberate O(N²) a user must opt into, never a default
+      a corpus-scale run stumbles into. (If approximate recall is
+      acceptable at a low threshold, run the LSH path explicitly with
+      ``exact=False`` and more ``tables`` — multi-probe-style recall —
+      accepting missed pairs.)
 
-    ``exact=True``/``False`` forces either path.
+    ``exact=True``/``False`` forces either path at any threshold.
     """
     from lambdo_spark.functions.similarity import cosine_expr, lsh_bucket_udf
 
     if exact is None:
-        exact = threshold < 0.7
+        if threshold < 0.7:
+            raise ValueError(
+                f"dedup_embedding_cosine(threshold={threshold}): below 0.7 the "
+                "random-hyperplane LSH collision rate is too weak to bucket on "
+                "and the true pair set is ~O(N^2). Pass exact=True to opt into "
+                "the all-pairs crossJoin (small corpora / oracle baselines "
+                "only), or exact=False with more `tables` to accept "
+                "approximate recall from the bucketed path."
+            )
+        exact = False
     if exact:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -421,7 +475,16 @@ def dedup_keep_latest(
     Determinism: ties on ``ts_col`` break by ``tiebreak_cols``
     descending (give a unique column, e.g. the doc id — with a unique
     tiebreak the remaining payload never participates in the
-    comparison). Rows with NULL timestamps lose to any non-null row.
+    comparison). Residual ties (no unique tiebreak) break
+    lexicographically on the payload columns, descending, in BOTH
+    paths — the struct-max compares payload fields naturally, and the
+    window path appends the orderable payload columns to its orderBy —
+    so the two paths agree on tied rows. The one exception: rows whose
+    payload includes map-typed columns (Spark cannot order maps) fall
+    back to the window WITHOUT those columns in the orderBy, so a tie
+    that is only resolved by a map value picks an arbitrary-but-single
+    row; supply a unique ``tiebreak_cols`` there for full determinism.
+    Rows with NULL timestamps lose to any non-null row.
 
     Output: the full original rows (all columns, original names), the
     kept one(s) per key.
@@ -466,9 +529,14 @@ def dedup_keep_latest(
         ).select(*df.columns)  # original column order
     from pyspark.sql import Window
 
+    orderable_payload = [
+        c for c in payload
+        if not _unorderable(df.schema[c].dataType)
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).desc(),
         *[F.col(c).desc() for c in tiebreak_cols],
+        *[F.col(c).desc() for c in orderable_payload],
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

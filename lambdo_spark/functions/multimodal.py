@@ -2,11 +2,14 @@
 
 The Spark-side machinery — schema, partition-preserving mapInPandas,
 Arrow batch shapes, typed metadata — is real and tested against the
-pages table's ``html`` binary column. The *decode* step is stubbed
-(no image/audio libs in this container): ``decode_image`` raises
-NotImplementedError; ``fake_features`` is the deterministic stand-in
-the tests and benchmarks run, with exactly the batch shape a real
-decoder kernel would have (binary in → fixed-dim float vector out).
+pages table's ``html`` binary column. The *decode* step is
+import-guarded: ``decode_image`` decodes binary PPM (P6) in pure
+numpy everywhere, uses Pillow for PNG/JPEG/etc. when importable, and
+otherwise raises a loud NotImplementedError (never a silent fake) so
+a misconfigured production deploy fails visibly. ``fake_features``
+remains the deterministic stand-in the oracled driver rows run — it
+exercises exactly the batch shape a real decoder kernel has (binary
+in → fixed-dim float vector out) without depending on codec bits.
 """
 
 from __future__ import annotations
@@ -26,16 +29,82 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 8
 
+_PIL_IMAGE = None  # memoized import probe: None=unchecked, False=absent
+
+
+def _pil():
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = False
+    return _PIL_IMAGE
+
+
+def _decode_ppm_p6(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → H×W×3 uint8, pure numpy (no image libs).
+    Header: 'P6' <ws> width <ws> height <ws> maxval <single ws> raster;
+    '#' comments allowed between tokens."""
+    toks, i, n = [], 2, len(data)  # skip the 'P6' magic
+    while len(toks) < 3 and i < n:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        toks.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported by the numpy fallback")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """Real decoder slot — wire Pillow/opencv here on a full cluster.
+    """Decode an image binary to an H×W×3 uint8 RGB array.
 
-    Kept as an explicit NotImplementedError (not a silent fake) so a
-    misconfigured production deploy fails loudly.
+    Binary PPM (P6) decodes in pure numpy everywhere; every other
+    format needs Pillow (import-guarded — wire opencv here instead if
+    that's the cluster's lib). Raises NotImplementedError, loudly, if
+    the format needs a decoder this environment doesn't have.
     """
+    if data[:2] == b"P6":
+        return _decode_ppm_p6(data)
+    img_mod = _pil()
+    if img_mod:
+        import io  # noqa: PLC0415
+
+        with img_mod.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
     raise NotImplementedError(
-        "image decoding requires Pillow/opencv, not present in this sandbox; "
-        "use fake_features for plumbing tests"
+        "decoding this image format requires Pillow (not importable here); "
+        "binary PPM (P6) works without it, and fake_features covers "
+        "plumbing tests"
+    )
+
+
+def real_features(data: bytes) -> np.ndarray:
+    """Feature vector from a REAL decode: per-channel mean/std (RGB)
+    plus log-dims — 8 float32s, same shape contract as fake_features."""
+    a = decode_image(data).astype(np.float32)
+    h, w = a.shape[0], a.shape[1]
+    return np.array(
+        [
+            *(a[..., c].mean() / 255.0 for c in range(3)),
+            *(a[..., c].std() / 255.0 for c in range(3)),
+            np.log1p(np.float32(w)),
+            np.log1p(np.float32(h)),
+        ],
+        dtype=np.float32,
     )
 
 
@@ -110,13 +179,18 @@ def resize_image(
     target_w: int = 64,
     target_h: int = 64,
     kind: str = "image",
+    decoder: str = "fake",
 ) -> DataFrame:
     """Resize plumbing: binary in → binary out with typed size
-    metadata, batched over Arrow. The decode+resample step is the
-    documented stub (`decode_image`); the deterministic stand-in emits
-    target_w·target_h bytes derived from the input's sha256 stream so
-    output size, schema, and partitioning behave exactly like a real
-    resizer (Pillow/opencv drops into the marked line)."""
+    metadata, batched over Arrow.
+
+    ``decoder="fake"`` (default): deterministic sha256-stream bytes of
+    exactly target_w·target_h — output size, schema, and partitioning
+    behave like a real resizer without codec dependencies.
+    ``decoder="real"``: :func:`decode_image` + numpy nearest-neighbor
+    resample → raw RGB bytes (target_w·target_h·3), deterministic
+    across environments (no resampling-library variance)."""
+    use_real = decoder == "real"
     out_len = target_w * target_h
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -125,8 +199,13 @@ def resize_image(
             resized = []
             for blob in blobs:
                 data = bytes(blob) if blob is not None else b""
-                # REAL DECODER SLOT: decode_image(data) -> resample ->
-                # tobytes(). Stand-in: sha256-seeded deterministic bytes.
+                if use_real:
+                    a = decode_image(data)
+                    h, w = a.shape[0], a.shape[1]
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    resized.append(a[yi][:, xi].tobytes())
+                    continue
                 stream = bytearray()
                 seed = hashlib.sha256(data).digest()
                 while len(stream) < out_len:
@@ -153,26 +232,49 @@ def extract_media_features(
     binary_col: str,
     kind: str = "image",
     batch_hint: int = 1024,
+    decoder: str = "fake",
 ) -> DataFrame:
     """mapInPandas feature-extraction stage over a binary column.
 
     Arrow delivers the binary cells in batches; the kernel processes a
-    batch at a time and emits (id, kind, n_bytes, width/height
-    placeholders, features). Swap ``fake_features`` for a real decoder
-    without touching the Spark plumbing.
+    batch at a time and emits (id, kind, n_bytes, width/height,
+    features).
+
+    ``decoder="fake"`` (default): deterministic sha256-derived
+    features, width/height null — the oracled plumbing path.
+    ``decoder="real"``: decode each binary with :func:`decode_image`
+    (pure-numpy PPM anywhere; Pillow formats where it's importable)
+    and emit real dimensions + channel-statistics features. Fails
+    loudly per NotImplementedError if the format has no decoder here.
     """
+    use_real = decoder == "real"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             blobs = b[binary_col]
-            feats = [fake_features(bytes(x) if x is not None else b"") for x in blobs]
+            if use_real:
+                feats, ws, hs = [], [], []
+                for x in blobs:
+                    data = bytes(x) if x is not None else b""
+                    arr = decode_image(data)
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    feats.append(real_features(data))
+                width = pd.array(ws, dtype="Int32")
+                height = pd.array(hs, dtype="Int32")
+            else:
+                feats = [
+                    fake_features(bytes(x) if x is not None else b"") for x in blobs
+                ]
+                width = pd.array([None] * len(b), dtype="Int32")
+                height = pd.array([None] * len(b), dtype="Int32")
             yield pd.DataFrame(
                 {
                     "media_id": b[id_col].astype(str),
                     "kind": kind,
                     "n_bytes": blobs.map(lambda x: len(x) if x is not None else 0),
-                    "width": pd.array([None] * len(b), dtype="Int32"),
-                    "height": pd.array([None] * len(b), dtype="Int32"),
+                    "width": width,
+                    "height": height,
                     "features": feats,
                 }
             )

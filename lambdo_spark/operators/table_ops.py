@@ -145,9 +145,15 @@ def join_tables(
             on = ["__rn__"]
         elif isinstance(key, dict):
             # differing key names (reference std.py left_on/right_on +
-            # drop of the right key): rename right keys to left names
+            # drop of the right key): rename right keys to left names.
+            # If the right table ALREADY has a non-key column named lc,
+            # suffix-rename it first so the key rename can't produce a
+            # duplicate/ambiguous column (pd.merge keeps both via
+            # suffixes — same outcome here, via the clash suffix).
             for lc, rc in zip(key["left"], key["right"]):
                 if rc != lc:
+                    if lc in right.columns:
+                        right = right.withColumnRenamed(lc, lc + suffixes[i])
                     right = right.withColumnRenamed(rc, lc)
             on = list(key["left"])
         else:

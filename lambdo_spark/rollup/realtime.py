@@ -144,9 +144,16 @@ def read_realtime_tier(
     bucket — up to 30 *days* of raw — from the pages table; with it,
     the raw tail is bounded by the store's refresh cadence (≤ 1h for
     an hourly refresh) no matter how wide the coarse bucket is. The
-    merge is exact: store rows are algebraic 1h partials, and
+    merge is exact **for in-order arrivals** (event ts at/above the
+    store watermark): store rows are algebraic 1h partials, and
     ``downsample`` re-aggregates them with the raw-derived partials in
-    one union. Requires a retention/refresh-built root (those always
+    one union. Late-data caveat: cascade widens the blind window for
+    stragglers — a raw row with event ts in [tier watermark, store
+    watermark) is not yet in the store and is no longer scanned from
+    raw, so it surfaces only after the next partials refresh, whereas
+    the non-cascade read (which scans raw from the tier watermark)
+    includes it immediately. Requires a retention/refresh-built root
+    (those always
     persist the store); ``measure``/``lang_col`` must match what the
     store was built from, same contract as ``refresh_from_pages``.
     """

@@ -224,3 +224,71 @@ def test_dedup_keep_latest_map_payload_falls_back(spark):
     got = dedup_keep_latest(df, ["url"], "ts", ["doc_id"]).toPandas()
     assert got["doc_id"].tolist() == [20]
     assert got["props"].iloc[0] == {"b": 2}
+
+
+def test_minhash_band_shuffle_carries_no_text(spark):
+    """Scale guard: the LSH band explode/exchange must ship only
+    (id, band_ix, band_key) — document text joins in once per unique
+    candidate pair AFTER dedup, never ×bands through the shuffle."""
+    plan = (
+        dedup_minhash_lsh(_docs(spark), threshold=0.8)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "posexplode" in line.lower() or "Generate" in line:
+            assert "text#" not in line and "txt" not in line, line
+
+
+def test_minhash_bucket_cap_reports_drops(spark):
+    """No silent caps: a flood bucket dropped by bucket_cap must be
+    counted into the caller's metrics dict (and an un-capped run
+    reports zero)."""
+    # 30 identical docs → every band bucket holds all 30 copies
+    flood = spark.createDataFrame(
+        [(i, BASE) for i in range(30)], "doc_id long, text string"
+    )
+    metrics = {}
+    out = dedup_minhash_lsh(flood, threshold=0.8, bucket_cap=10, metrics=metrics)
+    assert out.count() == 0                      # every bucket was capped
+    assert metrics["dropped_buckets"] > 0
+    assert metrics["dropped_doc_slots"] >= 30    # ≥ docs × 1 band
+
+    ok = {}
+    got = dedup_minhash_lsh(_docs(spark), threshold=0.8, metrics=ok)
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} >= {(1, 2), (1, 3)}
+    assert ok == {"dropped_buckets": 0, "dropped_doc_slots": 0}
+
+
+def test_embedding_low_threshold_requires_explicit_exact(spark):
+    """Below cosine 0.7 the implicit path must refuse (the true pair
+    set is ~O(N²)); exact=True opts in, exact=False runs bucketed."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exact=True"):
+        dedup_embedding_cosine(emb, threshold=0.4)
+    out = dedup_embedding_cosine(emb, threshold=0.4, exact=True).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in out}
+
+
+def test_keep_latest_window_path_breaks_ties_on_payload(spark):
+    """ADVICE fix: with NO unique tiebreak, the windowed path must
+    break residual ties lexicographically on payload (desc) — same
+    rule as the struct-max path, so both paths return the same row."""
+    from lambdo_spark.functions.dedup import dedup_keep_latest
+
+    df = spark.createDataFrame(
+        [("u1", 100, "aaa"), ("u1", 100, "zzz"), ("u1", 99, "mmm")],
+        "url string, ts long, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    structmax = dedup_keep_latest(df, ["url"], "ts").toPandas()
+    # n=1 always takes struct-max, so exercise the window path via n=2
+    # and check its top-ranked row matches the struct-max pick
+    top2 = (
+        dedup_keep_latest(df, ["url"], "ts", n=2)
+        .orderBy(F.col("ts").desc(), F.col("text").desc())
+        .toPandas()
+    )
+    assert structmax["text"].tolist() == ["zzz"]
+    assert top2["text"].tolist()[0] == "zzz"

@@ -236,3 +236,23 @@ def test_column_filter(spark):
     df = spark.createDataFrame([(1, 2, 3)], "A long, B long, C long")
     assert T.column_filter(df, keep=["A", "C"]).columns == ["A", "C"]
     assert T.column_filter(df, exclude=["B"]).columns == ["A", "C"]
+
+
+def test_join_right_key_rename_collision(spark):
+    """ADVICE fix: left_on/right_on join where the RIGHT table already
+    has a non-key column named like the LEFT key — the pre-existing
+    column must be suffix-renamed (pd.merge suffixes behavior), not
+    collide with the renamed key."""
+    from lambdo_spark.operators.table_ops import join_tables
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    # right joins on rk, but ALSO carries an unrelated column named k
+    right = spark.createDataFrame(
+        [(1, 100, "x"), (2, 200, "y")], "rk long, k long, rv string"
+    )
+    out = join_tables(
+        [left, right], keys=[{"left": ["k"], "right": ["rk"]}],
+        suffixes=["_r"],
+    )
+    got = {tuple(r) for r in out.select("k", "lv", "k_r", "rv").collect()}
+    assert got == {(1, "a", 100, "x"), (2, "b", 200, "y")}

@@ -1080,17 +1080,26 @@ class IcebergLayoutTable:
             )
             df = df.join(dd, ["_file", "_pos"], "left_anti")
         if eqs:
-            # one anti-join per distinct key set; within it, all delete
-            # files union with their per-descriptor sequence numbers
-            by_keys: dict[tuple, list] = {}
+            # one anti-join per distinct key set; within it, delete
+            # files group by their commit SEQUENCE — all of one
+            # commit's per-partition delete files share a seq, so they
+            # read as ONE multi-path scan with a literal seq column.
+            # (Reading per-FILE planned O(partitions x stacked merges)
+            # separate scans: a stacked-DML table paid seconds of plan
+            # build before the first task; grouped, it's O(merges)
+            # scans — 3 stacked merges = 3 scans however many
+            # partitions each touched.)
+            by_keys: dict[tuple, dict[int, list[str]]] = {}
             for p, d in eqs:
-                by_keys.setdefault(tuple(d["keys"]), []).append((p, d))
-            for keys, group in by_keys.items():
+                by_keys.setdefault(tuple(d["keys"]), {}).setdefault(
+                    int(d["seq"]), []
+                ).append(p)
+            for keys, by_seq in by_keys.items():
                 dd = None
-                for p, d in group:
-                    one = spark.read.parquet(p).select(
+                for seq, paths in sorted(by_seq.items()):
+                    one = spark.read.parquet(*paths).select(
                         *[F.col(k).alias(f"__dk_{k}") for k in keys],
-                        F.lit(int(d["seq"])).alias("__dseq"),
+                        F.lit(seq).alias("__dseq"),
                     )
                     dd = one if dd is None else dd.unionByName(one)
                 cond = F.col("snapv") < F.col("__dseq")

@@ -1072,9 +1072,16 @@ class IcebergLayoutTable:
 
         pos = _live([d for d in descs if d.get("kind", "pos") == "pos"])
         eqs = _live([d for d in descs if d.get("kind") == "eq"])
+        # explicit read schemas: delete sets on a stacked-DML table are
+        # MANY small files (hundreds per merge wave); footer inference
+        # over them dominated plan-build time. Columns absent from a
+        # file read as null, extras are ignored, so naming only the
+        # columns the anti-join consumes is robust across versions.
+        dtypes = dict(df.dtypes)
         if pos:
             dd = (
-                spark.read.parquet(*[p for p, _ in pos])
+                spark.read.schema("_file string, _pos bigint")
+                .parquet(*[p for p, _ in pos])
                 .select("_file", "_pos")
                 .distinct()
             )
@@ -1095,9 +1102,13 @@ class IcebergLayoutTable:
                     int(d["seq"]), []
                 ).append(p)
             for keys, by_seq in by_keys.items():
+                # key types come from the data side being filtered —
+                # always current-schema (monotone widening ⇒ an older,
+                # narrower delete file upcasts at scan)
+                ddl = ", ".join(f"`{k}` {dtypes[k]}" for k in keys)
                 dd = None
                 for seq, paths in sorted(by_seq.items()):
-                    one = spark.read.parquet(*paths).select(
+                    one = spark.read.schema(ddl).parquet(*paths).select(
                         *[F.col(k).alias(f"__dk_{k}") for k in keys],
                         F.lit(seq).alias("__dseq"),
                     )
@@ -1157,11 +1168,22 @@ class IcebergLayoutTable:
         need_pos = with_pos or any(
             d.get("kind", "pos") == "pos" for d in (deletes or [])
         )
+
+        def _reader(key):
+            r = spark.read.option("basePath", self.data_dir)
+            if target_schema is not None:
+                ddl = self._schema_ddl(
+                    self.schema(key) if key is not None else self.schema(0)
+                )
+                if ddl:
+                    r = r.schema(ddl)
+            return r
+
         dfs = []
         for key, paths in sorted(
             dir_groups.items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
-            df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+            df = _reader(key).parquet(*paths)
             if need_pos:
                 df = self._with_pos(df)
             dfs.append(_norm(df, key))
@@ -1170,11 +1192,7 @@ class IcebergLayoutTable:
         ):
             if not files:
                 continue
-            df = (
-                spark.read.option("basePath", self.data_dir)
-                .parquet(*files)
-                .withColumn("snapv", F.lit(-1))
-            )
+            df = _reader(key).parquet(*files).withColumn("snapv", F.lit(-1))
             if need_pos:
                 df = self._with_pos(df)
             dfs.append(_norm(df, key))
@@ -1193,6 +1211,23 @@ class IcebergLayoutTable:
         if need_pos and not with_pos:
             out = out.drop("_file", "_pos")
         return out
+
+    @staticmethod
+    def _schema_ddl(schema: dict | None) -> str | None:
+        """Spark DDL string for a registered schema (field types are
+        stored as ``df.dtypes`` simple strings, which ARE DDL). Passing
+        it to ``spark.read.schema`` skips parquet footer inference —
+        the metadata-not-footers contract real Iceberg has: plan
+        building stops scaling with file count (a 52-file benchmark
+        table spent ~1.3 s/read inferring; explicit schema is ~5x
+        faster, and the gap grows with partitions). Partition-dir
+        columns (part/snapv) are appended by Spark's discovery exactly
+        as under inference, and files written NARROWER than their
+        registered schema (the allowed int→bigint / float→double
+        promotions) upcast at scan (verified on Spark 4)."""
+        if not schema:
+            return None
+        return ", ".join(f"`{f['name']}` {f['type']}" for f in schema["fields"])
 
     def _manifest(self, p: str, v: int) -> dict | None:
         m = _read_json(os.path.join(self.meta_dir, f"manifest-{p}-v{v}.json"))
@@ -1376,7 +1411,14 @@ class IcebergLayoutTable:
         for wsid, fpaths in sorted(
             plan["files_by_schema"].items(), key=lambda kv: (kv[0] is None, kv[0])
         ):
-            df = spark.read.option("basePath", self.data_dir).parquet(*fpaths)
+            rdr = spark.read.option("basePath", self.data_dir)
+            if target is not None:
+                ddl = self._schema_ddl(
+                    self.schema(wsid) if wsid is not None else self.schema(0)
+                )
+                if ddl:
+                    rdr = rdr.schema(ddl)
+            df = rdr.parquet(*fpaths)
             if need_pos:
                 df = self._with_pos(df)
             if target is not None:

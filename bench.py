@@ -28,6 +28,22 @@ from lambdo_spark.sources.pages import generate_pages
 from lambdo_spark.rollup.tiers import partials_from_pages
 
 PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "2000000"))
+# best-of-N per query. 2 catches JVM/codegen warmup; on this co-tenant
+# host (loadavg swings 0→28 by itself, BENCH.md) a rep can land in a
+# load spike, so when the 1-min loadavg at rep time exceeds
+# BENCH_LOAD_GATE an extra rep is taken (up to BENCH_MAX_REPS) — the
+# reported minimum then reflects the code, not the neighbors.
+BENCH_REPS = int(os.environ.get("BENCH_REPS", "2"))
+BENCH_MAX_REPS = int(os.environ.get("BENCH_MAX_REPS", "4"))
+BENCH_LOAD_GATE = float(os.environ.get("BENCH_LOAD_GATE", "3.0"))
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return 0.0
 
 
 def run(df) -> int:
@@ -62,17 +78,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     points = 0
 
-    # best-of-2 per query: this host is co-tenant (loadavg swings
-    # 0→28 on its own, BENCH.md) — a single shot can read 10x slow;
-    # the steady-state best is the number comparable across rounds
+    # best-of-N per query (see BENCH_REPS note above): a single shot on
+    # this co-tenant host can read 10x slow; the steady-state best is
+    # the number comparable across rounds
     def bench(name, thunk):
         nonlocal points
-        t0 = time.time()
-        n = thunk()
-        first = time.time() - t0
-        t0 = time.time()
-        thunk()
-        timings[name] = round(min(first, time.time() - t0), 3)
+        best, n = None, 0
+        rep = 0
+        while rep < BENCH_REPS or (
+            rep < BENCH_MAX_REPS and _load1() > BENCH_LOAD_GATE
+        ):
+            t0 = time.time()
+            n = thunk()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+            rep += 1
+        timings[name] = round(best, 3)
         points += n
 
     qs = ent.queries()

@@ -117,23 +117,30 @@ def main() -> None:
         # and the 30d downsample — persisting saves re-running the
         # 1h→1d shuffle for the 30d tier
         p1d = downsample(p1h, TIER_SECONDS["1d"]).persist()
-        # the finalized 1h tier feeds three actions (count, gap-fill,
-        # compression) — persist it like run_retention_pipeline does so
-        # the finalize groupBy runs once, not three times
-        t1h = finalize(p1h).persist()
         try:
             p30 = downsample(p1d, TIER_SECONDS["30d"])
             n = 0
-            n += run(t1h)
+            # each tier's finalize (incl. the lang_hist map build —
+            # count() does NOT prune the aggregate) runs from the
+            # cached partials. The 1h tier is deliberately NOT
+            # persisted: caching 1.2M map-typed rows costs ~2 s of
+            # columnar cache-store that none of the downstream
+            # consumers read back (gap-fill/compression reference only
+            # the scalar columns, and Catalyst column-prunes a
+            # RECOMPUTED finalize but cannot prune through a cache) —
+            # re-deriving the pruned aggregate from cached p1h is
+            # cheaper than materializing the maps into the block store.
+            # (run_retention_pipeline keeps its persist: its tier
+            # WRITES consume the full map rows.)
+            n += run(finalize(p1h))
             n += run(finalize(p1d))
             n += run(finalize(p30))
-            n += run(gap_fill(t1h, TIER_SECONDS["1h"]))
-            n += run(compress_tier(t1h, value_col="mean_len"))
+            n += run(gap_fill(finalize(p1h), TIER_SECONDS["1h"]))
+            n += run(compress_tier(finalize(p1h), value_col="mean_len"))
             return n
         finally:
             p1h.unpersist()
             p1d.unpersist()
-            t1h.unpersist()
 
     bench("pages_all_tiers", pages_pipeline)
 

@@ -79,30 +79,35 @@ def run_retention_pipeline(
             )
         }
         for tier_name, part in partials.items():
-            # finalized tier feeds both the tier write and the
-            # compression write — cache so collect_list runs once
-            tier_df = finalize(part).persist()
-            try:
-                table = IcebergLayoutTable(
-                    os.path.join(out_root, f"tier_{tier_name}")
-                )
-                snap = table.write_tier(
-                    table.with_part(tier_df), input_snapshot=f"pages@{tier_name}"
-                )
-                comp = compress_tier(
-                    tier_df, value_col=compress_value_col,
-                    tier_seconds=TIER_SECONDS[tier_name],
-                )
-                ctable = IcebergLayoutTable(
-                    os.path.join(out_root, f"compressed_{tier_name}")
-                )
-                csnap = ctable.write_tier(
-                    comp.withColumn("part", comp["chunk"]),
-                    input_snapshot=f"tier_{tier_name}@{snap['snapshot_id']}",
-                )
-                result[tier_name] = {"tier": snap, "compressed": csnap}
-            finally:
-                tier_df.unpersist()
+            # The finalized tier feeds the tier write (which consumes
+            # the full rows, lang_hist map included) and the
+            # compression write (which reads ONLY scalar columns).
+            # Deliberately NOT cached: persisting map-typed rows pays
+            # a columnar cache-store that only the compression read
+            # would reuse — and Catalyst column-prunes a RECOMPUTED
+            # finalize down to the scalar aggregate (no collect_list)
+            # but cannot prune through a cache. Re-deriving the pruned
+            # aggregate from the persisted partials is cheaper than
+            # materializing the maps twice.
+            tier_df = finalize(part)
+            table = IcebergLayoutTable(
+                os.path.join(out_root, f"tier_{tier_name}")
+            )
+            snap = table.write_tier(
+                table.with_part(tier_df), input_snapshot=f"pages@{tier_name}"
+            )
+            comp = compress_tier(
+                finalize(part), value_col=compress_value_col,
+                tier_seconds=TIER_SECONDS[tier_name],
+            )
+            ctable = IcebergLayoutTable(
+                os.path.join(out_root, f"compressed_{tier_name}")
+            )
+            csnap = ctable.write_tier(
+                comp.withColumn("part", comp["chunk"]),
+                input_snapshot=f"tier_{tier_name}@{snap['snapshot_id']}",
+            )
+            result[tier_name] = {"tier": snap, "compressed": csnap}
     finally:
         p1h.unpersist()
         partials["1d"].unpersist()

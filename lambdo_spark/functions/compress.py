@@ -73,16 +73,25 @@ def _pack_codes(codes_hi: np.ndarray, codes_lo: np.ndarray, lengths: np.ndarray)
 
 
 class _BitReader:
+    """MSB-first bit reader over bytes. ``read(n)`` slices only the
+    bytes the n-bit window touches and extracts with one shift+mask —
+    O(1)-ish per call instead of one Python loop iteration per BIT
+    (the old per-bit fold made decode ~an order of magnitude slower;
+    decode is the hot read path for compressed retention chunks)."""
+
     def __init__(self, data: bytes, bit_offset: int = 0):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data
         self.pos = bit_offset
 
     def read(self, n: int) -> int:
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
-        return v
+        if n == 0:
+            return 0
+        p = self.pos
+        self.pos = end = p + n
+        first = p >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "big")
+        return (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
 
 
 # ---------------------------------------------------------------- timestamps
@@ -213,8 +222,10 @@ def decode_values(data: bytes) -> np.ndarray:
     (first,) = struct.unpack_from("<d", data, 4)
     if n == 1:
         return np.array([first], dtype=np.float64)
-    prev = np.array([first], dtype=np.float64).view(np.uint64)[0]
-    out = [first]
+    # plain-int hot loop: numpy scalar xor/view per value cost ~µs each;
+    # Python ints + one bulk uint64→float64 view at the end do not
+    prev = struct.unpack("<Q", struct.pack("<d", first))[0]
+    out = [prev]
     r = _BitReader(data[12:])
     prev_lead, prev_sig = 0, 64
     for _ in range(n - 1):
@@ -229,9 +240,9 @@ def decode_values(data: bytes) -> np.ndarray:
                 prev_lead, prev_sig = lead, sig
             sigbits = r.read(sig)
             xor = sigbits << (64 - lead - sig)
-        prev = prev ^ np.uint64(xor)
-        out.append(float(np.uint64(prev).view(np.float64)))
-    return np.array(out, dtype=np.float64)
+        prev ^= xor
+        out.append(prev)
+    return np.array(out, dtype=np.uint64).view(np.float64)
 
 
 def compression_ratio(raw_count: int, encoded: bytes, width: int = 8) -> float:

@@ -206,10 +206,20 @@ def dedup_minhash_lsh(
     oracled driver row).
     """
     bud = minhash_bands_udf(num_hashes, bands)
-    # ids + band keys only — text does NOT ride the band shuffle
-    exploded = docs.select(
+    # Signatures are cached: the plan below references them along FOUR
+    # branches (the bucket-size aggregate, both sides of the bucket
+    # self-join) and without a cache each branch re-runs the full
+    # text scan + hashing UDF. The cached rows are fixed-width
+    # (id + `bands` longs, ~140 B/doc — orders of magnitude under the
+    # corpus bytes) and MEMORY_AND_DISK spills rather than OOMs; at
+    # extreme corpus sizes write signatures to a temp table instead.
+    sigs = docs.select(
         F.col(id_col).alias("id"), bud(F.col(text_col)).alias("bnd")
-    ).select("id", F.posexplode("bnd").alias("band_ix", "band_key"))
+    ).persist()
+    # ids + band keys only — text does NOT ride the band shuffle
+    exploded = sigs.select(
+        "id", F.posexplode("bnd").alias("band_ix", "band_key")
+    )
     # cap pathological buckets before the quadratic join
     sizes = exploded.groupBy("band_ix", "band_key").count()
     if metrics is not None:

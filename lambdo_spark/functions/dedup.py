@@ -365,6 +365,10 @@ def dedup_simhash(
         sigs = docs.select(
             F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig")
         )
+    # both chunk self-join sides reference sigs — cache the 16 B/doc
+    # signature rows so the signature computation (blake2b UDF or the
+    # md5 64-sum aggregate) runs once, not once per branch
+    sigs = sigs.persist()
     chunks = sigs.select(
         "id", "sig",
         F.explode(
@@ -445,17 +449,30 @@ def dedup_embedding_cosine(
     else:
         dim = len(emb.select(vec_col).first()[0])  # O(1) driver probe
         udf = lsh_bucket_udf(dim, bits, tables, seed)
-        e = emb.select(
+        # ids only through the bucket shuffle (vectors are dim×8 B
+        # ×tables if they ride the explode — they join back by id onto
+        # the deduplicated candidate pairs instead, like the MinHash
+        # text join); cached because both self-join sides reference it
+        # (without the cache the projection UDF runs twice over the
+        # full corpus)
+        buckets = emb.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
             F.explode(udf(F.col(vec_col))).alias("bucket"),
-        )
-        a = e.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = e.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        ).persist()
+        a = buckets.select("bucket", F.col("id").alias("id_a"))
+        b = buckets.select("bucket", F.col("id").alias("id_b"))
+        vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
         cand = (
             a.join(b, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = (
+            cand.join(vecs, cand.id_a == vecs._vid)
+            .withColumnRenamed("_v", "va").drop("_vid")
+            .join(vecs, F.col("id_b") == vecs._vid)
+            .withColumnRenamed("_v", "vb").drop("_vid")
         )
     return (
         cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))

@@ -292,3 +292,37 @@ def test_keep_latest_window_path_breaks_ties_on_payload(spark):
     )
     assert structmax["text"].tolist() == ["zzz"]
     assert top2["text"].tolist()[0] == "zzz"
+
+
+def test_minhash_batch_kernel_matches_per_doc_reference(spark):
+    """The cross-doc vectorized band kernel must be bit-identical to
+    the single-doc reference path (minhash_signature + band fold),
+    including the short-doc (<k tokens) and empty-doc rules."""
+    from lambdo_spark.functions.dedup import (
+        _splitmix64,
+        minhash_bands_udf,
+        minhash_signature,
+    )
+
+    texts = [
+        BASE, NEAR, FAR, "", "   ", "one", "one two",
+        " ".join(f"w{i % 7}" for i in range(200)),
+        "  padded   whitespace   tokens  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["bnd"])
+        for r in df.select(
+            "doc_id", minhash_bands_udf(64, 16)(F.col("text")).alias("bnd")
+        ).collect()
+    }
+    band_ix = np.arange(16, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sig = minhash_signature(t or "", 64)
+        bnd = sig.reshape(16, 4)
+        with np.errstate(over="ignore"):
+            bs = _splitmix64(bnd.sum(axis=1, dtype=np.uint64))
+            keys = _splitmix64(bs * np.uint64(1315423911) + band_ix)
+        assert got[i] == list(keys.astype(np.int64)), f"doc {i}: {t[:30]!r}"

@@ -93,31 +93,44 @@ def _token_hashes(text: str) -> np.ndarray:
 
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
+# Fold at most this many bytes per token; the full byte LENGTH is
+# mixed into the hash afterwards, so long tokens sharing a 64-byte
+# prefix still separate by length. Bounds the column fold on
+# pathological web-text tokens (a 1 MB minified-JS "token" would
+# otherwise cost one vectorized pass per BYTE of the longest token).
+# A residual prefix+length collision only ADDS an LSH candidate —
+# verification is exact Jaccard on the full strings, so no wrong pair
+# can survive it.
+_TOKEN_HASH_BYTES = 64
 
 
-def _token_hashes_fast(text: str) -> np.ndarray:
-    """Vectorized token hashes for the MinHash family: FNV-1a folded
-    column-wise over a padded token-byte matrix (one numpy pass per
-    byte POSITION — max-token-length iterations — instead of one
-    hashlib call per token), finished with splitmix64 for avalanche.
-    ~7× faster than the per-token blake2b path; MinHash only needs a
-    well-mixed deterministic family, not a cryptographic one (the
-    verified output is pinned to exact shingle Jaccard either way)."""
-    toks = text.split()
-    if not toks:
-        return np.zeros(1, dtype=np.uint64)
-    bs = [t.encode() for t in toks]
-    m = max(len(b) for b in bs)
+def _fnv_fold(bs: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over a padded token-byte matrix (one numpy
+    pass per byte POSITION, capped at ``_TOKEN_HASH_BYTES``), length
+    mixed in, splitmix64 finisher for avalanche."""
     lens = np.fromiter((len(b) for b in bs), count=len(bs), dtype=np.int64)
+    m = min(int(lens.max()), _TOKEN_HASH_BYTES)
     buf = np.frombuffer(
-        b"".join(b.ljust(m, b"\0") for b in bs), dtype=np.uint8
+        b"".join(b[:m].ljust(m, b"\0") for b in bs), dtype=np.uint8
     ).reshape(len(bs), m)
     h = np.full(len(bs), _FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(m):
             live = lens > j
             h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * _FNV_PRIME
+        h ^= lens.astype(np.uint64)
     return _splitmix64(h)
+
+
+def _token_hashes_fast(text: str) -> np.ndarray:
+    """Vectorized token hashes for the MinHash family — see
+    :func:`_fnv_fold`. MinHash only needs a well-mixed deterministic
+    family, not a cryptographic one (the verified output is pinned to
+    exact shingle Jaccard either way)."""
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    return _fnv_fold([t.encode() for t in toks])
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -156,18 +169,7 @@ def _shingle_hashes_batch(texts, k: int = 3):
     # their single sentinel hash 0 is injected at the shingle level,
     # mirroring _token_hashes' zeros(1) for empty input)
     if all_toks:
-        bs = [t.encode() for t in all_toks]
-        m = max(len(b) for b in bs)
-        lens = np.fromiter((len(b) for b in bs), count=len(bs), dtype=np.int64)
-        buf = np.frombuffer(
-            b"".join(b.ljust(m, b"\0") for b in bs), dtype=np.uint8
-        ).reshape(len(bs), m)
-        h = np.full(len(bs), _FNV_OFFSET, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(m):
-                live = lens > j
-                h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * _FNV_PRIME
-            th = _splitmix64(h)
+        th = _fnv_fold([t.encode() for t in all_toks])
     else:
         th = np.empty(0, dtype=np.uint64)
     tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))

@@ -273,13 +273,51 @@ def shingle_jaccard(a, b, k: int = 3):
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def minhash_band_plan(
+    threshold: float, num_hashes: int = 64, min_recall: float = 0.95
+) -> tuple[int, int, float]:
+    """Pick the (bands, rows) split whose LSH S-curve fits ``threshold``.
+
+    For ``b`` bands of ``r`` rows (``b*r = num_hashes``) the
+    probability that a pair with Jaccard similarity ``s`` collides in
+    at least one band is ``1 - (1 - s^r)^b``, an S-curve with
+    inflection near ``(1/b)^(1/r)`` (Mining of Massive Datasets §3.4).
+    Since :func:`dedup_minhash_lsh` verifies every candidate with the
+    exact Jaccard, false positives only cost compute — recall is the
+    quantity that matters. This picks, among the divisor splits of
+    ``num_hashes`` whose recall AT the threshold is ≥ ``min_recall``,
+    the one with the HIGHEST inflection point (fewest false
+    candidates); if none clears the recall bar it falls back to the
+    max-recall split.
+
+    Returns ``(bands, rows, est_recall_at_threshold)``. Deterministic,
+    pure arithmetic — safe to call at plan-build time.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    splits = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        inflection = (1.0 / b) ** (1.0 / r)
+        splits.append((b, r, recall, inflection))
+    ok = [s for s in splits if s[2] >= min_recall]
+    if ok:
+        b, r, recall, _ = max(ok, key=lambda s: s[3])
+    else:
+        b, r, recall, _ = max(splits, key=lambda s: s[2])
+    return b, r, recall
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | str = 16,
     bucket_cap: int = 1000,
     verify: str = "token",
     metrics: dict | None = None,
@@ -312,7 +350,17 @@ def dedup_minhash_lsh(
     the verified output is exactly {pairs: shingle_jaccard >= t}
     whenever banding recall is complete; SQL-replicable, hence the
     oracled driver row).
+
+    ``bands="auto"`` picks the split via :func:`minhash_band_plan`
+    (recall-safe S-curve fit to ``threshold``); the chosen plan lands
+    in ``metrics["band_plan"]`` when a metrics dict is passed.
     """
+    if bands == "auto":
+        bands, rows, est_recall = minhash_band_plan(threshold, num_hashes)
+        if metrics is not None:
+            metrics["band_plan"] = {
+                "bands": bands, "rows": rows, "est_recall": round(est_recall, 6)
+            }
     bud = minhash_bands_udf(num_hashes, bands)
     # Signatures are cached: the plan below references them along FOUR
     # branches (the bucket-size aggregate, both sides of the bucket

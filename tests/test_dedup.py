@@ -326,3 +326,53 @@ def test_minhash_batch_kernel_matches_per_doc_reference(spark):
             bs = _splitmix64(bnd.sum(axis=1, dtype=np.uint64))
             keys = _splitmix64(bs * np.uint64(1315423911) + band_ix)
         assert got[i] == list(keys.astype(np.int64)), f"doc {i}: {t[:30]!r}"
+
+
+def test_minhash_band_plan_arithmetic():
+    """S-curve planner: hand-checked MMDS §3.4 cases.
+
+    64 hashes @ t=0.8: b=8 (r=8) has recall 1-(1-0.8^8)^8 ≈ 0.77
+    (below the 0.95 bar) while b=16 (r=4) has ≈ 0.9998 and the
+    highest inflection among qualifying splits → (16, 4).
+    At t=0.5 the b=16 split's recall drops to ≈ 0.644, so the planner
+    must step down the curve to b=32 (r=2, recall ≈ 0.990)."""
+    from lambdo_spark.functions.dedup import minhash_band_plan
+
+    b, r, rec = minhash_band_plan(0.8, num_hashes=64)
+    assert (b, r) == (16, 4) and rec > 0.999
+    b, r, rec = minhash_band_plan(0.5, num_hashes=64)
+    assert (b, r) == (32, 2) and 0.95 <= rec < 1.0
+    # pathological: nothing clears the bar -> max-recall fallback
+    b, r, rec = minhash_band_plan(0.05, num_hashes=4, min_recall=0.9999999)
+    assert b * r == 4 and rec == max(
+        1 - (1 - 0.05 ** (4 // bb)) ** bb for bb in (1, 2, 4)
+    )
+    with pytest.raises(ValueError):
+        minhash_band_plan(0.0)
+
+
+def test_minhash_auto_bands_matches_exact(spark):
+    """bands="auto" at t=0.5 (where the fixed 16-band default is
+    recall-weak) returns exactly the brute-force shingle-Jaccard pair
+    set, and reports the chosen plan in metrics."""
+    from lambdo_spark.functions.dedup import shingle_jaccard
+
+    docs = _docs(spark)
+    metrics = {}
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(
+            docs, threshold=0.5, verify="shingle", bands="auto", metrics=metrics
+        ).collect()
+    }
+    assert metrics["band_plan"]["bands"] == 32
+    assert metrics["band_plan"]["rows"] == 2
+    exact_df = (
+        docs.selectExpr("doc_id AS id_a", "text AS ta")
+        .crossJoin(docs.selectExpr("doc_id AS id_b", "text AS tb"))
+        .where("id_a < id_b")
+        .withColumn("jaccard", F.round(shingle_jaccard(F.col("ta"), F.col("tb")), 6))
+        .where("jaccard >= 0.5")
+    )
+    exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in exact_df.collect()}
+    assert got == exact

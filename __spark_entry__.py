@@ -1388,12 +1388,42 @@ def _q_webtext_quality(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
-    """FNV-1a fingerprints (rows-only; pinned vs pure-Python reference
+    """FNV-1a fingerprints, ORACLED: the fold is replicated in DuckDB
+    as a HUGEINT list_reduce (also pinned vs the pure-Python reference
     in tests/test_text.py)."""
     from lambdo_spark.functions.text import fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_udf()(F.col("text")).alias("fingerprint"))
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/web.py) — the Common-Crawl
+    dedup-key precursor. ``documents`` has no url column, so a messy
+    crawl url (mixed case, www., default port, utm_*/tracking params,
+    fragment) is synthesized deterministically from (doc_id, source)
+    with the SAME expression on both engines; the canonical form,
+    host, and registered domain must then agree byte-for-byte — the
+    whole chain is JVM scalar regex, no Python."""
+    from lambdo_spark.functions.web import canonical_url, registered_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.expr(
+        "concat('https://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, "
+        "source, CAST(doc_id % 5 AS STRING), '.com', "
+        "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END, "
+        "'/doc/', CAST(doc_id AS STRING), "
+        "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 7 AS STRING)) "
+        "     WHEN doc_id % 3 = 1 THEN concat('?id=', CAST(doc_id % 7 AS STRING), '&utm_medium=em') "
+        "     ELSE '' END, "
+        "CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END)"
+    )
+    return docs.select(F.col("doc_id"), raw.alias("raw_url")).select(
+        "doc_id",
+        canonical_url(F.col("raw_url")).alias("canon_url"),
+        url_host(F.col("raw_url")).alias("host"),
+        registered_domain(F.col("raw_url")).alias("domain"),
+    )
 
 
 def _q_media_features(spark, sf_dir):
@@ -1489,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "webtext_quality": _q_webtext_quality,
         "fingerprint": _q_fingerprint,
+        "url_canonicalize": _q_url_canonicalize,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         # ---- set ops / sketches / grouping sets (no driver row before r3)
@@ -2593,6 +2624,52 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "fingerprint": _fingerprint_oracle(),
+        # url canonicalization: identical synthesis + regex chain; the
+        # only engine deltas are DuckDB's 'g' flag (Spark's
+        # regexp_replace is always global) and \\1 vs $1 backrefs
+        "url_canonicalize": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+                source || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+                (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+                '/doc/' || CAST(doc_id AS VARCHAR) ||
+                (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                      WHEN doc_id % 3 = 1
+                      THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=em'
+                      ELSE '' END) ||
+                (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS raw_url
+              FROM documents
+            ), step AS (
+              SELECT doc_id, raw_url,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(raw_url, '#.*$', '', 'g'),
+                  '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref_src)=[^&#]*', '\1', 'g'),
+                  '\?&+', '?', 'g'),
+                  '&&+', '&', 'g'),
+                  '[?&]+$', '', 'g') AS u
+              FROM raw
+            ), parts AS (
+              SELECT doc_id, raw_url,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS chost,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  ':[0-9]+$', ''), '^www\.', '') AS host
+              FROM step
+            )
+            SELECT doc_id,
+              CASE WHEN scheme = '' THEN raw_url
+                   ELSE scheme || '://' ||
+                        regexp_replace(regexp_replace(chost, ':(80|443)$', ''), '^www\.', '') ||
+                        regexp_replace(rest, '^/$', '')
+              END AS canon_url,
+              host,
+              regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+            FROM parts
+        """,
         "media_features": _media_features_oracle(),
         "media_frames": _media_frames_oracle(),
         "doc_quality": f"""

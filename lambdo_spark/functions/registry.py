@@ -98,6 +98,22 @@ register(
 )
 register(Kernel("to_timestamp", expr=lambda c, fmt=None: F.to_timestamp(c[0], fmt) if fmt else F.to_timestamp(c[0])))
 register(Kernel("round", expr=lambda c, digits=0: F.round(c[0], digits)))
+
+
+def _web_expr(which):
+    def _build(c):
+        from lambdo_spark.functions import web
+
+        return getattr(web, which)(c[0])
+
+    return _build
+
+
+# crawl-url normalization (functions/web.py) — scalar JVM regex
+# chains, usable from workflow `calculate` ops as dedup-key builders
+register(Kernel("canonical_url", expr=_web_expr("canonical_url"), doc="fold crawl-url variants to one content key"))
+register(Kernel("url_host", expr=_web_expr("url_host"), doc="lowercased host, port/www. stripped"))
+register(Kernel("registered_domain", expr=_web_expr("registered_domain"), doc="last two host labels — skew partitioning unit"))
 register(
     Kernel(
         "time_bucket",

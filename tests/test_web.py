@@ -56,3 +56,31 @@ def test_canonicalize_folds_dedup_keys(spark):
         .count()
     )
     assert n == 1
+
+
+def test_url_kernels_in_workflow(spark):
+    """canonical_url / url_host / registered_domain are registry
+    kernels, so JSON workflows can build crawl dedup keys with a plain
+    `calculate` op (reference Column.py:170-260 calculate shape)."""
+    from lambdo_spark.plans.compiler import Workflow
+
+    wf = {
+        "tables": [
+            {"id": "crawl", "operation": "data",
+             "columns": [
+                 {"id": "key", "operation": "calculate",
+                  "kernel": "canonical_url", "inputs": ["url"]},
+                 {"id": "host", "operation": "calculate",
+                  "kernel": "url_host", "inputs": ["url"]},
+                 {"id": "domain", "operation": "calculate",
+                  "kernel": "registered_domain", "inputs": ["url"]},
+             ]},
+        ],
+    }
+    data = {"crawl": spark.createDataFrame(
+        [("https://WWW.Example.com:443/a?utm_source=x&id=3#f",)],
+        "url string")}
+    row = Workflow(wf, spark, data).execute()["crawl"].collect()[0]
+    assert row["key"] == "https://example.com/a?id=3"
+    assert row["host"] == "example.com"
+    assert row["domain"] == "example.com"

@@ -1268,6 +1268,21 @@ def _q_dedup_minhash(spark, sf_dir):
     return dedup_minhash_lsh(docs, threshold=0.8, verify="shingle")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the MinHash pair graph's connected components
+    (alternating large-star/small-star), every >=3-token doc labeled
+    with its component-minimum cluster_id and a 0/1 representative
+    flag. The DuckDB oracle rebuilds the same pair set by brute force
+    and closes it with a recursive CTE — hash equality proves both the
+    pair stage and the distributed component labels."""
+    from lambdo_spark.functions.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return dedup_clusters(docs, threshold=0.8)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash banding (rows-only; pinned by tests/test_dedup.py)."""
     return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -1507,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_latest": _q_dedup_keep_latest,
         "dedup_tokenset": _q_dedup_tokenset,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
@@ -2500,6 +2516,37 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+              FROM d WHERE len(tk) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)) >= 0.8
+            ), edges AS (
+              SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+              SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+              FROM reach GROUP BY a
+            )
+            SELECT s.doc_id,
+                   COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+                   CAST(COALESCE(c.cluster_id, s.doc_id) = s.doc_id AS INT)
+                     AS is_representative
+            FROM s LEFT JOIN comp c USING (doc_id)
         """,
         "dedup_minhash": """
             WITH d AS (

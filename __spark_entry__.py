@@ -1283,6 +1283,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, threshold=0.8)
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Per-language quota sample (training-data mixing): 20 docs per
+    lang, deterministic salted-md5 order; the two-phase skew-proof
+    top-k must equal DuckDB's single QUALIFY window exactly."""
+    from lambdo_spark.functions.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(docs, ["lang"], 20, ["doc_id"]).select(
+        "lang", "doc_id", "_rk"
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash banding (rows-only; pinned by tests/test_dedup.py)."""
     return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -1523,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tokenset": _q_dedup_tokenset,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "sample_stratified": _q_sample_stratified,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
@@ -2516,6 +2529,17 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "sample_stratified": """
+            SELECT lang, doc_id, _rk FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('42' || CAST(doc_id AS VARCHAR) || '|'),
+                                doc_id
+                     ) AS _rk
+              FROM documents
+            ) WHERE _rk <= 20
         """,
         "dedup_clusters": """
             WITH RECURSIVE d AS (

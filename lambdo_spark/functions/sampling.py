@@ -1,0 +1,77 @@
+"""Stratified sampling — deterministic per-group quotas for data mixing.
+
+Training-data pipelines mix sources by recipe ("x docs per language /
+domain / quality band"); `df.sample(fraction)` can't express an exact
+per-group quota and isn't reproducible across engines. This op ranks
+each group's rows by a salted hash (a deterministic pseudorandom
+permutation — md5 so the SQL oracle replays the identical order) and
+keeps the first ``n`` per group.
+
+Skew is the scale hazard: at 10^12 docs one stratum (lang='en') holds
+most of the corpus, and a single ``row_number`` window over it would
+rank 10^11 rows in ONE task. The implementation is therefore a
+two-phase exact top-k (same shape as rollup/timeseries.py
+heavy_hitters): phase 1 ranks within (group, hash-salt-bucket) —
+bounding any task at group_size / salt_buckets — and keeps n per
+bucket; phase 2 ranks the surviving salt_buckets × n rows per group.
+Identical output to the single window for any salt_buckets ≥ 1.
+
+Reference analog: lambdo's row_filter ``sample`` is a whole-frame
+pandas shuffle (/root/reference/lambdo/utils.py:266-320); stratified
+quotas are the web-scale extension of that knob.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["sample_stratified"]
+
+
+def _hash_key(key_cols: Sequence[str], seed: str) -> Column:
+    """Deterministic pseudorandom sort key, identical in ANSI SQL:
+    md5(seed || key1 || '|' || key2 ...) — hex string, lowercase in
+    both Spark and DuckDB."""
+    parts = [F.lit(seed)]
+    for c in key_cols:
+        parts.append(F.col(c).cast("string"))
+        parts.append(F.lit("|"))
+    return F.md5(F.concat(*parts).cast("binary"))
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n_per_group: int,
+    key_cols: Sequence[str],
+    seed: str = "42",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep exactly ``min(n_per_group, group size)`` rows per group.
+
+    ``key_cols`` must uniquely identify a row within its group — the
+    salted md5 of the keys is the random order AND the tiebreak, so
+    the picked set is fully deterministic (change ``seed`` to draw a
+    different sample). Output adds ``_rk`` (1-based rank within the
+    group's sample) and keeps all input columns.
+    """
+    hk = _hash_key(key_cols, seed)
+    d = df.withColumn("_hk", hk)
+    # phase 1: bound every task at group_size / salt_buckets
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_hk", *key_cols)
+    surv = (
+        d.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= n_per_group)
+        .drop("_salt", "_r1")
+    )
+    # phase 2: final exact rank over ≤ salt_buckets × n survivors/group
+    w2 = Window.partitionBy(*group_cols).orderBy("_hk", *key_cols)
+    return (
+        surv.withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= n_per_group)
+        .drop("_hk")
+    )

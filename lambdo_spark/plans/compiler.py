@@ -207,7 +207,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "m4", "time_weighted", "counter", "value_hist", "lttb",
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
-        "keep_latest",
+        "keep_latest", "dedup_clusters", "sample_stratified",
     ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except", "sql"):
@@ -874,6 +874,26 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "dedup_clusters":
+            from lambdo_spark.functions.cluster import dedup_clusters
+
+            return dedup_clusters(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                threshold=float(tdef.get("threshold", 0.8)),
+            )
+        if op == "sample_stratified":
+            from lambdo_spark.functions.sampling import sample_stratified
+
+            return sample_stratified(
+                self.tables[tdef["source"]],
+                tdef["keys"],
+                int(tdef["n"]),
+                tdef["unique_keys"],
+                seed=str(tdef.get("seed", "42")),
+                salt_buckets=int(tdef.get("salt_buckets", 16)),
             )
         if op == "dedup_minhash":
             from lambdo_spark.functions.dedup import dedup_minhash_lsh

@@ -510,3 +510,28 @@ def test_keep_latest_op(spark):
     ]}
     got = compile_workflow(spec, spark, data={"docs": df})["latest"]
     assert sorted(r["doc_id"] for r in got.collect()) == [2, 3]
+
+
+def test_dedup_clusters_and_sample_stratified_ops(spark):
+    """operation:"dedup_clusters" / "sample_stratified" — cluster
+    labeling and data-mixing quotas from the workflow language."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [(1, base + " a", "en"), (2, base + " b", "en"),
+         (3, "totally different text about spark shuffles here now", "en"),
+         (4, "nochmal ganz anderer deutscher beispieltext hier jetzt", "de"),
+         (5, "weiterer deutscher text ohne jede aehnlichkeit dazu", "de")],
+        "doc_id long, text string, lang string",
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "clusters", "operation": "dedup_clusters", "source": "docs",
+         "threshold": 0.6},
+        {"id": "mix", "operation": "sample_stratified", "source": "docs",
+         "keys": ["lang"], "n": 1, "unique_keys": ["doc_id"]},
+    ]}
+    out = compile_workflow(spec, spark, data={"docs": docs})
+    cl = {r["doc_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    assert cl == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+    mix = out["mix"].toPandas()
+    assert mix.groupby("lang").size().to_dict() == {"en": 1, "de": 1}

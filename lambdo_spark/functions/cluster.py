@@ -131,15 +131,22 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    score_col: str | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
-    """Near-dup CLUSTER assignment: MinHash pairs → components → keep-min.
+    """Near-dup CLUSTER assignment: MinHash pairs → components → keep one.
 
     Returns ``(id_col, cluster_id, is_representative)`` for EVERY input
     document: near-dups share the component-minimum ``cluster_id``,
     singletons are their own cluster, and ``is_representative`` (int
-    0/1) marks the one kept doc per cluster (the minimum id — swap the
-    policy by joining quality scores and re-ranking within cluster).
+    0/1) marks the one kept doc per cluster.
+
+    Representative policy: the minimum id by default; pass
+    ``score_col`` (e.g. a quality score already on ``docs``) to keep
+    the HIGHEST-scoring doc per cluster instead — score ties break on
+    the larger id, so the pick is deterministic. The score pass is one
+    struct-max groupBy on ``cluster_id`` plus a broadcast-sized join
+    back (representatives ≈ #clusters rows).
 
     ``threshold`` / ``**lsh_kwargs`` feed :func:`dedup_minhash_lsh`
     with ``verify="shingle"`` so the pair stage stays the oracled
@@ -151,13 +158,34 @@ def dedup_clusters(
         docs, id_col, text_col, threshold, verify="shingle", **lsh_kwargs
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    ids = docs.select(F.col(id_col))
-    out = ids.join(
+    keep = [F.col(id_col)] + ([F.col(score_col)] if score_col else [])
+    out = docs.select(*keep).join(
         cc.withColumnRenamed("node", id_col), id_col, "left"
     )
     cluster = F.coalesce("component", F.col(id_col))
-    return out.select(
+    out = out.select(
         F.col(id_col),
         cluster.alias("cluster_id"),
-        (cluster == F.col(id_col)).cast("int").alias("is_representative"),
+        *([F.col(score_col)] if score_col else []),
+    )
+    if score_col is None:
+        return out.select(
+            id_col,
+            "cluster_id",
+            (F.col("cluster_id") == F.col(id_col)).cast("int").alias(
+                "is_representative"
+            ),
+        )
+    reps = out.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col(score_col), F.col(id_col))).alias("_best")
+    )
+    return (
+        out.join(reps, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(f"_best.{id_col}") == F.col(id_col)).cast("int").alias(
+                "is_representative"
+            ),
+        )
     )

@@ -883,6 +883,7 @@ class Workflow:
                 id_col=tdef.get("id_col", "doc_id"),
                 text_col=tdef.get("text", "text"),
                 threshold=float(tdef.get("threshold", 0.8)),
+                score_col=tdef.get("score"),
             )
         if op == "sample_stratified":
             from lambdo_spark.functions.sampling import sample_stratified

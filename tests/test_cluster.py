@@ -96,3 +96,28 @@ def test_dedup_clusters_transitive(spark):
     # exactly one representative per cluster
     reps = [d for d, (_, r) in out.items() if r]
     assert sorted(reps) == [10, 20, 21]
+
+
+def test_dedup_clusters_quality_representative(spark):
+    """score_col keeps the HIGHEST-quality doc per cluster (ties → the
+    larger id), singletons stay their own representative."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [
+            (10, base + " alpha", 0.2),
+            (11, base + " beta", 0.9),
+            (12, base + " gamma", 0.9),
+            (20, "completely different text about spark shuffles and joins here", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_representative"])
+        for r in dedup_clusters(
+            docs, threshold=0.6, score_col="quality"
+        ).collect()
+    }
+    assert out[10] == (10, 0)
+    assert out[11] == (10, 0)
+    assert out[12] == (10, 1)  # 0.9 tie between 11/12 → larger id
+    assert out[20] == (20, 1)

@@ -1295,6 +1295,31 @@ def _q_sample_stratified(spark, sf_dir):
     )
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """PII scrub (emails/IPs/phones → typed placeholders) + per-kind
+    audit counts. The synthetic corpus is PII-free, so both engines
+    append the SAME deterministic PII suffix per doc before scrubbing —
+    the hash match proves the Java and RE2 regex chains agree."""
+    from lambdo_spark.functions.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 415 555 0199 at 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+    )
+    c = pii_counts(seeded)
+    return docs.select(
+        "doc_id",
+        scrub_pii(seeded).alias("text_scrubbed"),
+        c["emails"].alias("n_emails"),
+        c["ips"].alias("n_ips"),
+        c["phones"].alias("n_phones"),
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash banding (rows-only; pinned by tests/test_dedup.py)."""
     return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -1536,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
+        "scrub_pii": _q_scrub_pii,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
@@ -2529,6 +2555,28 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "scrub_pii": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com or +1 415 555 0199 at 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '\\+[0-9]{1,3}[ .-][0-9]{2,4}[ .-][0-9]{2,4}[ .-][0-9]{2,4}|\\([0-9]{3}\\)[ .-]?[0-9]{3}[ .-][0-9]{4}', '<PHONE>', 'g')
+                     AS text_scrubbed,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t,
+                     '\\+[0-9]{1,3}[ .-][0-9]{2,4}[ .-][0-9]{2,4}[ .-][0-9]{2,4}|\\([0-9]{3}\\)[ .-]?[0-9]{3}[ .-][0-9]{4}')) AS INT) AS n_phones
+            FROM seeded
         """,
         "sample_stratified": """
             SELECT lang, doc_id, _rk FROM (

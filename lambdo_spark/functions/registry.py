@@ -111,6 +111,16 @@ def _web_expr(which):
 
 # crawl-url normalization (functions/web.py) — scalar JVM regex
 # chains, usable from workflow `calculate` ops as dedup-key builders
+def _text_expr(which):
+    def _build(c):
+        from lambdo_spark.functions import text
+
+        return getattr(text, which)(c[0])
+
+    return _build
+
+
+register(Kernel("scrub_pii", expr=_text_expr("scrub_pii"), doc="redact emails/IPs/phones to typed placeholders"))
 register(Kernel("canonical_url", expr=_web_expr("canonical_url"), doc="fold crawl-url variants to one content key"))
 register(Kernel("url_host", expr=_web_expr("url_host"), doc="lowercased host, port/www. stripped"))
 register(Kernel("registered_domain", expr=_web_expr("registered_domain"), doc="last two host labels — skew partitioning unit"))

@@ -273,3 +273,49 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_guess"),
         fingerprint_udf()(c).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------- PII scrub
+#
+# Web corpora leak emails / phone numbers / IPs; scrubbing them before
+# training is a standard pipeline stage (CCNet/C4-style). Pure JVM
+# regexp_replace chains — whole-stage codegen, and the SAME patterns
+# run in the DuckDB oracle (no backrefs/lookaround, so Java regex and
+# RE2 agree). Patterns are deliberately conservative (precision over
+# recall): a false positive deletes signal from every surviving doc.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# phone: requires an explicit +CC prefix or a (xxx) area code — digit
+# groups with separators alone would swallow ISO dates ("2024-01-01")
+# and version strings, and a false positive deletes real signal
+PII_PHONE = (
+    r"\+[0-9]{1,3}[ .-][0-9]{2,4}[ .-][0-9]{2,4}[ .-][0-9]{2,4}"
+    r"|\([0-9]{3}\)[ .-]?[0-9]{3}[ .-][0-9]{4}"
+)
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(
+    col: Column,
+    email: str = "<EMAIL>",
+    phone: str = "<PHONE>",
+    ip: str = "<IP>",
+) -> Column:
+    """Replace emails, phone numbers and IPv4 addresses with typed
+    placeholder tokens (pass an empty string to delete instead).
+    Order matters: emails first (an email's host could otherwise be
+    clipped by the IP rule), then IPs, then phones."""
+    out = F.regexp_replace(col, PII_EMAIL, email)
+    out = F.regexp_replace(out, PII_IPV4, ip)
+    out = F.regexp_replace(out, PII_PHONE, phone)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (audit/reporting — decide
+    drop-vs-scrub thresholds before rewriting the corpus)."""
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))).alias("emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))).alias("ips"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))).alias("phones"),
+    )

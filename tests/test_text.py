@@ -127,3 +127,27 @@ def test_bigram_array_short_input_guard(spark):
     got = {r["doc_id"]: r["bg"] for r in df.select(
         "doc_id", bigram_array(F.col("text")).alias("bg")).collect()}
     assert got[1] == [] and got[2] == []
+
+
+def test_scrub_pii_golden(spark):
+    from lambdo_spark.functions.text import pii_counts, scrub_pii
+
+    rows = spark.createDataFrame(
+        [
+            ("mail a.b+c@ex-ample.org now", "mail <EMAIL> now", (1, 0, 0)),
+            ("host 192.168.1.250 up", "host <IP> up", (0, 1, 0)),
+            ("call +49 171 555 0123 ok", "call <PHONE> ok", (0, 0, 1)),
+            ("us (415) 555-0199 line", "us <PHONE> line", (0, 0, 1)),
+            # precision guards: dates / versions / bare ints survive
+            ("born 2024-01-01 v1.2.3 id 1234567", "born 2024-01-01 v1.2.3 id 1234567", (0, 0, 0)),
+        ],
+        "text string, want string, counts struct<emails:int,ips:int,phones:int>",
+    )
+    got = rows.select(
+        "want", "counts",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    for r in got:
+        assert r["scrubbed"] == r["want"]
+        assert (r["c"]["emails"], r["c"]["ips"], r["c"]["phones"]) == tuple(r["counts"])

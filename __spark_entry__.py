@@ -1320,6 +1320,30 @@ def _q_scrub_pii(spark, sf_dir):
     )
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/Dolma rule): lines
+    repeating across >=5 docs of one source are stripped. The corpus
+    is single-line, so both engines append the SAME deterministic nav/
+    footer/unique lines first — the hash match proves the count-join-
+    reassemble pipeline end to end (ordering included)."""
+    from lambdo_spark.functions.text import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("subscribe to our newsletter"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"), F.lit("-unique")),
+    )
+    seeded = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat_ws("\n", seeded, F.lit("(c) example footer")),
+    ).otherwise(seeded)
+    return remove_boilerplate_lines(
+        docs.withColumn("text", seeded), min_docs=5
+    ).select("doc_id", F.col("text").alias("text_clean"))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash banding (rows-only; pinned by tests/test_dedup.py)."""
     return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -1562,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
         "scrub_pii": _q_scrub_pii,
+        "boilerplate_lines": _q_boilerplate_lines,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
@@ -2555,6 +2580,34 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "boilerplate_lines": """
+            WITH seeded AS (
+              SELECT doc_id, source,
+                     text || chr(10) || 'subscribe to our newsletter'
+                          || chr(10) || 'doc-' || CAST(doc_id AS VARCHAR) || '-unique'
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN chr(10) || '(c) example footer'
+                                  ELSE '' END AS t
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, source,
+                     unnest(ls) AS line, generate_subscripts(ls, 1) AS ix
+              FROM (SELECT doc_id, source, string_split(t, chr(10)) AS ls
+                    FROM seeded)
+            ), counts AS (
+              SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+              FROM lines GROUP BY 1, 2
+            ), kept AS (
+              SELECT l.doc_id, l.ix, l.line
+              FROM lines l JOIN counts c USING (source, line)
+              WHERE c.nd < 5
+            )
+            SELECT s.doc_id,
+                   COALESCE(string_agg(k.line, chr(10) ORDER BY k.ix), '')
+                     AS text_clean
+            FROM seeded s LEFT JOIN kept k USING (doc_id)
+            GROUP BY s.doc_id
         """,
         "scrub_pii": """
             WITH seeded AS (

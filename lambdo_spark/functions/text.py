@@ -319,3 +319,60 @@ def pii_counts(col: Column) -> Column:
         F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))).alias("ips"),
         F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))).alias("phones"),
     )
+
+
+# ------------------------------------------- boilerplate line removal
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    min_docs: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines that repeat across ``min_docs``+ distinct documents
+    of the same group (site nav, cookie banners, footers — the
+    CCNet/Dolma line-level dedup rule; grouping by domain keeps a
+    line that is boilerplate on one site but content on another).
+
+    Returns ``(id_col, text_col)`` for EVERY input doc — a doc whose
+    lines were all boilerplate comes back as ``''``.
+
+    Scale shape: one posexplode (rows ≈ corpus lines), one
+    count-distinct groupBy on (group, line), one join back on the same
+    key, one groupBy-reassemble per doc. The join key includes the
+    line text itself — joining on a 64-bit line hash would be smaller
+    on the wire but admits cross-line collisions at 10^12-line scale
+    (birthday bound ~10^4 collisions), silently deleting content
+    lines; correctness wins. Line counts combine map-side; the
+    reassembly groupBy's state per doc is the doc's own kept lines
+    (bounded by document size, not corpus size).
+    """
+    gcols = list(group_cols)
+    lines = docs.select(
+        F.col(id_col),
+        *[F.col(g) for g in gcols],
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_ix", "_line"),
+    )
+    counts = (
+        lines.select(*gcols, "_line", id_col)
+        .groupBy(*gcols, "_line")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+    )
+    kept = lines.join(counts, [*gcols, "_line"]).where(
+        F.col("_ndocs") < min_docs
+    )
+    assembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ix", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col)
+    )
+    ids = docs.select(F.col(id_col))
+    return ids.join(assembled, id_col, "left").select(
+        id_col, F.coalesce(text_col, F.lit("")).alias(text_col)
+    )

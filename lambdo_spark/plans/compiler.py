@@ -208,6 +208,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
         "keep_latest", "dedup_clusters", "sample_stratified",
+        "remove_boilerplate",
     ):
         deps.add(tdef["source"])
     elif op in ("join", "product", "union", "intersect", "except", "sql"):
@@ -874,6 +875,17 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "remove_boilerplate":
+            from lambdo_spark.functions.text import remove_boilerplate_lines
+
+            return remove_boilerplate_lines(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                group_cols=tuple(tdef.get("group_by", ["source"])),
+                min_docs=int(tdef.get("min_docs", 5)),
+                sep=tdef.get("sep", "\n"),
             )
         if op == "dedup_clusters":
             from lambdo_spark.functions.cluster import dedup_clusters

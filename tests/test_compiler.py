@@ -535,3 +535,20 @@ def test_dedup_clusters_and_sample_stratified_ops(spark):
     assert cl == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
     mix = out["mix"].toPandas()
     assert mix.groupby("lang").size().to_dict() == {"en": 1, "de": 1}
+
+
+def test_remove_boilerplate_op(spark):
+    """operation:"remove_boilerplate" from the workflow language."""
+    nav = "subscribe now"
+    docs = spark.createDataFrame(
+        [(1, "a", f"{nav}\none"), (2, "a", f"{nav}\ntwo"), (3, "a", nav)],
+        "doc_id long, source string, text string",
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "clean", "operation": "remove_boilerplate", "source": "docs",
+         "min_docs": 3},
+    ]}
+    got = {r["doc_id"]: r["text"]
+           for r in compile_workflow(spec, spark, data={"docs": docs})["clean"].collect()}
+    assert got == {1: "one", 2: "two", 3: ""}

@@ -151,3 +151,28 @@ def test_scrub_pii_golden(spark):
     for r in got:
         assert r["scrubbed"] == r["want"]
         assert (r["c"]["emails"], r["c"]["ips"], r["c"]["phones"]) == tuple(r["counts"])
+
+
+def test_remove_boilerplate_lines(spark):
+    from lambdo_spark.functions.text import remove_boilerplate_lines
+
+    nav = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, "a", f"{nav}\nreal content one"),
+            (2, "a", f"{nav}\nreal content two"),
+            (3, "a", nav),                      # all-boilerplate doc
+            (4, "b", f"{nav}\nother site text"),  # same line, other group
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out == {
+        1: "real content one",
+        2: "real content two",
+        3: "",
+        4: f"{nav}\nother site text",  # only 1 doc in group b keeps it
+    }

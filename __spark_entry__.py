@@ -1295,6 +1295,17 @@ def _q_sample_stratified(spark, sf_dir):
     )
 
 
+def _q_sample_fraction(spark, sf_dir):
+    """Proportional stratified sample: ceil(10% of each source's
+    docs), same deterministic order as sample_stratified."""
+    from lambdo_spark.functions.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, ["source"], None, ["doc_id"], fraction=0.1
+    ).select("source", "doc_id", "_rk")
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII scrub (emails/IPs/phones → typed placeholders) + per-kind
     audit counts. The synthetic corpus is PII-free, so both engines
@@ -1585,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
+        "sample_fraction": _q_sample_fraction,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2580,6 +2592,19 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "sample_fraction": """
+            SELECT source, doc_id, _rk FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42' || CAST(doc_id AS VARCHAR) || '|'),
+                                doc_id
+                     ) AS _rk,
+                     CAST(ceil(COUNT(*) OVER (PARTITION BY source) * 0.1)
+                          AS BIGINT) AS _quota
+              FROM documents
+            ) WHERE _rk <= _quota
         """,
         "boilerplate_lines": """
             WITH seeded AS (

@@ -44,34 +44,48 @@ def _hash_key(key_cols: Sequence[str], seed: str) -> Column:
 def sample_stratified(
     df: DataFrame,
     group_cols: Sequence[str],
-    n_per_group: int,
+    n_per_group: int | None,
     key_cols: Sequence[str],
     seed: str = "42",
     salt_buckets: int = 16,
+    fraction: float | None = None,
 ) -> DataFrame:
-    """Keep exactly ``min(n_per_group, group size)`` rows per group.
+    """Keep exactly ``min(quota, group size)`` rows per group, where
+    the quota is ``n_per_group`` (absolute) or ``ceil(fraction × group
+    size)`` (proportional — pass ``fraction`` and ``n_per_group=None``).
 
     ``key_cols`` must uniquely identify a row within its group — the
     salted md5 of the keys is the random order AND the tiebreak, so
     the picked set is fully deterministic (change ``seed`` to draw a
     different sample). Output adds ``_rk`` (1-based rank within the
     group's sample) and keeps all input columns.
+
+    Proportional mode adds one count aggregate on the group key — the
+    same key the ranking shuffles on, so the join back is co-located.
     """
+    if (n_per_group is None) == (fraction is None):
+        raise ValueError("pass exactly one of n_per_group / fraction")
     hk = _hash_key(key_cols, seed)
     d = df.withColumn("_hk", hk)
+    if fraction is not None:
+        counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gn"))
+        quota = F.ceil(F.col("_gn") * F.lit(float(fraction))).cast("long")
+        d = d.join(counts, list(group_cols)).withColumn("_quota", quota).drop("_gn")
+    else:
+        d = d.withColumn("_quota", F.lit(int(n_per_group)).cast("long"))
     # phase 1: bound every task at group_size / salt_buckets
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt_buckets))
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_hk", *key_cols)
     surv = (
         d.withColumn("_salt", salt)
         .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= n_per_group)
+        .where(F.col("_r1") <= F.col("_quota"))
         .drop("_salt", "_r1")
     )
-    # phase 2: final exact rank over ≤ salt_buckets × n survivors/group
+    # phase 2: final exact rank over ≤ salt_buckets × quota survivors
     w2 = Window.partitionBy(*group_cols).orderBy("_hk", *key_cols)
     return (
         surv.withColumn("_rk", F.row_number().over(w2))
-        .where(F.col("_rk") <= n_per_group)
-        .drop("_hk")
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_hk", "_quota")
     )

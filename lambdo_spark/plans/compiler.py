@@ -903,10 +903,13 @@ class Workflow:
             return sample_stratified(
                 self.tables[tdef["source"]],
                 tdef["keys"],
-                int(tdef["n"]),
+                int(tdef["n"]) if "n" in tdef else None,
                 tdef["unique_keys"],
                 seed=str(tdef.get("seed", "42")),
                 salt_buckets=int(tdef.get("salt_buckets", 16)),
+                fraction=(
+                    float(tdef["fraction"]) if "fraction" in tdef else None
+                ),
             )
         if op == "dedup_minhash":
             from lambdo_spark.functions.dedup import dedup_minhash_lsh

@@ -37,3 +37,18 @@ def test_deterministic_across_runs(spark):
     a = sample_stratified(d, ["lang"], 5, ["doc_id"]).collect()
     b = sample_stratified(d.repartition(3), ["lang"], 5, ["doc_id"]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fraction_mode(spark):
+    import pytest
+
+    d = _docs(spark)  # en/de/fr 30 each, tiny 3
+    out = sample_stratified(d, ["lang"], None, ["doc_id"], fraction=0.1).toPandas()
+    # ceil(30 * 0.1) = 3 per big group, ceil(3 * 0.1) = 1 for tiny
+    assert out.groupby("lang").size().to_dict() == {
+        "en": 3, "de": 3, "fr": 3, "tiny": 1
+    }
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_stratified(d, ["lang"], 5, ["doc_id"], fraction=0.1)
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_stratified(d, ["lang"], None, ["doc_id"])

@@ -245,3 +245,41 @@ def test_join_by_rownumber_no_single_partition(spark):
     pdf = out.toPandas()
     assert len(pdf) == 100
     assert (pdf["y"] == pdf["x"] * 2).all()
+
+
+def test_sample_stratified_no_single_partition(spark):
+    """Stratified sampling: BOTH ranking windows partition on keys
+    (group+salt, then group) — no SinglePartition exchange anywhere,
+    so no task ever ranks a whole mega-stratum, let alone the corpus."""
+    from lambdo_spark.functions.sampling import sample_stratified
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = _plan(sample_stratified(docs, ["lang"], 5, ["doc_id"]))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_boilerplate_counts_partial_agg(spark):
+    """Line-frequency counting must map-side combine (partial agg
+    before the exchange) and reassembly must not globally sort."""
+    from lambdo_spark.functions.text import remove_boilerplate_lines
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = _plan(remove_boilerplate_lines(docs, min_docs=5))
+    assert "partial_" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_connected_components_star_plan(spark):
+    """One star round = groupBy-min + same-key join: the aggregate
+    partials combine map-side and nothing plans a SinglePartition
+    exchange (no collect_set of neighbor arrays anywhere)."""
+    from lambdo_spark.functions.cluster import _large_star
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "u long, v long"
+    )
+    plan = _plan(_large_star(e))
+    assert "SinglePartition" not in plan, plan
+    assert "collect_set" not in plan, plan
+    assert "partial_min" in plan, plan

@@ -1306,6 +1306,18 @@ def _q_sample_fraction(spark, sf_dir):
     ).select("source", "doc_id", "_rk")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th doc plays the eval set;
+    train docs sharing any verbatim 8-gram with it get flagged (the
+    GPT-3/PaLM n-gram rule). The join keys on the n-gram string, so
+    the DuckDB brute-force mirror must hash-match exactly."""
+    from lambdo_spark.functions.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return decontaminate(docs, bench, n=8)
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII scrub (emails/IPs/phones → typed placeholders) + per-kind
     audit counts. The synthetic corpus is PII-free, so both engines
@@ -1599,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": _q_sample_fraction,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
+        "decontaminate": _q_decontaminate,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
@@ -2592,6 +2605,29 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "decontaminate": """
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), tr AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS ng
+              FROM tk WHERE len(t) >= 8
+            ), be AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS ng
+              FROM tk WHERE doc_id % 50 = 0 AND len(t) >= 8
+            ), hits AS (
+              SELECT tr.doc_id, COUNT(DISTINCT tr.ng) AS n_hits
+              FROM tr JOIN be USING (ng) GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "sample_fraction": """
             SELECT source, doc_id, _rk FROM (

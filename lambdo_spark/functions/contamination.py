@@ -1,0 +1,93 @@
+"""Benchmark decontamination — n-gram overlap against an eval set.
+
+Before training, corpora are scanned for documents that contain
+verbatim n-token spans of evaluation benchmarks (the GPT-3 13-gram /
+PaLM 8-gram decontamination rule): any such doc inflates eval scores
+and must be dropped or flagged.
+
+Shape at scale: the benchmark side is tiny relative to the corpus
+(millions of n-grams vs 10^12 docs), so the overlap test is a
+broadcast semi-join of distinct benchmark n-grams onto the exploded
+train n-grams — the corpus is touched ONCE, no shuffle of corpus
+text. The join keys on the n-gram STRING, not a 64-bit hash: at
+10^12-document scale hash collisions would flag clean documents as
+contaminated (silent corpus loss), and the broadcast side is the
+small one, so exactness costs only benchmark bytes.
+
+Reference analog: lambdo's pairwise UDF comparisons
+(/root/reference/lambdo/Column.py:524-559) are the closest shape; the
+cross-table n-gram containment test is what eval hygiene demands at
+web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["ngram_set", "decontaminate"]
+
+
+def ngram_set(col: Column, n: int) -> Column:
+    """Distinct n-token shingle strings (whitespace tokenization —
+    the shared contract in functions/text.py); empty array for texts
+    shorter than n tokens. NB Spark ``sequence(1, 0)`` is DESCENDING,
+    so short inputs must short-circuit."""
+    toks = F.split(F.trim(col), r"\s+")
+    m = F.size(toks)
+    return F.when(
+        m >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training docs sharing ``min_hits``+ distinct n-grams with
+    ANY benchmark text.
+
+    Returns ``(id_col, n_hits, contaminated)`` for EVERY train doc:
+    ``n_hits`` = distinct benchmark n-grams found in the doc,
+    ``contaminated`` = int 0/1 of ``n_hits >= min_hits``. Filter
+    ``contaminated = 0`` to keep the clean corpus, or keep the counts
+    for an audit table.
+
+    ``broadcast_bench=True`` (default) broadcasts the distinct
+    benchmark n-gram set — right for real benchmarks (MBs); disable it
+    if the "benchmark" side is itself corpus-sized.
+    """
+    bt = bench_text_col or text_col
+    tr = train.select(
+        F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("_ng")
+    )
+    be = (
+        bench.select(F.explode(ngram_set(F.col(bt), n)).alias("_ng"))
+        .distinct()
+    )
+    if broadcast_bench:
+        be = F.broadcast(be)
+    hits = (
+        tr.join(be, "_ng")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_ng").alias("n_hits"))
+    )
+    ids = train.select(F.col(id_col))
+    return ids.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).cast("int").alias(
+            "contaminated"
+        ),
+    )

@@ -211,6 +211,8 @@ def _table_deps(tdef: dict) -> set[str]:
         "remove_boilerplate",
     ):
         deps.add(tdef["source"])
+    elif op == "decontaminate":
+        deps.update((tdef["source"], tdef["bench"]))
     elif op in ("join", "product", "union", "intersect", "except", "sql"):
         deps.update(tdef.get("inputs", []))
     if op == "source" and isinstance(tdef.get("realtime"), dict):
@@ -875,6 +877,19 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "decontaminate":
+            from lambdo_spark.functions.contamination import decontaminate
+
+            return decontaminate(
+                self.tables[tdef["source"]],
+                self.tables[tdef["bench"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                bench_text_col=tdef.get("bench_text"),
+                n=int(tdef.get("n", 8)),
+                min_hits=int(tdef.get("min_hits", 1)),
+                broadcast_bench=bool(tdef.get("broadcast_bench", True)),
             )
         if op == "remove_boilerplate":
             from lambdo_spark.functions.text import remove_boilerplate_lines

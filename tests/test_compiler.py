@@ -552,3 +552,24 @@ def test_remove_boilerplate_op(spark):
     got = {r["doc_id"]: r["text"]
            for r in compile_workflow(spec, spark, data={"docs": docs})["clean"].collect()}
     assert got == {1: "one", 2: "two", 3: ""}
+
+
+def test_decontaminate_op(spark):
+    """operation:"decontaminate" — two-table dep (source + bench)."""
+    span = "what is the capital city of france in europe"
+    train = spark.createDataFrame(
+        [(1, f"quiz asked {span} twice"), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(span,)], "text string")
+    spec = {"tables": [
+        {"id": "train", "operation": "data"},
+        {"id": "bench", "operation": "data"},
+        {"id": "flags", "operation": "decontaminate",
+         "source": "train", "bench": "bench", "n": 8},
+    ]}
+    got = {r["doc_id"]: r["contaminated"]
+           for r in compile_workflow(
+               spec, spark, data={"train": train, "bench": bench}
+           )["flags"].collect()}
+    assert got == {1: 1, 2: 0}

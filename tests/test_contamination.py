@@ -1,0 +1,54 @@
+"""Benchmark decontamination: n-gram containment flags."""
+
+from pyspark.sql import functions as F
+
+from lambdo_spark.functions.contamination import decontaminate, ngram_set
+
+
+def test_ngram_set_short_input(spark):
+    df = spark.createDataFrame([("a b c",), ("a b c d",)], "t string")
+    got = df.select(F.size(ngram_set(F.col("t"), 4)).alias("n")).collect()
+    assert [r["n"] for r in got] == [0, 1]
+
+
+def test_decontaminate_flags_verbatim_span(spark):
+    bench_q = "what is the capital city of france in europe"
+    train = spark.createDataFrame(
+        [
+            # contains the 8-token benchmark span verbatim
+            (1, "quiz night asked what is the capital city of france in europe twice"),
+            # paraphrase — shares shorter spans only
+            (2, "the capital of france is paris which sits in europe"),
+            (3, "completely unrelated text about spark shuffle partitions here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_q,)], "text string")
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    assert out[1][1] == 1 and out[1][0] >= 1
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)
+
+
+def test_decontaminate_min_hits_and_no_broadcast(spark):
+    """min_hits raises the bar; broadcast off gives identical output."""
+    span = "one two three four five six seven eight nine"
+    train = spark.createDataFrame(
+        [(1, span), (2, "x " + span)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(span,)], "text string")
+    # doc 1 == the span: 2 distinct 8-grams; doc 2 contains both too
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, bench, n=8, min_hits=3).collect()
+    }
+    assert strict == {1: 0, 2: 0}
+    a = sorted(map(tuple, decontaminate(train, bench, n=8).collect()))
+    b = sorted(map(tuple, decontaminate(
+        train, bench, n=8, broadcast_bench=False).collect()))
+    assert a == b

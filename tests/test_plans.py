@@ -283,3 +283,14 @@ def test_connected_components_star_plan(spark):
     assert "SinglePartition" not in plan, plan
     assert "collect_set" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    """The benchmark n-gram set must broadcast: the corpus side is
+    never shuffled for the overlap join."""
+    from lambdo_spark.functions.contamination import decontaminate
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    plan = _plan(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -1318,6 +1318,18 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def _q_contamination_pairs(spark, sf_dir):
+    """Decontamination audit: which benchmark doc overlapped which
+    train doc, by how many distinct 8-grams."""
+    from lambdo_spark.functions.contamination import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_pairs(docs, bench, n=8)
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII scrub (emails/IPs/phones → typed placeholders) + per-kind
     audit counts. The synthetic corpus is PII-free, so both engines
@@ -1612,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
+        "contamination_pairs": _q_contamination_pairs,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
@@ -2605,6 +2618,28 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s)) AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        "contamination_pairs": """
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), tr AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS ng
+              FROM tk WHERE len(t) >= 8
+            ), be AS (
+              SELECT DISTINCT doc_id AS bench_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS ng
+              FROM tk WHERE doc_id % 50 = 0 AND len(t) >= 8
+            )
+            SELECT tr.doc_id, be.bench_id,
+                   COUNT(DISTINCT tr.ng) AS n_shared
+            FROM tr JOIN be USING (ng)
+            GROUP BY tr.doc_id, be.bench_id
+            HAVING COUNT(DISTINCT tr.ng) >= 1
         """,
         "decontaminate": """
             WITH tk AS (

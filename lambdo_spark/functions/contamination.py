@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["ngram_set", "decontaminate"]
+__all__ = ["ngram_set", "decontaminate", "contamination_pairs"]
 
 
 def ngram_set(col: Column, n: int) -> Column:
@@ -90,4 +90,41 @@ def decontaminate(
         (F.coalesce("n_hits", F.lit(0)) >= min_hits).cast("int").alias(
             "contaminated"
         ),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Audit form of :func:`decontaminate`: WHICH benchmark doc did a
+    train doc overlap, and by how many distinct n-grams.
+
+    Returns ``(id_col, bench_id_col, n_shared)`` — one row per
+    contaminated (train, bench) pair with ``n_shared >= min_hits``.
+    Same broadcast shape as ``decontaminate``; the output is bounded
+    by actual overlaps, not the cross product.
+    """
+    bt = bench_text_col or text_col
+    tr = train.select(
+        F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("_ng")
+    )
+    be = bench.select(
+        F.col(bench_id_col),
+        F.explode(ngram_set(F.col(bt), n)).alias("_ng"),
+    ).distinct()
+    if broadcast_bench:
+        be = F.broadcast(be)
+    return (
+        tr.join(be, "_ng")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.countDistinct("_ng").alias("n_shared"))
+        .where(F.col("n_shared") >= min_hits)
     )

@@ -52,3 +52,22 @@ def test_decontaminate_min_hits_and_no_broadcast(spark):
     b = sorted(map(tuple, decontaminate(
         train, bench, n=8, broadcast_bench=False).collect()))
     assert a == b
+
+
+def test_contamination_pairs(spark):
+    from lambdo_spark.functions.contamination import contamination_pairs
+
+    q1 = "what is the capital city of france in europe"
+    q2 = "name the longest river on the african continent please"
+    train = spark.createDataFrame(
+        [(1, f"intro {q1} outro"), (2, f"a {q2} b"), (3, "nothing shared here at all now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, q1), (200, q2)], "bench_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["bench_id"])
+        for r in contamination_pairs(train, bench, n=8).collect()
+    )
+    assert got == [(1, 100), (2, 200)]

@@ -132,6 +132,7 @@ def dedup_clusters(
     text_col: str = "text",
     threshold: float = 0.8,
     score_col: str | None = None,
+    pairs: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup CLUSTER assignment: MinHash pairs → components → keep one.
@@ -150,13 +151,16 @@ def dedup_clusters(
 
     ``threshold`` / ``**lsh_kwargs`` feed :func:`dedup_minhash_lsh`
     with ``verify="shingle"`` so the pair stage stays the oracled
-    exact-at-threshold form.
+    exact-at-threshold form. Pass ``pairs`` (columns ``id_a, id_b``)
+    to cluster an already-materialized pair table instead — e.g.
+    SimHash or embedding-cosine pairs, or a persisted MinHash run.
     """
-    from lambdo_spark.functions.dedup import dedup_minhash_lsh
+    if pairs is None:
+        from lambdo_spark.functions.dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(
-        docs, id_col, text_col, threshold, verify="shingle", **lsh_kwargs
-    )
+        pairs = dedup_minhash_lsh(
+            docs, id_col, text_col, threshold, verify="shingle", **lsh_kwargs
+        )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     keep = [F.col(id_col)] + ([F.col(score_col)] if score_col else [])
     out = docs.select(*keep).join(

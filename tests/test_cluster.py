@@ -121,3 +121,17 @@ def test_dedup_clusters_quality_representative(spark):
     assert out[11] == (10, 0)
     assert out[12] == (10, 1)  # 0.9 tie between 11/12 → larger id
     assert out[20] == (20, 1)
+
+
+def test_dedup_clusters_precomputed_pairs(spark):
+    """pairs= clusters an existing pair table (any dedup family's
+    output) without re-running MinHash."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}

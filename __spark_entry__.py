@@ -1330,6 +1330,20 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination_pairs(docs, bench, n=8)
 
 
+def _q_shuffle_order(spark, sf_dir):
+    """Deterministic global training order: every doc ranked by a
+    salted md5 permutation via the two-phase global ordinal (no
+    single-reducer sort). Must equal DuckDB's single ORDER BY window
+    exactly — the same number on every row proves the range partition
+    + offset math."""
+    from lambdo_spark.functions.sampling import shuffle_deterministic
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_deterministic(docs, ["doc_id"]).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 def _q_scrub_pii(spark, sf_dir):
     """PII scrub (emails/IPs/phones → typed placeholders) + per-kind
     audit counts. The synthetic corpus is PII-free, so both engines
@@ -1621,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
         "sample_fraction": _q_sample_fraction,
+        "shuffle_order": _q_shuffle_order,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
@@ -2663,6 +2678,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5('42' || CAST(doc_id AS VARCHAR) || '|'),
+                              doc_id
+                   ) AS shuffle_rank
+            FROM documents
         """,
         "sample_fraction": """
             SELECT source, doc_id, _rk FROM (

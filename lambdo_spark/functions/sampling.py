@@ -89,3 +89,30 @@ def sample_stratified(
         .where(F.col("_rk") <= F.col("_quota"))
         .drop("_hk", "_quota")
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: str = "42",
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible GLOBAL shuffle order for training: rank every row
+    by a salted md5 of its keys (a deterministic pseudorandom
+    permutation — same seed, same order, on any cluster size or
+    partitioning). Write sorted by ``out_col`` and the corpus streams
+    to the trainer in a fixed, replayable order; change ``seed`` for
+    a fresh epoch permutation.
+
+    Scale shape: the ranking is the two-phase
+    :func:`~lambdo_spark.operators.table_ops.global_ordinal` (range
+    partition on the hash + per-partition offsets) — the naive
+    ``row_number() OVER (ORDER BY hash)`` single-reducer sort never
+    appears. Because md5 output is uniform, the range partitions are
+    balanced no matter how skewed the key distribution is.
+    """
+    from lambdo_spark.operators.table_ops import global_ordinal
+
+    d = df.withColumn("_hk", _hash_key(key_cols, seed))
+    out = global_ordinal(d, ["_hk", *list(key_cols)], out_col=out_col)
+    return out.drop("_hk")

@@ -208,7 +208,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
         "keep_latest", "dedup_clusters", "sample_stratified",
-        "remove_boilerplate",
+        "remove_boilerplate", "shuffle",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -877,6 +877,15 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "shuffle":
+            from lambdo_spark.functions.sampling import shuffle_deterministic
+
+            return shuffle_deterministic(
+                self.tables[tdef["source"]],
+                tdef["unique_keys"],
+                seed=str(tdef.get("seed", "42")),
+                out_col=tdef.get("out", "shuffle_rank"),
             )
         if op == "decontaminate":
             from lambdo_spark.functions.contamination import decontaminate

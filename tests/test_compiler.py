@@ -573,3 +573,16 @@ def test_decontaminate_op(spark):
                spec, spark, data={"train": train, "bench": bench}
            )["flags"].collect()}
     assert got == {1: 1, 2: 0}
+
+
+def test_shuffle_op(spark):
+    """operation:"shuffle" — deterministic epoch order from the
+    workflow language."""
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "epoch1", "operation": "shuffle", "source": "docs",
+         "unique_keys": ["doc_id"], "seed": "ep1"},
+    ]}
+    got = compile_workflow(spec, spark, data={"docs": docs})["epoch1"].toPandas()
+    assert sorted(got["shuffle_rank"]) == list(range(1, 21))

@@ -52,3 +52,20 @@ def test_fraction_mode(spark):
         sample_stratified(d, ["lang"], 5, ["doc_id"], fraction=0.1)
     with pytest.raises(ValueError, match="exactly one"):
         sample_stratified(d, ["lang"], None, ["doc_id"])
+
+
+def test_shuffle_deterministic(spark):
+    from lambdo_spark.functions.sampling import shuffle_deterministic
+
+    d = _docs(spark)
+    a = shuffle_deterministic(d.repartition(7), ["doc_id"]).collect()
+    b = shuffle_deterministic(d.repartition(2), ["doc_id"]).collect()
+    ra = {r["doc_id"]: r["shuffle_rank"] for r in a}
+    rb = {r["doc_id"]: r["shuffle_rank"] for r in b}
+    assert ra == rb                      # partitioning-independent
+    assert sorted(ra.values()) == list(range(1, len(ra) + 1))  # dense
+    rc = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_deterministic(d, ["doc_id"], seed="ep2").collect()
+    }
+    assert rc != ra                      # new epoch, new permutation

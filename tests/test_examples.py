@@ -108,7 +108,8 @@ def test_training_data_prep_example(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     expect = analyze_documents(docs).where("quality >= 0.3")
     uniq = tables["unique_docs"]
-    assert set(uniq.columns) == set(expect.columns)  # full rows survive
+    # full rows survive, plus the example's scrub_pii calculate column
+    assert set(uniq.columns) == set(expect.columns) | {"clean_text"}
     survivors = dedup_exact(expect, keep_rows=True)
     assert uniq.count() == survivors.count() == dedup_exact(expect).count()
 
@@ -369,3 +370,22 @@ def test_training_data_prep_new_stages(spark):
     )
     assert stats["n_docs"].sum() == len(flagged)
     assert (stats["n_gopher_keep"] <= stats["n_docs"]).all()
+
+
+def test_training_data_prep_round3_stages(spark):
+    """Round-3 stages of the ingest example: cluster labels with one
+    representative each, contamination gate, and the stratified mix
+    drawing only clean representatives."""
+    tables = Workflow(_load("training_data_prep.json"), spark).execute()
+    cl = tables["clusters"].toPandas()
+    assert set(cl.columns) == {"doc_id", "cluster_id", "is_representative"}
+    reps = cl[cl.is_representative == 1]
+    assert reps.cluster_id.nunique() == len(reps) == cl.cluster_id.nunique()
+    cont = tables["contamination"].toPandas()
+    bench_ids = set(tables["bench"].toPandas()["doc_id"])
+    flagged = set(cont[cont.contaminated == 1]["doc_id"])
+    # every surviving benchmark doc self-contaminates
+    assert bench_ids & set(cont["doc_id"]) <= flagged
+    mix = tables["training_mix"].toPandas()
+    assert (mix.groupby("lang_guess").size() <= 5).all()
+    assert set(mix["doc_id"]) <= set(tables["clean_docs"].toPandas()["doc_id"])

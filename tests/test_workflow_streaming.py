@@ -280,3 +280,44 @@ def test_m4_kernels_stream_parity(spark, tmp_path):
     assert len(merged) == len(streamed) > 0
     for c in ("n_points", "v_min", "v_max", "v_first", "v_last"):
         assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all()
+
+
+def test_rowlocal_corpus_ops_stream_parity(spark, tmp_path):
+    """Row-local corpus-prep stages (quality_filter flag + scrub_pii
+    calculate kernel) run UNCHANGED on a streaming source: the same
+    spec in batch and stream mode produces identical rows — the
+    ingest-time half of the pipeline works on a live crawl feed."""
+    docs_src = "/root/testdata/sf0.001/documents.parquet"
+    spec_body = (
+        '{"tables": ['
+        '{"id": "docs", "operation": "source", "format": "parquet",'
+        ' "path": "%(path)s"%(stream)s},'
+        '{"id": "gated", "operation": "quality_filter", "source": "docs",'
+        ' "text": "text", "flag": "keep",'
+        ' "rules": {"min_words": 10, "min_distinct_stopwords": 0},'
+        ' "columns": [{"id": "clean_text", "operation": "calculate",'
+        '   "kernel": "scrub_pii", "inputs": ["text"]}]}'
+        "%(sink)s]}"
+    )
+    batch = Workflow(spec_body % {"path": docs_src, "stream": "", "sink": ""},
+                     spark).execute()["gated"].toPandas()
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(docs_src, os.path.join(src, "d-0.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    wf = Workflow(spec_body % {
+        "path": src, "stream": ', "stream": true',
+        "sink": (', {"id": "to_parquet", "operation": "stream_sink",'
+                 f' "source": "gated", "path": "{out}",'
+                 f' "checkpoint": "{ckpt}"}}'),
+    }, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+    streamed = spark.read.parquet(out).toPandas()
+
+    key = ["doc_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed[batch.columns].sort_values(key).reset_index(drop=True)
+    assert b.equals(s)
+    assert "clean_text" in b.columns and b["keep"].isin([True, False]).all()

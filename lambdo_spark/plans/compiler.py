@@ -208,7 +208,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
         "keep_latest", "dedup_clusters", "sample_stratified",
-        "remove_boilerplate", "shuffle",
+        "remove_boilerplate", "shuffle", "components",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -877,6 +877,15 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "components":
+            from lambdo_spark.functions.cluster import connected_components
+
+            return connected_components(
+                self.tables[tdef["source"]],
+                src=tdef.get("src", "src"),
+                dst=tdef.get("dst", "dst"),
+                max_iter=int(tdef.get("max_iter", 50)),
             )
         if op == "shuffle":
             from lambdo_spark.functions.sampling import shuffle_deterministic

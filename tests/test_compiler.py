@@ -586,3 +586,20 @@ def test_shuffle_op(spark):
     ]}
     got = compile_workflow(spec, spark, data={"docs": docs})["epoch1"].toPandas()
     assert sorted(got["shuffle_rank"]) == list(range(1, 21))
+
+
+def test_components_op(spark):
+    """operation:"components" — connected components over any edge
+    table from the workflow language (composes with dedup_minhash:
+    pairs table in, cluster labels out)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    spec = {"tables": [
+        {"id": "edges", "operation": "data"},
+        {"id": "cc", "operation": "components", "source": "edges",
+         "src": "id_a", "dst": "id_b"},
+    ]}
+    got = {r["node"]: r["component"]
+           for r in compile_workflow(spec, spark, data={"edges": edges})["cc"].collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}

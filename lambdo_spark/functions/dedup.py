@@ -369,6 +369,9 @@ def dedup_minhash_lsh(
     # (id + `bands` longs, ~140 B/doc — orders of magnitude under the
     # corpus bytes) and MEMORY_AND_DISK spills rather than OOMs; at
     # extreme corpus sizes write signatures to a temp table instead.
+    # The cache stays registered until the caller's session ends (or
+    # clearCache) — freeing it earlier would re-run the signature UDF
+    # per plan branch; one dedup pass per session is the normal shape.
     sigs = docs.select(
         F.col(id_col).alias("id"), bud(F.col(text_col)).alias("bnd")
     ).persist()

@@ -75,6 +75,13 @@ def global_ordinal(
     partition-local row_number + offset. The sorted frame is persisted
     so the count job and the final job pin the SAME range boundaries
     (repartitionByRange samples; re-evaluation could move them).
+
+    Cache lifecycle: the persisted sorted frame stays registered until
+    the session ends or ``spark.catalog.clearCache()`` — deliberate
+    (unpersisting before the caller materializes would re-sample the
+    range boundaries and corrupt the ordinals). Long-lived sessions
+    issuing many ordinals over large frames should clearCache between
+    them; blocks spill to disk rather than OOM in the meantime.
     """
     if order_by:
         cols = [F.col(c) for c in order_by]

@@ -1330,6 +1330,17 @@ def _q_contamination_pairs(spark, sf_dir):
     return contamination_pairs(docs, bench, n=8)
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. 2022, fixed 8-token
+    windows): tokens covered by any corpus-repeated window are
+    removed, docs survive with their unique remainder. DuckDB rebuilds
+    the identical window/coverage relations by brute force."""
+    from lambdo_spark.functions.exact_substr import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, span_tokens=8, min_count=2)
+
+
 def _q_shuffle_order(spark, sf_dir):
     """Deterministic global training order: every doc ranked by a
     salted md5 permutation via the two-phase global ordinal (no
@@ -1636,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_fraction": _q_sample_fraction,
         "shuffle_order": _q_shuffle_order,
+        "dedup_spans": _q_dedup_spans,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
@@ -2678,6 +2690,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dedup_spans": """
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i - 1 AS start0,
+                     array_to_string(t[i:i+7], ' ') AS ng
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+              WHERE len(t) >= 8
+            ), dup AS (
+              SELECT ng FROM grams GROUP BY ng HAVING COUNT(*) >= 2
+            ), covered AS (
+              SELECT DISTINCT g.doc_id, p.pos
+              FROM grams g JOIN dup USING (ng),
+                   LATERAL (SELECT unnest(generate_series(g.start0, g.start0 + 7)) AS pos) p
+            ), toks AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+            ), kept AS (
+              SELECT tks.doc_id, tks.pos, tks.tok
+              FROM toks tks LEFT JOIN covered c
+                ON tks.doc_id = c.doc_id AND tks.pos = c.pos
+              WHERE c.pos IS NULL
+            )
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "shuffle_order": """
             SELECT doc_id,

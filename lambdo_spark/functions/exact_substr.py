@@ -1,0 +1,107 @@
+"""Exact-substring span dedup — remove repeated spans, keep the docs.
+
+Whole-document dedup (exact/MinHash) misses the dominant duplication
+mode in web text: long verbatim SPANS (quotes, licenses, syndicated
+paragraphs) embedded in otherwise-unique documents. Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") remove
+every span of >= L tokens that occurs more than once in the corpus;
+this is that operator in fixed-window form: a token is dropped iff it
+is covered by some L-token window whose exact text appears
+``min_count``+ times corpus-wide, and the doc's remaining tokens are
+kept in order.
+
+Execution shape (all relational, no suffix arrays needed for the
+fixed-L form):
+
+1. window strings with start positions per doc (posexplode — rows ≈
+   corpus tokens),
+2. one map-side-combined groupBy counting each window string
+   corpus-wide; duplicated windows survive a ``count >= min_count``
+   filter (that set is tiny relative to the corpus — duplication is
+   the exception),
+3. join occurrences against the duplicated set — keyed on the window
+   STRING for exactness (a 64-bit hash would delete clean text on
+   collisions at 10^12-token scale),
+4. covered token positions via an interval explode + distinct,
+5. anti-join tokens against covered positions, groupBy-doc ordered
+   reassembly (state per doc = the doc's own tokens).
+
+Output text is whitespace-NORMALIZED (tokens rejoined with single
+spaces) — the token stream, not the raw bytes, is what training
+consumes. Docs shorter than L tokens pass through (normalized);
+fully-duplicated docs come back as ``''``.
+
+Reference analog: lambdo's row-at-a-time UDFs could score a span but
+not see across documents (/root/reference/lambdo/Column.py:524-559);
+cross-doc span removal is inherently a corpus-wide relational job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["remove_duplicate_spans"]
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Drop every token covered by an ``span_tokens``-token window
+    whose exact text occurs ``min_count``+ times in the corpus.
+
+    Returns ``(id_col, text_col)`` for EVERY input doc (tokens
+    rejoined with single spaces; ``''`` when everything was
+    duplicated). ``min_count=2`` is the Lee-et-al rule; raise it to
+    tolerate limited repetition (e.g. popular quotes).
+    """
+    L = int(span_tokens)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_tk"))
+    n = F.size("_tk")
+    # L-token window strings with 0-based start positions
+    grams = d.where(n >= L).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - L),
+                lambda i: F.array_join(F.slice("_tk", i + 1, L), " "),
+            )
+        ).alias("_start", "_ng"),
+    )
+    dup = (
+        grams.groupBy("_ng")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_ng")
+    )
+    covered = (
+        grams.join(dup, "_ng")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + (L - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    tokens = d.select(
+        F.col(id_col), F.posexplode("_tk").alias("_pos", "_tok")
+    )
+    kept = tokens.join(covered, [id_col, "_pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias(text_col)
+    )
+    ids = docs.select(F.col(id_col))
+    return ids.join(clean, id_col, "left").select(
+        id_col, F.coalesce(text_col, F.lit("")).alias(text_col)
+    )

@@ -208,7 +208,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "window_aggregate", "dedup", "stream_sink",
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
         "keep_latest", "dedup_clusters", "sample_stratified",
-        "remove_boilerplate", "shuffle", "components",
+        "remove_boilerplate", "shuffle", "components", "dedup_spans",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -877,6 +877,18 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "dedup_spans":
+            from lambdo_spark.functions.exact_substr import (
+                remove_duplicate_spans,
+            )
+
+            return remove_duplicate_spans(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                span_tokens=int(tdef.get("span_tokens", 8)),
+                min_count=int(tdef.get("min_count", 2)),
             )
         if op == "components":
             from lambdo_spark.functions.cluster import connected_components

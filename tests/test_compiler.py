@@ -603,3 +603,18 @@ def test_components_op(spark):
     got = {r["node"]: r["component"]
            for r in compile_workflow(spec, spark, data={"edges": edges})["cc"].collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_spans_op(spark):
+    """operation:"dedup_spans" from the workflow language."""
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"x {span}"), (2, f"y {span}")], "doc_id long, text string"
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "clean", "operation": "dedup_spans", "source": "docs"},
+    ]}
+    got = {r["doc_id"]: r["text"]
+           for r in compile_workflow(spec, spark, data={"docs": docs})["clean"].collect()}
+    assert got == {1: "x", 2: "y"}

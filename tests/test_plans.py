@@ -294,3 +294,15 @@ def test_decontaminate_broadcasts_bench(spark):
     bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
     plan = _plan(decontaminate(docs, bench, n=8))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dedup_spans_partial_agg_no_single_partition(spark):
+    """Span dedup: the corpus-wide window count combines map-side and
+    nothing plans a SinglePartition exchange; reassembly state is
+    per-doc, not global."""
+    from lambdo_spark.functions.exact_substr import remove_duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = _plan(remove_duplicate_spans(docs))
+    assert "partial_" in plan, plan
+    assert "SinglePartition" not in plan, plan

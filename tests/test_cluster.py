@@ -135,3 +135,25 @@ def test_dedup_clusters_precomputed_pairs(spark):
         for r in dedup_clusters(docs, pairs=pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_property_matches_union_find(spark, raw_edges):
+    """Random multigraphs (self-loops, duplicates, dense collisions):
+    the star-forest fixpoint must equal sequential union-find."""
+    edges = [e for e in raw_edges if e[0] != e[1]]
+    if not edges:
+        return
+    want = _uf_components(16, edges)
+    assert _cc_dict(spark, edges) == want

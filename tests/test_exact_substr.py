@@ -54,3 +54,49 @@ def test_min_count_tolerance(spark):
     assert _run(spark, rows, min_count=3) == {
         1: f"one {span}", 2: f"two {span}"
     }
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings, strategies as st
+
+
+def _py_reference(texts, L=3, min_count=2):
+    """Pure-Python span dedup: count L-windows corpus-wide, drop
+    covered tokens, rejoin."""
+    toks = [t.split() for t in texts]
+    from collections import Counter
+
+    cnt = Counter(
+        " ".join(tk[i:i + L])
+        for tk in toks for i in range(len(tk) - L + 1)
+    )
+    out = []
+    for tk in toks:
+        covered = set()
+        for i in range(len(tk) - L + 1):
+            if cnt[" ".join(tk[i:i + L])] >= min_count:
+                covered.update(range(i, i + L))
+        out.append(" ".join(t for j, t in enumerate(tk) if j not in covered))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_property_matches_python_reference(spark, texts):
+    """Tiny alphabet forces dense window collisions — overlap-union
+    and boundary cases must match the sequential reference exactly."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, span_tokens=3).collect()
+    }
+    want = dict(enumerate(_py_reference(texts, L=3)))
+    assert got == want

@@ -19,6 +19,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lambdo_spark.functions.dedup import (
@@ -1341,6 +1343,37 @@ def _q_dedup_spans(spark, sf_dir):
     return remove_duplicate_spans(docs, span_tokens=8, min_count=2)
 
 
+def _q_audio_features(spark, sf_dir):
+    """REAL audio decode, oracled: per-doc PCM16 WAV blobs are
+    synthesized from a closed-form integer sample formula, RIFF-parsed
+    back by the pure-numpy decoder, and reduced to integer-exact
+    features; DuckDB computes the same features straight from the
+    formula — a hash match proves the encode→decode round trip
+    byte-for-byte."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from lambdo_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        extract_audio_features,
+    )
+
+    @pandas_udf("binary")
+    def mk_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            n = 200 + int(d) % 300
+            i = np.arange(n, dtype=np.int64)
+            s = ((int(d) * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+            out.append(encode_wav_pcm16(s, 16000))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", mk_wav(F.col("doc_id")).alias("audio")
+    )
+    return extract_audio_features(docs)
+
+
 def _q_shuffle_order(spark, sf_dir):
     """Deterministic global training order: every doc ranked by a
     salted md5 permutation via the two-phase global ordinal (no
@@ -1648,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": _q_sample_fraction,
         "shuffle_order": _q_shuffle_order,
         "dedup_spans": _q_dedup_spans,
+        "audio_features": _q_audio_features,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
@@ -2690,6 +2724,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "audio_features": """
+            WITH n AS (
+              SELECT doc_id, 200 + doc_id % 300 AS ns FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     ABS(((doc_id * 31 + i * 17) % 65536) - 32768) AS a
+              FROM n, LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) g
+            )
+            SELECT CAST(n.doc_id AS VARCHAR) AS media_id,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(n.ns AS BIGINT) AS n_samples,
+                   CAST(n.ns * 1000 // 16000 AS BIGINT) AS duration_ms,
+                   CAST(SUM(s.a) AS BIGINT) AS abs_sum,
+                   CAST(MAX(s.a) AS INT) AS peak
+            FROM n JOIN s USING (doc_id)
+            GROUP BY n.doc_id, n.ns
         """,
         "dedup_spans": """
             WITH tk AS (

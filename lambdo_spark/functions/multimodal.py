@@ -10,6 +10,10 @@ a misconfigured production deploy fails visibly. ``fake_features``
 remains the deterministic stand-in the oracled driver rows run — it
 exercises exactly the batch shape a real decoder kernel has (binary
 in → fixed-dim float vector out) without depending on codec bits.
+
+Audio needs no guard at all: ``decode_wav`` parses canonical
+RIFF/WAVE PCM16 in pure numpy (see the audio section at the bottom),
+so that modality decodes for real in every environment.
 """
 
 from __future__ import annotations
@@ -280,3 +284,97 @@ def extract_media_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------- audio (WAV)
+#
+# Unlike images (PIL-guarded), canonical PCM WAV needs NO external
+# codec: the RIFF container is a struct-packed header walk and the
+# samples are little-endian int16 — pure numpy, decoded for real in
+# every environment.
+
+import struct
+
+AUDIO_SCHEMA = (
+    "media_id string, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, abs_sum long, peak int"
+)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal canonical RIFF/WAVE, PCM 16-bit little-endian."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * channels * 2, channels * 2, 16,
+        )
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse RIFF/WAVE PCM16 → (sample_rate, n_channels, int16 frames).
+
+    Walks the chunk list (extra chunks like LIST/INFO are skipped), so
+    real-world WAV files decode, not just our own output. Raises
+    ``ValueError`` on non-RIFF input or non-PCM16 encodings — loud,
+    never a silent fake."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sr, ch, bits, frames = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (got format={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            frames = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or frames is None:
+        raise ValueError("missing fmt/data chunk")
+    if ch > 1:
+        frames = frames[: (len(frames) // ch) * ch].reshape(-1, ch)
+    return int(sr), int(ch), frames
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", audio_col: str = "audio"
+) -> DataFrame:
+    """Decode WAV blobs and emit integer-exact audio features — one
+    mapInPandas pass, decode stays partition-local. Features are
+    integer-valued on purpose (duration via floor division, abs-sum,
+    peak): cross-engine float drift can't touch the oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            srs, chs, ns, durs, sums, peaks = [], [], [], [], [], []
+            for x in b[audio_col]:
+                sr, ch, fr = decode_wav(bytes(x))
+                flat = fr.reshape(-1).astype(np.int64)
+                n = len(flat) // ch if ch > 1 else len(flat)
+                srs.append(sr)
+                chs.append(ch)
+                ns.append(n)
+                durs.append(n * 1000 // sr)
+                sums.append(int(np.abs(flat).sum()))
+                peaks.append(int(np.abs(flat).max()) if len(flat) else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": b[id_col].astype(str),
+                    "sample_rate": srs,
+                    "n_channels": chs,
+                    "n_samples": ns,
+                    "duration_ms": durs,
+                    "abs_sum": sums,
+                    "peak": peaks,
+                }
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(kernel, schema=AUDIO_SCHEMA)

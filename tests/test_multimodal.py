@@ -179,3 +179,52 @@ def test_resize_image_real_decoder_ppm(spark):
     yi = (np.arange(3) * 6) // 3
     xi = (np.arange(4) * 8) // 4
     assert bytes(out["resized"]) == a[yi][:, xi].tobytes()
+
+
+def test_wav_roundtrip_and_chunk_walk(spark):
+    import numpy as np
+    import struct as _struct
+
+    from lambdo_spark.functions.multimodal import decode_wav, encode_wav_pcm16
+
+    s = ((np.arange(1000) * 17 + 31) % 65536 - 32768).astype(np.int16)
+    sr, ch, fr = decode_wav(encode_wav_pcm16(s, 16000))
+    assert (sr, ch) == (16000, 1) and np.array_equal(fr, s)
+    # stereo + a foreign LIST chunk before fmt: the chunk walk skips it
+    st = np.stack([s, -s], axis=1).reshape(-1).astype(np.int16)
+    blob = encode_wav_pcm16(st, 8000, channels=2)
+    blob = blob[:12] + b"LIST" + _struct.pack("<I", 4) + b"INFO" + blob[12:]
+    sr2, ch2, fr2 = decode_wav(blob)
+    assert (sr2, ch2, fr2.shape) == (8000, 2, (1000, 2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+
+def test_extract_audio_features(spark):
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        extract_audio_features,
+    )
+
+    rows = []
+    for d in (1, 2):
+        n = 100 * d
+        s = ((np.arange(n) * 3 + d) % 200 - 100).astype(np.int16)
+        rows.append((d, bytearray(encode_wav_pcm16(s, 16000))))
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_features(df).collect()
+    }
+    for d in (1, 2):
+        n = 100 * d
+        s = ((np.arange(n) * 3 + d) % 200 - 100).astype(np.int64)
+        r = got[str(d)]
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // 16000
+        assert r["abs_sum"] == int(np.abs(s).sum())
+        assert r["peak"] == int(np.abs(s).max())

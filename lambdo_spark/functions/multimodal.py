@@ -73,16 +73,46 @@ def _decode_ppm_p6(data: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → H×W×3 uint8 RGB,
+    pure numpy. Rows are stored bottom-up and padded to 4 bytes; pixel
+    byte order is BGR(A)."""
+    import struct as _struct  # noqa: PLC0415
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = _struct.unpack("<I", data[10:14])[0]
+    hdr = _struct.unpack("<I", data[14:18])[0]
+    if hdr < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h = _struct.unpack("<ii", data[18:26])
+    planes, bpp = _struct.unpack("<HH", data[26:30])
+    comp = _struct.unpack("<I", data[30:34])[0]
+    if comp not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raster.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode an image binary to an H×W×3 uint8 RGB array.
 
-    Binary PPM (P6) decodes in pure numpy everywhere; every other
-    format needs Pillow (import-guarded — wire opencv here instead if
-    that's the cluster's lib). Raises NotImplementedError, loudly, if
-    the format needs a decoder this environment doesn't have.
+    Binary PPM (P6) and uncompressed 24/32-bit BMP decode in pure
+    numpy everywhere; every other format needs Pillow (import-guarded
+    — wire opencv here instead if that's the cluster's lib). Raises
+    NotImplementedError, loudly, if the format needs a decoder this
+    environment doesn't have.
     """
     if data[:2] == b"P6":
         return _decode_ppm_p6(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
     img_mod = _pil()
     if img_mod:
         import io  # noqa: PLC0415

@@ -228,3 +228,46 @@ def test_extract_audio_features(spark):
         assert r["duration_ms"] == n * 1000 // 16000
         assert r["abs_sum"] == int(np.abs(s).sum())
         assert r["peak"] == int(np.abs(s).max())
+
+
+def test_bmp_decode_pure_numpy(spark):
+    """Uncompressed 24-bit BMP: bottom-up rows, 4-byte padding, BGR
+    order — decoded without PIL and identical to the known pixels."""
+    import struct as _struct
+
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import decode_image
+
+    # 3x2 RGB image with distinct pixels
+    rgb = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, nch = 3, 2, 3
+    stride = (w * nch + 3) & ~3
+    raster = bytearray()
+    for row in rgb[::-1]:            # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    hdr = (
+        b"BM" + _struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                        2835, 2835, 0, 0)
+    )
+    out = decode_image(bytes(hdr) + bytes(raster))
+    assert np.array_equal(out, rgb)
+    # top-down variant (negative height)
+    hdr2 = (
+        b"BM" + _struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(raster),
+                        2835, 2835, 0, 0)
+    )
+    raster_td = bytearray()
+    for row in rgb:                  # top-down storage
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])
+        line += b"\x00" * (stride - len(line))
+        raster_td += line
+    assert np.array_equal(decode_image(bytes(hdr2) + bytes(raster_td)), rgb)

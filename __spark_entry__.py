@@ -1374,6 +1374,48 @@ def _q_audio_features(spark, sf_dir):
     return extract_audio_features(docs)
 
 
+def _q_image_decode_real(spark, sf_dir):
+    """REAL image decode, oracled: per-doc binary PPM (P6) blobs are
+    synthesized from a closed-form pixel formula, decoded by the
+    pure-numpy raster parser, and reduced to integer-exact per-channel
+    sums; DuckDB computes the same sums from the formula — hash match
+    proves header parse + raster layout byte-for-byte."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import decode_image
+
+    def kernel(batches):
+        for b in batches:
+            rows = {"media_id": [], "width": [], "height": [],
+                    "r_sum": [], "g_sum": [], "b_sum": []}
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 4
+                n = w * h * 3
+                pix = ((d * 7 + np.arange(n, dtype=np.int64) * 13) % 256).astype(
+                    np.uint8
+                )
+                blob = f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+                arr = decode_image(blob).astype(np.int64)
+                rows["media_id"].append(str(d))
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["r_sum"].append(int(arr[:, :, 0].sum()))
+                rows["g_sum"].append(int(arr[:, :, 1].sum()))
+                rows["b_sum"].append(int(arr[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="media_id string, width int, height int, "
+            "r_sum long, g_sum long, b_sum long",
+        )
+    )
+
+
 def _q_shuffle_order(spark, sf_dir):
     """Deterministic global training order: every doc ranked by a
     salted md5 permutation via the two-phase global ordinal (no
@@ -1682,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": _q_shuffle_order,
         "dedup_spans": _q_dedup_spans,
         "audio_features": _q_audio_features,
+        "image_decode_real": _q_image_decode_real,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
@@ -2724,6 +2767,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "image_decode_real": """
+            WITH dims AS (
+              SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+              FROM documents
+            ), px AS (
+              SELECT doc_id, k % 3 AS ch,
+                     ((doc_id * 7 + k * 13) % 256) AS v
+              FROM dims,
+                   LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) g
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+                   CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height,
+                   CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum,
+                   CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS g_sum,
+                   CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum
+            FROM dims d JOIN px USING (doc_id)
+            GROUP BY d.doc_id, d.w, d.h
         """,
         "audio_features": """
             WITH n AS (

@@ -1416,6 +1416,40 @@ def _q_image_decode_real(spark, sf_dir):
     )
 
 
+def _q_video_features(spark, sf_dir):
+    """REAL video decode, oracled: per-doc uncompressed AVI blobs
+    (RIFF walk + DIB frames) synthesized from a closed-form pixel
+    formula, parsed back by the pure-numpy decoder; DuckDB computes
+    the same integer features from the formula — the hash match proves
+    the container walk and frame raster layout byte-for-byte."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        encode_avi_rgb,
+        extract_video_features,
+    )
+
+    def mk(batches):
+        for b in batches:
+            blobs = []
+            for d in b["doc_id"]:
+                d = int(d)
+                nf, w, h = 2 + d % 3, 6 + d % 4, 4 + d % 3
+                k = np.arange(nf * h * w * 3, dtype=np.int64)
+                fr = ((d * 11 + k * 23) % 256).astype(np.uint8).reshape(
+                    nf, h, w, 3
+                )
+                blobs.append(encode_avi_rgb(fr))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "video": blobs})
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(mk, schema="doc_id long, video binary")
+    )
+    return extract_video_features(docs)
+
+
 def _q_shuffle_order(spark, sf_dir):
     """Deterministic global training order: every doc ranked by a
     salted md5 permutation via the two-phase global ordinal (no
@@ -1725,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "audio_features": _q_audio_features,
         "image_decode_real": _q_image_decode_real,
+        "video_features": _q_video_features,
         "scrub_pii": _q_scrub_pii,
         "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
@@ -2767,6 +2802,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "video_features": """
+            WITH dims AS (
+              SELECT doc_id, 2 + doc_id % 3 AS nf,
+                     6 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+              FROM documents
+            ), px AS (
+              SELECT doc_id, ((doc_id * 11 + k * 23) % 256) AS v
+              FROM dims,
+                   LATERAL (SELECT unnest(generate_series(0, nf * h * w * 3 - 1)) AS k) g
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+                   CAST(d.nf AS INT) AS n_frames,
+                   CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height,
+                   CAST(d.nf * d.h * d.w * 3 AS BIGINT) AS frame_bytes,
+                   CAST(SUM(px.v) AS BIGINT) AS px_sum
+            FROM dims d JOIN px USING (doc_id)
+            GROUP BY d.doc_id, d.nf, d.w, d.h
         """,
         "image_decode_real": """
             WITH dims AS (

@@ -408,3 +408,113 @@ def extract_audio_features(
             )
 
     return df.select(id_col, audio_col).mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------ video (AVI)
+#
+# Same story as WAV: an uncompressed AVI is pure container walking —
+# RIFF 'AVI ' → LIST hdrl (avih main header) → LIST movi with one
+# '00db' (uncompressed DIB) chunk per frame. No codec bits needed, so
+# video-as-binary decodes for real everywhere, like audio and
+# PPM/BMP images.
+
+VIDEO_SCHEMA = (
+    "media_id string, n_frames int, width int, height int, "
+    "frame_bytes long, px_sum long"
+)
+
+
+def encode_avi_rgb(frames: "np.ndarray", fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI: frames is N×H×W×3 uint8 RGB; stored
+    as bottom-up BGR DIB rows (the BMP raster convention), one '00db'
+    chunk per frame."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    dib_frames = []
+    for f in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        dib_frames.append(rows.tobytes())
+    fsize = h * stride
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, fsize * fps, 0, 0x10, n, 0, 1, fsize, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, fsize, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dib_frames))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def decode_avi_rgb(data: bytes) -> "np.ndarray":
+    """Parse an uncompressed AVI → N×H×W×3 uint8 RGB frames. Walks the
+    RIFF tree for the avih header and every '00db' DIB chunk; raises
+    ``ValueError`` on non-AVI input — loud, never a silent fake."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    frames = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-kind fourcc
+            elif cid == b"avih":
+                hdr = struct.unpack("<IIIIIIIIII", data[body_lo:body_lo + 40])
+                w, h = hdr[8], hdr[9]
+            elif cid == b"00db":
+                frames.append(data[body_lo:body_hi])
+            pos = body_hi + (size & 1)
+
+    walk(12, len(data))
+    if w is None or not frames:
+        raise ValueError("missing avih header or 00db frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, d in enumerate(frames):
+        rows = np.frombuffer(d, dtype=np.uint8, count=stride * h).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # → top-down RGB
+    return out
+
+
+def extract_video_features(
+    df: DataFrame, id_col: str = "doc_id", video_col: str = "video"
+) -> DataFrame:
+    """Decode AVI blobs to integer-exact video features in one
+    mapInPandas pass (frame count, dims, raw frame bytes, pixel sum)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"media_id": [], "n_frames": [], "width": [],
+                   "height": [], "frame_bytes": [], "px_sum": []}
+            for mid, x in zip(b[id_col], b[video_col]):
+                fr = decode_avi_rgb(bytes(x))
+                out["media_id"].append(str(mid))
+                out["n_frames"].append(fr.shape[0])
+                out["height"].append(fr.shape[1])
+                out["width"].append(fr.shape[2])
+                out["frame_bytes"].append(int(fr.nbytes))
+                out["px_sum"].append(int(fr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, video_col).mapInPandas(kernel, schema=VIDEO_SCHEMA)

@@ -271,3 +271,31 @@ def test_bmp_decode_pure_numpy(spark):
         line += b"\x00" * (stride - len(line))
         raster_td += line
     assert np.array_equal(decode_image(bytes(hdr2) + bytes(raster_td)), rgb)
+
+
+def test_avi_roundtrip_and_features(spark):
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+        extract_video_features,
+    )
+
+    fr = (np.arange(3 * 4 * 6 * 3, dtype=np.int64) * 29 % 256).astype(
+        np.uint8
+    ).reshape(3, 4, 6, 3)
+    back = decode_avi_rgb(encode_avi_rgb(fr))
+    assert np.array_equal(back, fr)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="AVI"):
+        decode_avi_rgb(b"RIFFxxxxWAVE")
+
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_avi_rgb(fr)))], "doc_id long, video binary"
+    )
+    r = extract_video_features(df).collect()[0]
+    assert (r["n_frames"], r["height"], r["width"]) == (3, 4, 6)
+    assert r["frame_bytes"] == fr.nbytes
+    assert r["px_sum"] == int(fr.astype(np.int64).sum())

@@ -209,6 +209,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
         "keep_latest", "dedup_clusters", "sample_stratified",
         "remove_boilerplate", "shuffle", "components", "dedup_spans",
+        "audio_features", "video_features",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -877,6 +878,22 @@ class Workflow:
                 tdef["ts"],
                 tdef.get("tiebreak", []),
                 n=int(tdef.get("n", 1)),
+            )
+        if op == "audio_features":
+            from lambdo_spark.functions.multimodal import extract_audio_features
+
+            return extract_audio_features(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                audio_col=tdef.get("binary", "audio"),
+            )
+        if op == "video_features":
+            from lambdo_spark.functions.multimodal import extract_video_features
+
+            return extract_video_features(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                video_col=tdef.get("binary", "video"),
             )
         if op == "dedup_spans":
             from lambdo_spark.functions.exact_substr import (

@@ -618,3 +618,32 @@ def test_dedup_spans_op(spark):
     got = {r["doc_id"]: r["text"]
            for r in compile_workflow(spec, spark, data={"docs": docs})["clean"].collect()}
     assert got == {1: "x", 2: "y"}
+
+
+def test_media_feature_ops(spark):
+    """operation:"audio_features"/"video_features" — real decode from
+    the workflow language."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        encode_avi_rgb,
+        encode_wav_pcm16,
+    )
+
+    s = ((np.arange(50) * 3) % 200 - 100).astype(np.int16)
+    fr = (np.arange(2 * 4 * 6 * 3) % 256).astype(np.uint8).reshape(2, 4, 6, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(s, 16000)),
+          bytearray(encode_avi_rgb(fr)))],
+        "doc_id long, audio binary, video binary",
+    )
+    spec = {"tables": [
+        {"id": "media", "operation": "data"},
+        {"id": "af", "operation": "audio_features", "source": "media"},
+        {"id": "vf", "operation": "video_features", "source": "media"},
+    ]}
+    out = compile_workflow(spec, spark, data={"media": media})
+    a = out["af"].collect()[0]
+    assert (a["sample_rate"], a["n_samples"]) == (16000, 50)
+    v = out["vf"].collect()[0]
+    assert (v["n_frames"], v["height"], v["width"]) == (2, 4, 6)

@@ -357,7 +357,11 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(data):
         cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed fmt chunk")
             fmt, ch, sr = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:
@@ -477,9 +481,13 @@ def decode_avi_rgb(data: bytes) -> "np.ndarray":
             cid = data[pos:pos + 4]
             size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
             body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > len(data):
+                raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
                 walk(body_lo + 4, body_hi)  # skip the list-kind fourcc
             elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("malformed avih header")
                 hdr = struct.unpack("<IIIIIIIIII", data[body_lo:body_lo + 40])
                 w, h = hdr[8], hdr[9]
             elif cid == b"00db":

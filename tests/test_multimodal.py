@@ -299,3 +299,28 @@ def test_avi_roundtrip_and_features(spark):
     assert (r["n_frames"], r["height"], r["width"]) == (3, 4, 6)
     assert r["frame_bytes"] == fr.nbytes
     assert r["px_sum"] == int(fr.astype(np.int64).sum())
+
+
+def test_truncated_media_raises_value_error(spark):
+    """Corrupt/truncated blobs fail with a clean ValueError at every
+    cut point — never a leaked struct.error — so a production decode
+    stage can catch one exception type."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lambdo_spark.functions.multimodal import (
+        decode_avi_rgb,
+        decode_wav,
+        encode_avi_rgb,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16(np.arange(100, dtype=np.int16), 16000)
+    for cut in range(12, len(wav), 7):
+        with _pytest.raises(ValueError):
+            decode_wav(wav[:cut])
+    fr = (np.arange(2 * 4 * 6 * 3) % 256).astype(np.uint8).reshape(2, 4, 6, 3)
+    avi = encode_avi_rgb(fr)
+    for cut in range(12, len(avi), 13):
+        with _pytest.raises(ValueError):
+            decode_avi_rgb(avi[:cut])

@@ -620,8 +620,29 @@ class Workflow:
                     )
                 from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
 
-                return IcebergLayoutTable(tdef["path"]).read_tier(
-                    self.spark, prune=prune
+                # direct table-root read with the full lakehouse knob
+                # set: `snapshot` / `as_of` time travel, `branch` refs,
+                # and `changes: [from, to]` incremental (CDC) reads
+                tbl = IcebergLayoutTable(
+                    tdef["path"], branch=tdef.get("branch", "main")
+                )
+                if tdef.get("changes") is not None:
+                    lo, hi = tdef["changes"]
+                    return tbl.read_changes(
+                        self.spark, int(lo),
+                        None if hi is None else int(hi),
+                    )
+                return tbl.read_tier(
+                    self.spark,
+                    snapshot_id=(
+                        None if tdef.get("snapshot") is None
+                        else int(tdef["snapshot"])
+                    ),
+                    as_of=(
+                        None if tdef.get("as_of") is None
+                        else float(tdef["as_of"])
+                    ),
+                    prune=prune,
                 )
             df = T.source(
                 self.spark, tdef.get("format", "parquet"), tdef["path"],

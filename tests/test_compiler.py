@@ -647,3 +647,30 @@ def test_media_feature_ops(spark):
     assert (a["sample_rate"], a["n_samples"]) == (16000, 50)
     v = out["vf"].collect()[0]
     assert (v["n_frames"], v["height"], v["width"]) == (2, 4, 6)
+
+
+def test_tier_source_time_travel_and_changes(spark, tmp_path):
+    """format:"tier" direct reads take snapshot/as_of/changes — time
+    travel and CDC from the workflow language."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "tt")
+    t = IcebergLayoutTable(root)
+    df0 = spark.createDataFrame([(0, 1, 10.0)], "part long, k long, v double")
+    t.write_tier(df0, input_snapshot="s0")
+    df1 = spark.createDataFrame([(1, 2, 20.0)], "part long, k long, v double")
+    t.write_tier(df1, input_snapshot="s1")
+
+    spec = {"tables": [
+        {"id": "now", "operation": "source", "format": "tier",
+         "tier": "", "path": root},
+        {"id": "old", "operation": "source", "format": "tier",
+         "tier": "", "path": root, "snapshot": 0},
+        {"id": "delta", "operation": "source", "format": "tier",
+         "tier": "", "path": root, "changes": [0, 1]},
+    ]}
+    out = compile_workflow(spec, spark)
+    assert out["now"].count() == 2
+    assert out["old"].count() == 1
+    ch = out["delta"].toPandas()
+    assert set(ch["_change"]) == {"insert"} and len(ch) == 1

@@ -1086,6 +1086,23 @@ class Workflow:
                     input_snapshot=tdef.get("input_snapshot", f"workflow:{tdef['source']}"),
                 )
                 return src
+            if fmt == "merge":
+                # batch keyed MERGE (upsert) into an existing
+                # Iceberg-layout table — the batch twin of the
+                # streaming `stream_sink format:"upsert"`; `mode`
+                # picks copy-on-write vs merge-on-read (O(delta),
+                # zero base rewrite)
+                from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+                IcebergLayoutTable(
+                    tdef["path"], branch=tdef.get("branch", "main")
+                ).merge_rows(
+                    src,
+                    keys=tdef["keys"],
+                    mode=tdef.get("mode", "merge-on-read"),
+                    idempotency_tag=tdef.get("tag"),
+                )
+                return src
             out = src.coalesce(1) if tdef.get("single_file") else src
             w = out.write.mode(tdef.get("mode", "overwrite"))
             if fmt == "csv":

@@ -674,3 +674,32 @@ def test_tier_source_time_travel_and_changes(spark, tmp_path):
     assert out["old"].count() == 1
     ch = out["delta"].toPandas()
     assert set(ch["_change"]) == {"insert"} and len(ch) == 1
+
+
+def test_merge_sink(spark, tmp_path):
+    """sink format:"merge" — batch keyed upsert into an Iceberg-layout
+    table from the workflow language; `tag` makes re-runs exactly-once."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "m")
+    t = IcebergLayoutTable(root)
+    base = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 20.0)], "part long, k long, v double"
+    )
+    t.write_tier(base, input_snapshot="base")
+
+    spec = {"tables": [
+        {"id": "delta", "operation": "data"},
+        {"id": "out", "operation": "sink", "format": "merge",
+         "source": "delta", "path": root, "keys": ["k"], "tag": "d1"},
+    ]}
+    delta = spark.createDataFrame(
+        [(0, 2, 99.0), (0, 3, 30.0)], "part long, k long, v double"
+    )
+    compile_workflow(spec, spark, data={"delta": delta})
+    got = {r["k"]: r["v"] for r in IcebergLayoutTable(root).read_tier(spark).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+    snap = IcebergLayoutTable(root).current_snapshot()["snapshot_id"]
+    # same tag replays as a no-op
+    compile_workflow(spec, spark, data={"delta": delta})
+    assert IcebergLayoutTable(root).current_snapshot()["snapshot_id"] == snap

@@ -217,3 +217,79 @@ def test_example6_shape_close_tomorrow(spark):
     assert got["pred"].notna().all() and len(got) == df.count()
     # tomorrow's close ≈ today's close: the fit must have learned that
     assert abs(model["weights"][3] - 1.0) < 0.2
+
+
+def test_example7_shape_moving_average_model(spark, tmp_path):
+    """Example 7 (example7.json): diff_high_low, Close_Tomorrow shift,
+    the mean_Volume 10/5/2 rolling family, dropna, then a model
+    trained on slice(end=900) predicting Close_Tomorrow — the
+    GradientBoosting fit swapped for the registry linear fit (sklearn
+    absent; the *pipeline shape* is what parity pins here), checked
+    against a numpy normal-equations solve of the same frame."""
+    df = (
+        spark.read.csv(GSPC, header=True, inferSchema=True, nullValue="null")
+        .withColumn("_rn", F.row_number().over(
+            Window.orderBy(F.monotonically_increasing_id())))
+        .where(F.col("_rn") <= 1000)
+    )
+    df = df.withColumn("diff_high_low", F.col("High") - F.col("Low"))
+    df = C.shift(df, "Close_Tomorrow", "Close", -1, ["_rn"])
+    for w in (10, 5, 2):  # the extensions family
+        df = C.roll(df, f"mean_Volume_{w}", "mean", ["Volume"], w, ["_rn"])
+    df = row_filter(df, dropna=True)
+    # NB: High/Low are excluded — diff_high_low IS High-Low, and an
+    # exactly collinear design matrix has no unique linear solution to
+    # compare (the reference's GB model is indifferent to collinearity)
+    feats = ["Open", "Close", "Volume", "diff_high_low",
+             "mean_Volume_10", "mean_Volume_5", "mean_Volume_2"]
+    model = resolve_model(
+        f"$file:{tmp_path}/ex7.json", df,
+        {"function": "fit_linear", "inputs": feats,
+         "outputs": ["Close_Tomorrow"],
+         "row_filter": {"slice": {"end": 900}, "order_by": ["_rn"]}},
+    )
+    tr = (
+        row_filter(df, slice_spec={"end": 900}, order_by=["_rn"])
+        .select(*feats, "Close_Tomorrow").toPandas()
+    )
+    ib, wb = _np_fit(tr, feats, "Close_Tomorrow")
+    np.testing.assert_allclose(model["weights"], wb, rtol=1e-5, atol=1e-8)
+    got = df.withColumn("pred", predict_expr(model))
+    assert got.where(F.col("pred").isNull()).count() == 0
+
+
+def test_example8_shape_two_source_join_model(spark, tmp_path):
+    """Example 8 (example8.json): GSPC(Close,Volume) row-number-joined
+    with VIX(Close) under ["", "_VIX"] suffixes, Close_Tomorrow shift,
+    model on the merged frame — registry fit standing in for the
+    GradientBoosting, numpy parity on the trained slice."""
+    g = (
+        spark.read.csv(GSPC, header=True, inferSchema=True, nullValue="null")
+        .limit(1000).select("Close", "Volume")
+    )
+    v = (
+        spark.read.csv(VIX, header=True, inferSchema=True, nullValue="null")
+        .limit(1000).select("Close")
+    )
+    # suffixes here are per-RIGHT-table (the compiler maps the
+    # reference's pandas-style ["", "_VIX"] pair onto this)
+    merged = join_tables([g, v], keys=[], suffixes=["_VIX"])
+    merged = merged.withColumn("_rn", F.row_number().over(
+        Window.orderBy(F.monotonically_increasing_id())))
+    merged = C.shift(merged, "Close_Tomorrow", "Close", -1, ["_rn"])
+    merged = row_filter(merged, dropna=True)
+    feats = ["Close", "Volume", "Close_VIX"]
+    model = resolve_model(
+        f"$file:{tmp_path}/ex8.json", merged,
+        {"function": "fit_linear", "inputs": feats,
+         "outputs": ["Close_Tomorrow"],
+         "row_filter": {"slice": {"end": 900}, "order_by": ["_rn"]}},
+    )
+    tr = (
+        row_filter(merged, slice_spec={"end": 900}, order_by=["_rn"])
+        .select(*feats, "Close_Tomorrow").toPandas()
+    )
+    ib, wb = _np_fit(tr, feats, "Close_Tomorrow")
+    np.testing.assert_allclose(model["weights"], wb, rtol=1e-5, atol=1e-8)
+    # today's close dominates tomorrow's close prediction
+    assert abs(model["weights"][0] - 1.0) < 0.2

@@ -1450,6 +1450,21 @@ def _q_video_features(spark, sf_dir):
     return extract_video_features(docs)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing: concat docs in doc_id order, cut
+    every 512 tokens; two-phase global prefix sum must equal DuckDB's
+    single ORDER BY window sum exactly."""
+    from lambdo_spark.functions.sampling import pack_sequences
+    from lambdo_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return pack_sequences(docs, "n_tok", 512, ["doc_id"]).select(
+        "doc_id", "n_tok", "pack_id", "pack_offset"
+    )
+
+
 def _q_shuffle_order(spark, sf_dir):
     """Deterministic global training order: every doc ranked by a
     salted md5 permutation via the two-phase global ordinal (no
@@ -1756,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_fraction": _q_sample_fraction,
         "shuffle_order": _q_shuffle_order,
+        "pack_sequences": _q_pack_sequences,
         "dedup_spans": _q_dedup_spans,
         "audio_features": _q_audio_features,
         "image_decode_real": _q_image_decode_real,
@@ -2887,6 +2903,25 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
             FROM documents d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS n_tok
+              FROM documents
+            )
+            SELECT doc_id, n_tok,
+                   CAST(before // 512 AS BIGINT) AS pack_id,
+                   CAST(before % 512 AS BIGINT) AS pack_offset
+            FROM (
+              SELECT doc_id, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before
+              FROM t
+            )
         """,
         "shuffle_order": """
             SELECT doc_id,

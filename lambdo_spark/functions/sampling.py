@@ -116,3 +116,65 @@ def shuffle_deterministic(
     d = df.withColumn("_hk", _hash_key(key_cols, seed))
     out = global_ordinal(d, ["_hk", *list(key_cols)], out_col=out_col)
     return out.drop("_hk")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs — the standard
+    pretraining batching rule: concatenate docs in a deterministic
+    order and cut every ``budget`` tokens. A doc belongs to the pack
+    where its first token lands (``pack_id = tokens_before // budget``)
+    and ``offset_col`` is its position inside that pack, so the writer
+    can materialize packs without re-scanning.
+
+    The global prefix sum is TWO-PHASE (the shape of
+    ``global_ordinal``): range-partition on the order, per-partition
+    token sums collect to O(#partitions) driver rows, and each row
+    gets partition-local cumsum + its partition's offset — the naive
+    ``SUM() OVER (ORDER BY ...)`` single-partition window never
+    appears. Combine with :func:`shuffle_deterministic` to pack in a
+    seed-replayable shuffled order.
+    """
+    cols = [F.col(c) for c in order_cols]
+    sdf = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_sums = {
+        r["_pid"]: r["s"]
+        for r in sdf.groupBy("_pid")
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("s"))
+        .collect()
+    }
+    if not part_sums:
+        return (
+            sdf.withColumn(pack_col, F.lit(None).cast("long"))
+            .withColumn(offset_col, F.lit(None).cast("long"))
+            .drop("_pid")
+        )
+    offsets, acc = {}, 0
+    for pid in sorted(part_sums):
+        offsets[pid] = acc
+        acc += part_sums[pid]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(p)) for p in offsets]),
+            F.array(*[F.lit(int(o)) for o in offsets.values()]),
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    before = (F.sum(token_col).over(w) - F.col(token_col) + off).cast("long")
+    return (
+        sdf.withColumn(pack_col, F.floor(before / budget).cast("long"))
+        .withColumn(offset_col, F.pmod(before, F.lit(budget)).cast("long"))
+        .drop("_pid")
+    )

@@ -209,7 +209,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "text_analysis", "dedup_exact", "dedup_minhash", "quality_filter",
         "keep_latest", "dedup_clusters", "sample_stratified",
         "remove_boilerplate", "shuffle", "components", "dedup_spans",
-        "audio_features", "video_features",
+        "audio_features", "video_features", "pack",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -936,6 +936,15 @@ class Workflow:
                 src=tdef.get("src", "src"),
                 dst=tdef.get("dst", "dst"),
                 max_iter=int(tdef.get("max_iter", 50)),
+            )
+        if op == "pack":
+            from lambdo_spark.functions.sampling import pack_sequences
+
+            return pack_sequences(
+                self.tables[tdef["source"]],
+                tdef["tokens"],
+                int(tdef["budget"]),
+                tdef["order_by"],
             )
         if op == "shuffle":
             from lambdo_spark.functions.sampling import shuffle_deterministic

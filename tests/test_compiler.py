@@ -703,3 +703,18 @@ def test_merge_sink(spark, tmp_path):
     # same tag replays as a no-op
     compile_workflow(spec, spark, data={"delta": delta})
     assert IcebergLayoutTable(root).current_snapshot()["snapshot_id"] == snap
+
+
+def test_pack_op(spark):
+    """operation:"pack" — sequence packing from the workflow language."""
+    docs = spark.createDataFrame(
+        [(i, 60) for i in range(10)], "doc_id long, n_tok long"
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "packed", "operation": "pack", "source": "docs",
+         "tokens": "n_tok", "budget": 128, "order_by": ["doc_id"]},
+    ]}
+    got = compile_workflow(spec, spark, data={"docs": docs})["packed"].orderBy(
+        "doc_id").collect()
+    assert [r["pack_id"] for r in got] == [i * 60 // 128 for i in range(10)]

@@ -69,3 +69,27 @@ def test_shuffle_deterministic(spark):
         for r in shuffle_deterministic(d, ["doc_id"], seed="ep2").collect()
     }
     assert rc != ra                      # new epoch, new permutation
+
+
+def test_pack_sequences(spark):
+    from lambdo_spark.functions.sampling import pack_sequences
+
+    rows = [(i, 10 + (i * 7) % 40) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long").repartition(9)
+    out = (
+        pack_sequences(df, "n_tok", 128, ["doc_id"])
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # sequential reference: running cut every 128 tokens
+    cum = 0
+    for _, r in out.iterrows():
+        assert r["pack_id"] == cum // 128
+        assert r["pack_offset"] == cum % 128
+        cum += r["n_tok"]
+    # partitioning-independent
+    out2 = (
+        pack_sequences(df.repartition(2), "n_tok", 128, ["doc_id"])
+        .orderBy("doc_id").toPandas()
+    )
+    assert out.equals(out2)

@@ -44,15 +44,17 @@ def _hash_key(key_cols: Sequence[str], seed: str) -> Column:
 def sample_stratified(
     df: DataFrame,
     group_cols: Sequence[str],
-    n_per_group: int | None,
+    n_per_group: int | dict | None,
     key_cols: Sequence[str],
     seed: str = "42",
     salt_buckets: int = 16,
     fraction: float | None = None,
 ) -> DataFrame:
     """Keep exactly ``min(quota, group size)`` rows per group, where
-    the quota is ``n_per_group`` (absolute) or ``ceil(fraction × group
-    size)`` (proportional — pass ``fraction`` and ``n_per_group=None``).
+    the quota is ``n_per_group`` (absolute int, or a per-stratum
+    recipe dict ``{stratum: n}`` — strata missing from the recipe are
+    dropped) or ``ceil(fraction × group size)`` (proportional — pass
+    ``fraction`` and ``n_per_group=None``).
 
     ``key_cols`` must uniquely identify a row within its group — the
     salted md5 of the keys is the random order AND the tiebreak, so
@@ -71,6 +73,17 @@ def sample_stratified(
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gn"))
         quota = F.ceil(F.col("_gn") * F.lit(float(fraction))).cast("long")
         d = d.join(counts, list(group_cols)).withColumn("_quota", quota).drop("_gn")
+    elif isinstance(n_per_group, dict):
+        # an explicit mixing recipe: {stratum value: quota}. Strata
+        # absent from the recipe get quota 0 (dropped) — recipes are
+        # allowlists. Single group column only (recipes key on values).
+        if len(group_cols) != 1:
+            raise ValueError("dict quotas require exactly one group column")
+        g = F.col(group_cols[0]).cast("string")
+        quota = F.lit(0).cast("long")
+        for k, v in n_per_group.items():
+            quota = F.when(g == str(k), F.lit(int(v)).cast("long")).otherwise(quota)
+        d = d.withColumn("_quota", quota).where(F.col("_quota") > 0)
     else:
         d = d.withColumn("_quota", F.lit(int(n_per_group)).cast("long"))
     # phase 1: bound every task at group_size / salt_buckets

@@ -992,10 +992,15 @@ class Workflow:
         if op == "sample_stratified":
             from lambdo_spark.functions.sampling import sample_stratified
 
+            n_spec = None
+            if "quotas" in tdef:  # {stratum: n} mixing recipe
+                n_spec = {k: int(v) for k, v in tdef["quotas"].items()}
+            elif "n" in tdef:
+                n_spec = int(tdef["n"])
             return sample_stratified(
                 self.tables[tdef["source"]],
                 tdef["keys"],
-                int(tdef["n"]) if "n" in tdef else None,
+                n_spec,
                 tdef["unique_keys"],
                 seed=str(tdef.get("seed", "42")),
                 salt_buckets=int(tdef.get("salt_buckets", 16)),

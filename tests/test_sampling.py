@@ -93,3 +93,15 @@ def test_pack_sequences(spark):
         .orderBy("doc_id").toPandas()
     )
     assert out.equals(out2)
+
+
+def test_recipe_quotas(spark):
+    """Dict quotas = an explicit mixing recipe; unlisted strata drop."""
+    import pytest
+
+    out = sample_stratified(
+        _docs(spark), ["lang"], {"en": 4, "de": 2}, ["doc_id"]
+    ).toPandas()
+    assert out.groupby("lang").size().to_dict() == {"en": 4, "de": 2}
+    with pytest.raises(ValueError, match="one group column"):
+        sample_stratified(_docs(spark), ["lang", "lang"], {"en": 1}, ["doc_id"])

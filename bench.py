@@ -250,7 +250,7 @@ def main() -> None:
                 "all_queries_points_per_sec": int(points / total) if total else 0,
                 "pages_rows": PAGES_ROWS,
                 "cpus": cpus,
-                "timing": "best_of_2",
+                "timing": f"best_of_{BENCH_REPS}_loadgated_{BENCH_MAX_REPS}",
             }
         )
     )

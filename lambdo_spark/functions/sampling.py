@@ -70,9 +70,25 @@ def sample_stratified(
     hk = _hash_key(key_cols, seed)
     d = df.withColumn("_hk", hk)
     if fraction is not None:
+        # null-safe equi-join (eqNullSafe per group col) so a NULL
+        # stratum samples like any other — matching the absolute-n and
+        # dict modes, where the window partition keeps NULL as its own
+        # group. A plain `join(counts, cols)` would silently drop every
+        # NULL-stratum row. Catalyst still plans this as an equi-join
+        # (<=> is a sort-merge/broadcast-able key), so no plan penalty.
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gn"))
+        for i, c in enumerate(group_cols):
+            counts = counts.withColumnRenamed(c, f"_g{i}")
+        cond = None
+        for i, c in enumerate(group_cols):
+            clause = d[c].eqNullSafe(counts[f"_g{i}"])
+            cond = clause if cond is None else cond & clause
         quota = F.ceil(F.col("_gn") * F.lit(float(fraction))).cast("long")
-        d = d.join(counts, list(group_cols)).withColumn("_quota", quota).drop("_gn")
+        d = (
+            d.join(counts, cond)
+            .withColumn("_quota", quota)
+            .drop("_gn", *[f"_g{i}" for i in range(len(group_cols))])
+        )
     elif isinstance(n_per_group, dict):
         # an explicit mixing recipe: {stratum value: quota}. Strata
         # absent from the recipe get quota 0 (dropped) — recipes are
@@ -153,6 +169,25 @@ def pack_sequences(
     ``SUM() OVER (ORDER BY ...)`` single-partition window never
     appears. Combine with :func:`shuffle_deterministic` to pack in a
     seed-replayable shuffled order.
+
+    The per-partition cumsum uses an explicit ROWS frame
+    (``rowsBetween(unboundedPreceding, -1)``) — the default window
+    frame for an ordered window is RANGE, under which rows tied on
+    ``order_cols`` would each see the OTHERS' tokens in their own
+    prefix and land in overlapping packs. With the ROWS frame ties
+    pack correctly (disjoint offsets); for fully *deterministic*
+    output ``order_cols`` should still uniquely identify rows (pass a
+    doc id as the last column), otherwise the relative order WITHIN a
+    tie group is implementation-defined.
+
+    Cache lifecycle (same contract as ``global_ordinal``): the
+    range-partitioned frame is persisted and stays registered until
+    the session ends or ``spark.catalog.clearCache()`` — deliberate.
+    The collected ``part_sums`` offsets are only valid for the exact
+    partition boundaries the count job saw; unpersisting (or block
+    eviction forcing a recompute) would let ``repartitionByRange``
+    re-sample boundaries and silently corrupt pack ids. Blocks are
+    MEMORY_AND_DISK, so pressure spills rather than evicts.
     """
     cols = [F.col(c) for c in order_cols]
     sdf = (
@@ -184,8 +219,12 @@ def pack_sequences(
         ),
         F.col("_pid"),
     )
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    before = (F.sum(token_col).over(w) - F.col(token_col) + off).cast("long")
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = (
+        F.coalesce(F.sum(token_col).over(w), F.lit(0)) + off
+    ).cast("long")
     return (
         sdf.withColumn(pack_col, F.floor(before / budget).cast("long"))
         .withColumn(offset_col, F.pmod(before, F.lit(budget)).cast("long"))

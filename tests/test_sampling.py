@@ -105,3 +105,38 @@ def test_recipe_quotas(spark):
     assert out.groupby("lang").size().to_dict() == {"en": 4, "de": 2}
     with pytest.raises(ValueError, match="one group column"):
         sample_stratified(_docs(spark), ["lang", "lang"], {"en": 1}, ["doc_id"])
+
+def test_fraction_mode_null_stratum(spark):
+    """NULL strata must survive fraction mode (null-safe count join),
+    matching the absolute-n mode where the window keeps NULL as its
+    own group — previously the inner equi-join silently dropped them."""
+    rows = [(i, None if i < 20 else "en") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_stratified(d, ["lang"], None, ["doc_id"], fraction=0.2).toPandas()
+    sizes = {k if k == k else None: v  # NaN key → None
+             for k, v in out.groupby("lang", dropna=False).size().items()}
+    assert sizes == {None: 4, "en": 6}  # ceil(20*0.2)=4, ceil(30*0.2)=6
+    # and it agrees with absolute-n mode's treatment of the NULL group
+    out_n = sample_stratified(d, ["lang"], 4, ["doc_id"]).toPandas()
+    assert out_n.groupby("lang", dropna=False).size().to_dict() == {
+        None: 4, "en": 4
+    } or len(out_n[out_n["lang"].isna()]) == 4
+
+
+def test_pack_sequences_tied_order(spark):
+    """Rows tied on order_cols must land in DISJOINT pack slots (ROWS
+    prefix frame) — under the default RANGE frame every tied row saw
+    the whole tie group's tokens and packs overlapped."""
+    from lambdo_spark.functions.sampling import pack_sequences
+
+    # 6 rows, ALL tied on the order key, 50 tokens each, budget 128
+    rows = [(1, 50, i) for i in range(6)]
+    df = spark.createDataFrame(rows, "grp long, n_tok long, doc_id long")
+    out = pack_sequences(df, "n_tok", 128, ["grp"]).toPandas()
+    starts = sorted(
+        int(r["pack_id"] * 128 + r["pack_offset"]) for _, r in out.iterrows()
+    )
+    # a valid sequential packing in SOME tie order: starts are exactly
+    # the running prefix sums 0,50,100,...,250 — never duplicated
+    assert starts == [0, 50, 100, 150, 200, 250]
+    assert out["pack_id"].tolist().count(0) == 3  # 0,50,100 fit in pack 0

@@ -15,13 +15,20 @@ fixed-L form):
 
 1. window strings with start positions per doc (posexplode — rows ≈
    corpus tokens),
-2. one map-side-combined groupBy counting each window string
-   corpus-wide; duplicated windows survive a ``count >= min_count``
-   filter (that set is tiny relative to the corpus — duplication is
-   the exception),
-3. join occurrences against the duplicated set — keyed on the window
-   STRING for exactness (a 64-bit hash would delete clean text on
-   collisions at 10^12-token scale),
+2. one map-side-combined groupBy counting each window corpus-wide;
+   duplicated windows survive a ``count >= min_count`` filter (that
+   set is tiny relative to the corpus — duplication is the
+   exception),
+3. join occurrences against the duplicated set — keyed (default) on
+   the 128-BIT ``unhex(md5(window))`` of the window text, computed
+   map-side so the count exchange ships one fixed 16-byte key per
+   window instead of ~L tokens of text. At 10^12 tokens the string
+   form shuffles ~L× the corpus bytes (web grams are mostly unique,
+   so map-side combine barely reduces it); the md5 form shuffles
+   16 B/row regardless of L. Collision risk at 128 bits is ~n²/2^129
+   — ~10⁻¹⁵ even at 10^12 distinct windows — unlike a 64-bit key,
+   which WOULD delete clean text at that scale. ``key="text"`` keeps
+   the exact-string form for verify/oracle runs,
 4. covered token positions via an interval explode + distinct,
 5. anti-join tokens against covered positions, groupBy-doc ordered
    reassembly (state per doc = the doc's own tokens).
@@ -49,6 +56,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     span_tokens: int = 8,
     min_count: int = 2,
+    key: str = "hash128",
 ) -> DataFrame:
     """Drop every token covered by an ``span_tokens``-token window
     whose exact text occurs ``min_count``+ times in the corpus.
@@ -57,19 +65,31 @@ def remove_duplicate_spans(
     rejoined with single spaces; ``''`` when everything was
     duplicated). ``min_count=2`` is the Lee-et-al rule; raise it to
     tolerate limited repetition (e.g. popular quotes).
+
+    ``key`` picks the shuffle key for the corpus-wide window count:
+    ``"hash128"`` (default) ships ``unhex(md5(window))`` — 16 bytes
+    per window through the exchange, safe at any corpus size;
+    ``"text"`` ships the window string itself (exact, L× heavier —
+    the verify mode). Output is identical between the two barring a
+    ~2^-128 md5 collision.
     """
+    if key not in ("hash128", "text"):
+        raise ValueError(f"key must be 'hash128' or 'text', got {key!r}")
     L = int(span_tokens)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     d = docs.select(F.col(id_col), toks.alias("_tk"))
     n = F.size("_tk")
-    # L-token window strings with 0-based start positions
+    # L-token windows with 0-based start positions; in hash128 mode
+    # the md5 is computed INSIDE this map-side projection, so the
+    # window text never reaches the count exchange
+    win = lambda i: F.array_join(F.slice("_tk", i + 1, L), " ")
+    gram_key = (
+        (lambda i: F.unhex(F.md5(win(i)))) if key == "hash128" else win
+    )
     grams = d.where(n >= L).select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n - L),
-                lambda i: F.array_join(F.slice("_tk", i + 1, L), " "),
-            )
+            F.transform(F.sequence(F.lit(0), n - L), gram_key)
         ).alias("_start", "_ng"),
     )
     dup = (

@@ -337,32 +337,41 @@ def remove_boilerplate_lines(
     line that is boilerplate on one site but content on another).
 
     Returns ``(id_col, text_col)`` for EVERY input doc — a doc whose
-    lines were all boilerplate comes back as ``''``.
+    lines were all boilerplate comes back as ``''``. A NULL group
+    value is its own group (null-safe anti-join), so docs with a
+    missing group column dedup against each other rather than being
+    silently dropped.
 
-    Scale shape: one posexplode (rows ≈ corpus lines), one
-    count-distinct groupBy on (group, line), one join back on the same
-    key, one groupBy-reassemble per doc. The join key includes the
-    line text itself — joining on a 64-bit line hash would be smaller
-    on the wire but admits cross-line collisions at 10^12-line scale
-    (birthday bound ~10^4 collisions), silently deleting content
-    lines; correctness wins. Line counts combine map-side; the
-    reassembly groupBy's state per doc is the doc's own kept lines
-    (bounded by document size, not corpus size).
+    Scale shape: one posexplode (rows ≈ corpus lines), then the
+    count-distinct groupBy keyed on the 128-BIT ``unhex(md5(line))``
+    — 16 bytes per line through the count exchange instead of the
+    line text (collision odds ~n²/2^129, negligible at 10^12 lines,
+    unlike a 64-bit key whose birthday bound there is ~10^4 silent
+    deletions). Lines surviving ``>= min_docs`` form the BOILERPLATE
+    set — small (boilerplate is the exception), so the removal is a
+    broadcast-able LEFT ANTI join against it; the full corpus-lines
+    frame is never shuffled for the join (the old shape inner-joined
+    every line against every count). Reassembly groupBy state per doc
+    is the doc's own kept lines (bounded by document size).
     """
     gcols = list(group_cols)
     lines = docs.select(
         F.col(id_col),
         *[F.col(g) for g in gcols],
         F.posexplode(F.split(F.col(text_col), sep)).alias("_ix", "_line"),
-    )
-    counts = (
-        lines.select(*gcols, "_line", id_col)
-        .groupBy(*gcols, "_line")
+    ).withColumn("_lk", F.unhex(F.md5("_line")))
+    bp = (
+        lines.select(*gcols, "_lk", id_col)
+        .groupBy(*gcols, "_lk")
         .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .where(F.col("_ndocs") >= min_docs)
+        .select(*[F.col(g).alias(f"_bg_{g}") for g in gcols],
+                F.col("_lk").alias("_bk"))
     )
-    kept = lines.join(counts, [*gcols, "_line"]).where(
-        F.col("_ndocs") < min_docs
-    )
+    cond = lines["_lk"] == bp["_bk"]
+    for g in gcols:
+        cond = cond & lines[g].eqNullSafe(bp[f"_bg_{g}"])
+    kept = lines.join(bp, cond, "left_anti")
     assembled = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

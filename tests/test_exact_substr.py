@@ -100,3 +100,24 @@ def test_property_matches_python_reference(spark, texts):
     }
     want = dict(enumerate(_py_reference(texts, L=3)))
     assert got == want
+
+def test_hash128_equals_text_mode(spark):
+    """The 16-byte md5 shuffle key and the exact-string key produce
+    identical output (collision odds ~2^-128)."""
+    import pytest
+
+    rows = [
+        (1, "intro a b c d e f g h outro one"),
+        (2, "start a b c d e f g h finish two"),
+        (3, "x y z x y z x y z x y z x y z"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(docs, key="hash128").collect()}
+    exact = {r["doc_id"]: r["text"]
+             for r in remove_duplicate_spans(docs, key="text").collect()}
+    assert fast == exact
+    with pytest.raises(ValueError, match="hash128"):
+        remove_duplicate_spans(docs, key="sha512")

@@ -265,9 +265,20 @@ def test_boilerplate_counts_partial_agg(spark):
     from lambdo_spark.functions.text import remove_boilerplate_lines
 
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
-    plan = _plan(remove_boilerplate_lines(docs, min_docs=5))
+    out = remove_boilerplate_lines(docs, min_docs=5)
+    plan = _plan(out)
     assert "partial_" in plan, plan
     assert "SinglePartition" not in plan, plan
+    # the count exchange carries the 16-byte unhex(md5(line)) key, not
+    # line text, and removal is an ANTI join against the small
+    # boilerplate set (never an inner join of all lines vs all counts)
+    opt = _optimized(out)
+    assert "unhex(md5(" in opt, opt
+    assert "LeftAnti" in opt, opt
+    import re
+    groupings = re.findall(r"Aggregate \[([^\]]*)\]", opt)
+    assert any("_lk" in g for g in groupings), opt
+    assert not any("_line#" in g for g in groupings), opt
 
 
 def test_connected_components_star_plan(spark):
@@ -306,3 +317,29 @@ def test_dedup_spans_partial_agg_no_single_partition(spark):
     plan = _plan(remove_duplicate_spans(docs))
     assert "partial_" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_dedup_spans_count_exchange_fixed_width_key(spark):
+    """The window-count exchange must carry the 16-byte
+    unhex(md5(window)) key, not the ~L-token window STRING (which
+    would ship ~L× corpus bytes through the shuffle at 10^12 tokens).
+    Pin: the md5 is computed in the map-side projection (optimized
+    plan shows unhex(md5(...)) feeding the gram rows) and the
+    count-aggregate key column is BinaryType."""
+    from lambdo_spark.functions.exact_substr import remove_duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = remove_duplicate_spans(docs)  # default key="hash128"
+    opt = _optimized(out)
+    # md5 computed in the map-side projection, before any exchange;
+    # unhex(md5(..)) is BinaryType(16) — the exchange key is fixed-width
+    assert "unhex(md5(" in opt, opt
+    # no raw window string survives as a grouping key: every Aggregate
+    # groups on the _ng hash column, never on an array_join expression
+    import re
+    groupings = re.findall(r"Aggregate \[([^\]]*)\]", opt)
+    assert any("_ng" in g for g in groupings), opt
+    assert not any("array_join" in g for g in groupings), opt
+    # text mode keeps the exact-string key (verify path)
+    opt_text = _optimized(remove_duplicate_spans(docs, key="text"))
+    assert "unhex(md5(" not in opt_text, opt_text

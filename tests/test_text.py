@@ -176,3 +176,24 @@ def test_remove_boilerplate_lines(spark):
         3: "",
         4: f"{nav}\nother site text",  # only 1 doc in group b keeps it
     }
+
+def test_boilerplate_null_group_kept(spark):
+    """Docs with a NULL group column form their own stratum (null-safe
+    anti-join) instead of being silently emptied — previously the
+    inner count-join dropped every NULL-group line."""
+    from lambdo_spark.functions.text import remove_boilerplate_lines
+
+    nav = "home | about | contact"
+    rows = [
+        (1, None, f"{nav}\nunique one"),
+        (2, None, f"{nav}\nunique two"),
+        (3, None, f"{nav}\nunique three"),
+        (4, "a", "content stays intact here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1] == "unique one"          # nav removed WITHIN null group
+    assert out[2] == "unique two"
+    assert out[3] == "unique three"
+    assert out[4] == "content stays intact here"

@@ -563,51 +563,53 @@ def dedup_embedding_cosine(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    probes: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
     Default strategy (``exact=None``) is threshold-adaptive:
 
-    * threshold >= 0.7 — the regime embedding-dedup actually runs in —
+    * threshold >= 0.7 — the regime embedding-dedup usually runs in —
       uses **LSH-bucketed candidates + exact cosine re-rank** (one
       shuffle on bucket keys; random-hyperplane collision probability
       for a true pair at cos c is 1-(1-p^bits)^tables with
       p = 1 - arccos(c)/π, e.g. recall > 1 - 1e-7 at c=0.99 with the
       defaults). This is the 100 TB path: candidate volume ~
       collisions, never O(N²).
-    * threshold < 0.7: there is no implicit path — the call RAISES
-      unless ``exact=True`` is passed explicitly. At low thresholds
-      the OUTPUT is itself ~quadratic (random web-embedding pairs sit
-      at 0.3-0.6 cosine), so no sub-quadratic candidate scheme exists
-      and the only faithful computation is an all-pairs crossJoin;
-      that is a deliberate O(N²) a user must opt into, never a default
-      a corpus-scale run stumbles into. (If approximate recall is
-      acceptable at a low threshold, run the LSH path explicitly with
-      ``exact=False`` and more ``tables`` — multi-probe-style recall —
-      accepting missed pairs.)
+    * threshold < 0.7: **multi-probe LSH** (Lv et al. 2007) — per
+      table each vector also lands in every bucket reachable by
+      flipping a subset of its ``probes`` least-confident sign bits,
+      precisely the bits a moderately-similar pair disagrees on. This
+      keeps a sub-quadratic path open at low thresholds where base
+      LSH recall collapses (at c=0.5 per-bit agreement is only ~0.67).
+      Default ``probes=3`` there (8 buckets/table/vector — candidate
+      volume stays linear); recall is APPROXIMATE — raise ``tables``
+      and ``probes`` to push it toward 1, or pass ``exact=True`` for
+      the all-pairs crossJoin on small corpora / oracle baselines.
 
-    ``exact=True``/``False`` forces either path at any threshold.
+    ``exact=True``/``False`` forces either path at any threshold;
+    ``probes`` (``None`` = adaptive: 0 at >= 0.7, 3 below) controls
+    multi-probing on the LSH path. Precision is always exact — every
+    candidate is re-ranked by true cosine.
     """
-    from lambdo_spark.functions.similarity import cosine_expr, lsh_bucket_udf
+    from lambdo_spark.functions.similarity import (
+        cosine_expr, lsh_bucket_udf, lsh_multiprobe_udf,
+    )
 
     if exact is None:
-        if threshold < 0.7:
-            raise ValueError(
-                f"dedup_embedding_cosine(threshold={threshold}): below 0.7 the "
-                "random-hyperplane LSH collision rate is too weak to bucket on "
-                "and the true pair set is ~O(N^2). Pass exact=True to opt into "
-                "the all-pairs crossJoin (small corpora / oracle baselines "
-                "only), or exact=False with more `tables` to accept "
-                "approximate recall from the bucketed path."
-            )
         exact = False
+    if probes is None:
+        probes = 0 if threshold >= 0.7 else 3
     if exact:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         dim = len(emb.select(vec_col).first()[0])  # O(1) driver probe
-        udf = lsh_bucket_udf(dim, bits, tables, seed)
+        if probes > 0:
+            udf = lsh_multiprobe_udf(dim, bits, tables, seed, probes)
+        else:
+            udf = lsh_bucket_udf(dim, bits, tables, seed)
         # ids only through the bucket shuffle (vectors are dim×8 B
         # ×tables if they ride the explode — they join back by id onto
         # the deduplicated candidate pairs instead, like the MinHash

@@ -95,6 +95,63 @@ def lsh_bucket_udf(dim: int, bits: int = 12, tables: int = 4, seed: int = 42):
     return _udf
 
 
+def lsh_multiprobe_udf(
+    dim: int, bits: int = 8, tables: int = 8, seed: int = 42, probes: int = 2
+):
+    """array<float> -> array<long> of MULTI-PROBE bucket signatures:
+    per table, the base sign-pattern bucket PLUS every variant with a
+    subset of the ``probes`` least-confident bits flipped (Lv et al.
+    2007, query-directed probing, subset form) — 2**probes buckets per
+    table per vector.
+
+    Why: a pair at cosine c agrees per hyperplane with
+    p = 1 - arccos(c)/π; at low c (say 0.5 → p≈0.67) the base-bucket
+    collision p**bits is too rare for any practical table count, but
+    the bits where the pair DISAGREES are exactly the planes that
+    nearly graze one of the two vectors — the low-|projection|,
+    low-confidence bits. Flipping every subset of each side's
+    ``probes`` least-confident bits makes the pair collide whenever
+    its differing bit set D satisfies D ⊆ K_a ∪ K_b (K = the side's
+    flipped-bit set) with the split of D covered by the two subsets —
+    recall concentrates exactly where base LSH loses it. Candidate
+    volume stays linear in corpus size × 2**probes × tables; the
+    exact cosine re-rank downstream keeps precision at 1.
+    """
+    if probes < 0 or probes > bits:
+        raise ValueError(f"probes must be in [0, bits={bits}], got {probes}")
+    planes = [_hyperplanes(dim, bits, t, seed) for t in range(tables)]
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    n_var = 1 << probes
+    # flip masks: for variant v, flip the bits of the v-th subset of
+    # the `probes` least-confident bit POSITIONS (per row, per table)
+    subset_sel = np.array(
+        [[(v >> j) & 1 for j in range(probes)] for v in range(n_var)],
+        dtype=np.int64,
+    )  # (n_var, probes)
+
+    @pandas_udf("array<long>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        n = m.shape[0]
+        out = np.empty((n, len(planes) * n_var), dtype=np.int64)
+        for t, p in enumerate(planes):
+            proj = m @ p.T  # (n, bits)
+            sig = (proj > 0).astype(np.int64) @ weights  # (n,)
+            # positions of the `probes` least-confident bits, per row
+            order = np.argsort(np.abs(proj), axis=1)[:, :probes]  # (n, probes)
+            bitvals = weights[order]  # (n, probes)
+            # xor-flip masks for every subset: sum of selected bit
+            # values (each bit value appears once, so sum == xor)
+            masks = bitvals @ subset_sel.T  # (n, n_var)
+            variants = sig[:, None] ^ masks  # (n, n_var)
+            out[:, t * n_var : (t + 1) * n_var] = variants + (
+                np.int64(t) << np.int64(bits + 1)
+            )
+        return pd.Series(list(out))
+
+    return _udf
+
+
 def ivf_codebook(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -259,17 +259,24 @@ def test_minhash_bucket_cap_reports_drops(spark):
     assert ok == {"dropped_buckets": 0, "dropped_doc_slots": 0}
 
 
-def test_embedding_low_threshold_requires_explicit_exact(spark):
-    """Below cosine 0.7 the implicit path must refuse (the true pair
-    set is ~O(N²)); exact=True opts in, exact=False runs bucketed."""
+def test_embedding_low_threshold_multiprobe(spark):
+    """Below cosine 0.7 the implicit path is multi-probe LSH (probes
+    auto-set to 3) — sub-quadratic, approximate recall, exact
+    precision; exact=True still opts into the all-pairs crossJoin."""
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="exact=True"):
-        dedup_embedding_cosine(emb, threshold=0.4)
+    impl = dedup_embedding_cosine(emb, threshold=0.4).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in impl}
+    assert pairs == {(1, 2)}  # precision exact; the close pair recalled
     out = dedup_embedding_cosine(emb, threshold=0.4, exact=True).collect()
-    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in out}
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    # the implicit low-threshold plan is NOT a crossJoin
+    plan = dedup_embedding_cosine(
+        emb, threshold=0.4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cross" not in plan, plan
 
 
 def test_keep_latest_window_path_breaks_ties_on_payload(spark):

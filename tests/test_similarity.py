@@ -134,3 +134,49 @@ def test_ivf_persisted_index_skips_rebuild(spark, tmp_path, monkeypatch):
     again = ann_ivf_index_topk(spark, root, queries, k=5, nprobe=1).toPandas()
     assert set(again.query_id) <= set(exact.query_id)
     assert (again.groupby("query_id")["rank"].max() <= 5).all()
+
+def test_multiprobe_udf_shape_and_recall(spark):
+    """lsh_multiprobe_udf: 2**probes buckets per table per vector,
+    base bucket always included (probe-0 subset is empty), and
+    multiprobe recall dominates base-LSH recall on moderate-cosine
+    pairs with the SAME bits/tables."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from lambdo_spark.functions.similarity import (
+        lsh_bucket_udf, lsh_multiprobe_udf,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 120
+    base_vecs = rng.standard_normal((n, dim))
+    # pairs at cosine ~0.55: v and a mix of v with noise
+    noise = rng.standard_normal((n, dim))
+    mixed = 0.72 * base_vecs / np.linalg.norm(base_vecs, axis=1, keepdims=True) \
+        + 0.69 * noise / np.linalg.norm(noise, axis=1, keepdims=True)
+    rows = [(i, base_vecs[i].tolist()) for i in range(n)] + [
+        (i + n, mixed[i].tolist()) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bits, tables, probes = 8, 8, 3
+    mp = lsh_multiprobe_udf(dim, bits, tables, probes=probes)
+    single = lsh_bucket_udf(dim, bits, tables)
+    got = emb.select(
+        "vec_id",
+        mp(F.col("embedding")).alias("mpb"),
+        single(F.col("embedding")).alias("sb"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    for r in got:
+        assert len(r["mpb"]) == tables * (1 << probes)
+        assert set(r["sb"]) <= set(r["mpb"])  # base buckets included
+    def hits(key):
+        c = 0
+        for i in range(n):
+            a, b = set(by_id[i][key]), set(by_id[i + n][key])
+            c += bool(a & b)
+        return c
+    assert hits("mpb") > hits("sb")  # multiprobe strictly more recall
+
+    import pytest
+    with pytest.raises(ValueError, match="probes"):
+        lsh_multiprobe_udf(dim, bits=4, probes=9)

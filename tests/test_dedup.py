@@ -383,3 +383,34 @@ def test_minhash_auto_bands_matches_exact(spark):
     )
     exact = {(r["id_a"], r["id_b"], r["jaccard"]) for r in exact_df.collect()}
     assert got == exact
+
+def test_jaccard_udf_matches_expressions(spark):
+    """jaccard_verify_udf must be VALUE-IDENTICAL to the JVM
+    expression forms (shingle_jaccard / ngram_jaccard) — including the
+    Java-regex \\s (ASCII-only), Spark trim (space only), empty-string
+    and short-doc edge rules — property-checked over adversarial
+    strings."""
+    from lambdo_spark.functions.dedup import (
+        jaccard_verify_udf, ngram_jaccard, shingle_jaccard,
+    )
+
+    samples = [
+        "", " ", "  ", "a", "a b", "a b c", "a b c d e",
+        "a  b\tc\nd", " leading", "trailing ", "\tTABS\t",
+        "a b c d",          # NBSP: not \s in Java ASCII regex
+        "x y z x y z x y z", "UPPER lower MiXeD",
+        "tok " * 50, "a b c\x0b d", "　wide space　 a b",
+    ]
+    rows = [(i, samples[i % len(samples)], samples[(i * 7 + 3) % len(samples)])
+            for i in range(len(samples) ** 2)]
+    df = spark.createDataFrame(rows, "i long, ta string, tb string")
+    got = df.select(
+        "i",
+        shingle_jaccard(F.col("ta"), F.col("tb")).alias("sh_expr"),
+        ngram_jaccard(F.col("ta"), F.col("tb")).alias("tk_expr"),
+        jaccard_verify_udf("shingle")(F.col("ta"), F.col("tb")).alias("sh_udf"),
+        jaccard_verify_udf("token")(F.col("ta"), F.col("tb")).alias("tk_udf"),
+    ).collect()
+    for r in got:
+        assert r["sh_expr"] == r["sh_udf"], (r["i"], r["sh_expr"], r["sh_udf"])
+        assert r["tk_expr"] == r["tk_udf"], (r["i"], r["tk_expr"], r["tk_udf"])

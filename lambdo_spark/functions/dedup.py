@@ -456,10 +456,16 @@ def dedup_minhash_lsh(
                 "boilerplate upstream)",
                 bucket_cap, metrics["dropped_buckets"], metrics["dropped_doc_slots"],
             )
-    exploded = exploded.join(
-        sizes.where(F.col("count") <= bucket_cap).drop("count"),
-        ["band_ix", "band_key"],
-    )
+    # drop flood buckets via LEFT ANTI against the over-cap set —
+    # flood buckets are the exception (at most slots/bucket_cap of
+    # them), so AQE plans this as a broadcast anti-join at runtime
+    # (no explicit hint: a pathological corpus could have a large
+    # flood set, where AQE correctly falls back to a shuffled anti
+    # join). The old shape inner-joined all docs×bands exploded rows
+    # against the FULL bucket-size table — a sort-merge join measured
+    # at ~10 s of the 500k-doc scale bench.
+    flood = sizes.where(F.col("count") > bucket_cap).drop("count")
+    exploded = exploded.join(flood, ["band_ix", "band_key"], "left_anti")
     a = exploded.select("band_ix", "band_key", F.col("id").alias("id_a"))
     b = exploded.select("band_ix", "band_key", F.col("id").alias("id_b"))
     cand = (

@@ -1320,6 +1320,34 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def _q_decontaminate_hash(spark, sf_dir):
+    """Decontamination with the hash64 broadcast prefilter: the 8-byte
+    xxhash64 set broadcasts instead of the n-gram strings (~12×
+    lighter — the huge-eval-suite knob) and the candidate set is
+    exact-verified against the strings, so the output — and therefore
+    the oracle SQL — is byte-identical to the plain path."""
+    from lambdo_spark.functions.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return decontaminate(docs, bench, n=8, prefilter="hash64")
+
+
+def _q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring, trained on the scored
+    corpus itself (self-perplexity): the 'model' is two count tables
+    and 'predict' is a join — no per-row Python, no model artifact.
+    The driver row exposes the INTEGER sufficient statistics
+    (n_bigrams, Σc12, Σc1 — exactly partitioning-invariant and
+    SQL-replicable); logprob/ppl are float log-sums whose last ulp
+    depends on summation order, so they stay out of the value hash
+    (test_lm.py pins them to the Python reference at rel 1e-12)."""
+    from lambdo_spark.functions.lm import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(docs).select("doc_id", "n_bigrams", "hits2", "hits1")
+
+
 def _q_contamination_pairs(spark, sf_dir):
     """Decontamination audit: which benchmark doc overlapped which
     train doc, by how many distinct 8-grams."""
@@ -1769,15 +1797,17 @@ def _media_frames_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's per-round correctness sampling (first
     ~50 entries — observed rounds 2 AND 3: the gate stopped at entry
-    #50). Rotation policy (COVERAGE.md): (1) rows whose last driver
-    check is oldest go first — this round that is the flagship rollup
-    / timeseries / DML block, driver-checked in r1/r2 only; (2) rows
-    whose CODE changed this round and brand-new rows follow; (3) rows
-    green in the latest driver file cede the window; (4) permanent
-    rows-only entries (dedup_simhash) always sit in the tail, never
-    burning a gate slot."""
+    #50). Rotation policy (COVERAGE.md): (1) stalest driver evidence
+    first — the flagship rollup / timeseries / DML / relational rows
+    last driver-checked in r1/r2; (2) rows whose CODE changed this
+    round (span/boilerplate hash keys, sampling fixes, minhash verify
+    UDF + bucket-cap anti-join, embedding multiprobe default,
+    decontaminate semi-join) and brand-new rows; (3) rows green in
+    CORRECTNESS_r03 cede; (4) permanent rows-only entries park at the
+    tail. Five trivial stale rows (extend/noop/rename/sqrt/shuffle)
+    rotate out this round and lead the round-5 window."""
     return {
-        # ---- flagship rollup (driver rows from r1/r2 — stalest first)
+        # ---- flagship rollup + DML (driver rows from r1/r2)
         "rollup_1h": _q_rollup_1h,
         "rollup_1d_via_partials": _q_rollup_1d_via_partials,
         "rollup_gapfill_1h": _q_rollup_gapfill_1h,
@@ -1810,18 +1840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "workflow_compiled": _q_workflow_compiled,
         "workflow_sql": _q_workflow_sql,
-        "extend_table": _q_extend_table,
-        "column_noop": _q_column_noop,
-        "rename_fillna": _q_rename_fillna,
-        "roll_mad_w7": _q_roll_mad_w7,
-        "calc_user_sqrt": _q_calc_user_sqrt,
         "train_predict": _q_train_predict,
         "train_grouped": _q_train_grouped,
         "asof_snapshot": _q_asof_snapshot,
         "asof_tolerance": _q_asof_tolerance,
         "roll_range_1h": _q_roll_range_1h,
-        # ---- NEW this round + rows whose code changed this round
-        "dedup_embedding_multiprobe": _q_dedup_embedding_multiprobe,
+        # ---- code changed this round (locally green; need driver rows)
         "dedup_spans": _q_dedup_spans,
         "boilerplate_lines": _q_boilerplate_lines,
         "pack_sequences": _q_pack_sequences,
@@ -1829,22 +1853,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": _q_sample_fraction,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        # ---- NEW this round
+        "dedup_embedding_multiprobe": _q_dedup_embedding_multiprobe,
+        "lm_score": _q_lm_score,
+        "decontaminate_hash": _q_decontaminate_hash,
+        # ---- entry #50
+        "roll_mad_w7": _q_roll_mad_w7,
+        # ==== below: green in CORRECTNESS_r03 (or displaced trivial
+        # ==== stale rows that lead the round-5 window)
+        "extend_table": _q_extend_table,
+        "column_noop": _q_column_noop,
+        "rename_fillna": _q_rename_fillna,
+        "calc_user_sqrt": _q_calc_user_sqrt,
         "shuffle_order": _q_shuffle_order,
-        # ==== entry #50 is shuffle_order; everything below is green
-        # ==== in CORRECTNESS_r03.json and cedes the gate window
-        # ---- training-data pipeline (green in r3)
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_latest": _q_dedup_keep_latest,
         "dedup_tokenset": _q_dedup_tokenset,
-        "dedup_minhash": _q_dedup_minhash,
         "audio_features": _q_audio_features,
         "image_decode_real": _q_image_decode_real,
         "video_features": _q_video_features,
         "scrub_pii": _q_scrub_pii,
-        "decontaminate": _q_decontaminate,
         "contamination_pairs": _q_contamination_pairs,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash_md5": _q_dedup_simhash_md5,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -1856,7 +1889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
-        # ---- set ops / sketches / grouping sets (green in r3)
         "hist_p95_1d": _q_hist_p95_1d,
         "distinct_users_1d": _q_distinct_users_1d,
         "distinct_sketch_1h": _q_distinct_sketch_1h,
@@ -2839,6 +2871,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontaminate_hash": """
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), tr AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS ng
+              FROM tk WHERE len(t) >= 8
+            ), be AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' ')))) AS ng
+              FROM tk WHERE doc_id % 50 = 0 AND len(t) >= 8
+            ), hits AS (
+              SELECT tr.doc_id, COUNT(DISTINCT tr.ng) AS n_hits
+              FROM tr JOIN be USING (ng) GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) >= 1 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "lm_score": """
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), st AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 AND t[1] != ''
+                          THEN list_prepend(chr(2), t)
+                          ELSE [] END AS s
+              FROM tk
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(s) - 1),
+                       i -> struct_pack(w1 := s[i], w2 := s[i+1]))) AS b
+              FROM st WHERE len(s) >= 2
+            ), bg2 AS (
+              SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+            ), c12 AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY 1
+            ), per AS (
+              SELECT bg2.doc_id, COUNT(*) AS n_bigrams,
+                     SUM(c12.c12) AS hits2, SUM(c1.c1) AS hits1
+              FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(p.hits2, 0) AS BIGINT) AS hits2,
+                   CAST(COALESCE(p.hits1, 0) AS BIGINT) AS hits1
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "video_features": """
             WITH dims AS (

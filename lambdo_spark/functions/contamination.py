@@ -9,10 +9,14 @@ Shape at scale: the benchmark side is tiny relative to the corpus
 (millions of n-grams vs 10^12 docs), so the overlap test is a
 broadcast semi-join of distinct benchmark n-grams onto the exploded
 train n-grams — the corpus is touched ONCE, no shuffle of corpus
-text. The join keys on the n-gram STRING, not a 64-bit hash: at
-10^12-document scale hash collisions would flag clean documents as
-contaminated (silent corpus loss), and the broadcast side is the
-small one, so exactness costs only benchmark bytes.
+text. The join keys on the n-gram STRING, not a bare 64-bit hash: at
+10^12-document scale unverified hash collisions would flag clean
+documents as contaminated (silent corpus loss), and the broadcast
+side is the small one, so exactness costs only benchmark bytes. When
+even the string set is too big to broadcast, ``prefilter="hash64"``
+broadcasts the 8-byte xxhash64 values instead and exact-verifies the
+(tiny) candidate set against the strings in a second join — same
+output, ~12× lighter broadcast.
 
 Reference analog: lambdo's pairwise UDF comparisons
 (/root/reference/lambdo/Column.py:524-559) are the closest shape; the
@@ -54,6 +58,7 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     broadcast_bench: bool = True,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Flag training docs sharing ``min_hits``+ distinct n-grams with
     ANY benchmark text.
@@ -67,6 +72,16 @@ def decontaminate(
     ``broadcast_bench=True`` (default) broadcasts the distinct
     benchmark n-gram set — right for real benchmarks (MBs); disable it
     if the "benchmark" side is itself corpus-sized.
+
+    ``prefilter="hash64"`` broadcasts the distinct ``xxhash64`` values
+    of the benchmark n-grams instead of the strings (8 B per gram —
+    ~12× lighter than 13-gram text, the knob that keeps the broadcast
+    under executor memory when the eval suite is huge), then
+    EXACT-verifies the surviving candidates against the benchmark
+    strings with a second join. The candidate set after the hash
+    semi-join is real hits + ~n²/2^64 collisions, so the verify join
+    is tiny and the output is byte-identical to the plain path (same
+    oracle SQL).
     """
     bt = bench_text_col or text_col
     tr = train.select(
@@ -76,12 +91,24 @@ def decontaminate(
         bench.select(F.explode(ngram_set(F.col(bt), n)).alias("_ng"))
         .distinct()
     )
-    if broadcast_bench:
-        be = F.broadcast(be)
-    hits = (
-        tr.join(be, "_ng")
-        .groupBy(id_col)
-        .agg(F.countDistinct("_ng").alias("n_hits"))
+    if prefilter == "hash64":
+        bh = be.select(F.xxhash64("_ng").alias("_ngh")).distinct()
+        if broadcast_bench:
+            bh = F.broadcast(bh)
+        cand = tr.join(bh, F.xxhash64(tr["_ng"]) == bh["_ngh"], "left_semi")
+        # exact re-verify: collisions (~n²/2^64) must not flag clean
+        # docs — candidates are few, so this join is cheap either way
+        matched = cand.join(
+            F.broadcast(be) if broadcast_bench else be, "_ng", "left_semi"
+        )
+    elif prefilter is None:
+        if broadcast_bench:
+            be = F.broadcast(be)
+        matched = tr.join(be, "_ng", "left_semi")
+    else:
+        raise ValueError(f"prefilter must be None or 'hash64', got {prefilter!r}")
+    hits = matched.groupBy(id_col).agg(
+        F.countDistinct("_ng").alias("n_hits")
     )
     ids = train.select(F.col(id_col))
     return ids.join(hits, id_col, "left").select(

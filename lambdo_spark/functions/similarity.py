@@ -355,11 +355,22 @@ def ann_lsh_topk(
     bits: int = 12,
     tables: int = 4,
     seed: int = 42,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equal-LSH-bucket candidates → exact cosine
-    re-rank. One shuffle on bucket key instead of a full cross join."""
+    re-rank. One shuffle on bucket key instead of a full cross join.
+
+    ``probes > 0`` switches both sides to multi-probe bucketing
+    (:func:`lsh_multiprobe_udf` — every subset of the ``probes``
+    least-confident sign bits flipped per table), trading candidate
+    volume (×2**probes per side) for recall on moderate-cosine
+    neighbors where base sign-LSH misses. Precision is unaffected —
+    candidates are exactly re-ranked."""
     dim = len(emb.select(vec_col).first()[0])
-    udf = lsh_bucket_udf(dim, bits, tables, seed)
+    if probes > 0:
+        udf = lsh_multiprobe_udf(dim, bits, tables, seed, probes)
+    else:
+        udf = lsh_bucket_udf(dim, bits, tables, seed)
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.explode(udf(F.col(vec_col))).alias("bucket"),

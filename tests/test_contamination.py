@@ -71,3 +71,33 @@ def test_contamination_pairs(spark):
         for r in contamination_pairs(train, bench, n=8).collect()
     )
     assert got == [(1, 100), (2, 200)]
+
+def test_decontaminate_hash_prefilter_identical(spark):
+    """prefilter='hash64' (broadcast 8-byte hashes + exact re-verify)
+    must return byte-identical output to the plain string-broadcast
+    path, and the plan must show the hash semi-join feeding an exact
+    string verify."""
+    import pytest
+    from lambdo_spark.functions.contamination import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma delta epsilon zeta eta theta"
+          + (" shared bench span one two three four five" if i % 3 == 0 else ""))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "the shared bench span one two three four five appears here")],
+        "bench_id long, text string",
+    )
+    plain = sorted(map(tuple, decontaminate(train, bench, n=8).collect()))
+    fast = sorted(map(tuple,
+        decontaminate(train, bench, n=8, prefilter="hash64").collect()))
+    assert plain == fast
+    assert any(r[2] == 1 for r in plain)  # the planted overlap is found
+    plan = decontaminate(
+        train, bench, n=8, prefilter="hash64"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+    with pytest.raises(ValueError, match="prefilter"):
+        decontaminate(train, bench, prefilter="bloom")

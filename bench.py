@@ -221,6 +221,10 @@ def main() -> None:
     bench(
         "shuffle_order", lambda: run(qs["shuffle_order"](spark, sf_dir))
     )
+    # round-4 additions: span dedup (128-bit shuffle key) + bigram-LM
+    # scoring — regression guards like the other extras
+    bench("dedup_spans", lambda: run(qs["dedup_spans"](spark, sf_dir)))
+    bench("lm_score", lambda: run(qs["lm_score"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     CORE = (

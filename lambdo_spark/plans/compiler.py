@@ -214,6 +214,10 @@ def _table_deps(tdef: dict) -> set[str]:
         deps.add(tdef["source"])
     elif op == "decontaminate":
         deps.update((tdef["source"], tdef["bench"]))
+    elif op == "lm_score":
+        deps.add(tdef["source"])
+        if "ref" in tdef:
+            deps.add(tdef["ref"])
     elif op in ("join", "product", "union", "intersect", "except", "sql"):
         deps.update(tdef.get("inputs", []))
     if op == "source" and isinstance(tdef.get("realtime"), dict):
@@ -967,6 +971,24 @@ class Workflow:
                 n=int(tdef.get("n", 8)),
                 min_hits=int(tdef.get("min_hits", 1)),
                 broadcast_bench=bool(tdef.get("broadcast_bench", True)),
+                prefilter=tdef.get("prefilter"),
+            )
+        if op == "lm_score":
+            from lambdo_spark.functions.lm import lm_counts, lm_score
+
+            counts = None
+            if "ref" in tdef:
+                counts = lm_counts(
+                    self.tables[tdef["ref"]],
+                    id_col=tdef.get("id_col", "doc_id"),
+                    text_col=tdef.get("text", "text"),
+                )
+            return lm_score(
+                self.tables[tdef["source"]],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                alpha=float(tdef.get("alpha", 0.5)),
+                counts=counts,
             )
         if op == "remove_boilerplate":
             from lambdo_spark.functions.text import remove_boilerplate_lines

@@ -718,3 +718,58 @@ def test_pack_op(spark):
     got = compile_workflow(spec, spark, data={"docs": docs})["packed"].orderBy(
         "doc_id").collect()
     assert [r["pack_id"] for r in got] == [i * 60 // 128 for i in range(10)]
+
+
+def test_lm_score_op(spark):
+    """operation:"lm_score" from the workflow language — self-trained
+    and reference-trained forms."""
+    rows = [(1, "the cat sat on the mat"), (2, "the cat sat on the mat"),
+            (3, "zz qq xx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {
+        "tables": [
+            {"id": "docs", "operation": "data"},
+            {"id": "scored", "operation": "lm_score", "source": "docs"},
+            {"id": "xscored", "operation": "lm_score", "source": "docs",
+             "ref": "docs", "alpha": 0.1},
+        ]
+    }
+    out = compile_workflow(wf, spark, data={"docs": docs})
+    got = {r["doc_id"]: r for r in out["scored"].collect()}
+    assert got[1]["n_bigrams"] == 6 and got[1]["hits2"] >= 6
+    assert got[3]["ppl"] > got[1]["ppl"]
+    # ref= form agrees with counts-trained direct call at same alpha
+    from lambdo_spark.functions.lm import lm_score
+    direct = {r["doc_id"]: r["ppl"]
+              for r in lm_score(docs, alpha=0.1).collect()}
+    for r in out["xscored"].collect():
+        assert abs(r["ppl"] - direct[r["doc_id"]]) < 1e-9
+
+
+def test_decontaminate_prefilter_op(spark):
+    """operation:"decontaminate" with prefilter:"hash64" compiles and
+    matches the plain op's output."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota")
+         for i in range(6)] + [(9, "nothing in common with anything else at all")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    wf = {
+        "tables": [
+            {"id": "docs", "operation": "data"},
+            {"id": "bench", "operation": "data"},
+            {"id": "plain", "operation": "decontaminate",
+             "source": "docs", "bench": "bench"},
+            {"id": "fast", "operation": "decontaminate",
+             "source": "docs", "bench": "bench", "prefilter": "hash64"},
+        ]
+    }
+    out = compile_workflow(wf, spark, data={"docs": docs, "bench": bench})
+    assert sorted(map(tuple, out["plain"].collect())) == \
+        sorted(map(tuple, out["fast"].collect()))
+    flags = {r["doc_id"]: r["contaminated"] for r in out["fast"].collect()}
+    assert flags[0] == 1 and flags[9] == 0

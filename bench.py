@@ -47,7 +47,24 @@ def _load1() -> float:
 
 
 def run(df) -> int:
-    """Force full computation; return row count (points rolled up)."""
+    """Force full computation; return row count (points rolled up).
+
+    count() genuinely forces AGGREGATE-shaped queries (the grouping
+    must run to know the row count) — the whole core basis. It does
+    NOT force doc-shaped outputs that end in a left join back onto the
+    id list: Catalyst proves the aggregated right side unique on the
+    join key, eliminates the join, and counts the bare id column —
+    measured: the dedup_spans count plan collapses to one Aggregate
+    over the parquet scan. Those queries go through run_forced()."""
+    return df.count()
+
+
+def run_forced(df) -> int:
+    """Force EVERY column to materialize via the noop sink (the
+    standard Spark benchmarking sink: full execution, zero write
+    cost), then count (which is ~free precisely because of the join
+    elimination documented above)."""
+    df.write.format("noop").mode("overwrite").save()
     return df.count()
 
 
@@ -214,17 +231,23 @@ def main() -> None:
     # ---- corpus-pipeline surfaces (round 3): regression-guard the
     # training-data ops at the same sf (documents table, 5k docs at
     # sf0.1) — outside core_queries_total like the other extras
+    # doc-shaped outputs (trailing id-join) need run_forced — count()
+    # alone is join-eliminated (see run/run_forced docstrings). NB the
+    # r2/r3 decontaminate/shuffle_order extras were recorded with
+    # count() and so under-measured; the forced basis starts round 4.
     bench("dedup_clusters", lambda: run(qs["dedup_clusters"](spark, sf_dir)))
     bench(
-        "decontaminate", lambda: run(qs["decontaminate"](spark, sf_dir))
+        "decontaminate",
+        lambda: run_forced(qs["decontaminate"](spark, sf_dir)),
     )
     bench(
-        "shuffle_order", lambda: run(qs["shuffle_order"](spark, sf_dir))
+        "shuffle_order",
+        lambda: run_forced(qs["shuffle_order"](spark, sf_dir)),
     )
     # round-4 additions: span dedup (128-bit shuffle key) + bigram-LM
     # scoring — regression guards like the other extras
-    bench("dedup_spans", lambda: run(qs["dedup_spans"](spark, sf_dir)))
-    bench("lm_score", lambda: run(qs["lm_score"](spark, sf_dir)))
+    bench("dedup_spans", lambda: run_forced(qs["dedup_spans"](spark, sf_dir)))
+    bench("lm_score", lambda: run_forced(qs["lm_score"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     CORE = (

@@ -81,16 +81,23 @@ def remove_duplicate_spans(
     n = F.size("_tk")
     # L-token windows with 0-based start positions; in hash128 mode
     # the md5 is computed INSIDE this map-side projection, so the
-    # window text never reaches the count exchange
-    win = lambda i: F.array_join(F.slice("_tk", i + 1, L), " ")
-    gram_key = (
-        (lambda i: F.unhex(F.md5(win(i)))) if key == "hash128" else win
-    )
-    grams = d.where(n >= L).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), n - L), gram_key)
-        ).alias("_start", "_ng"),
+    # window text never reaches the count exchange. The window is
+    # built by exploding the start positions and slicing in a plain
+    # projection — building the window array inside a
+    # transform(sequence, λ) lambda ran INTERPRETED (higher-order
+    # lambdas never enter whole-stage codegen; same lesson as the
+    # gap-fill rewrite, BENCH.md) and cost ~2.7× at the 500k-doc
+    # scale bench, worse still with md5 inside the lambda.
+    win = F.array_join(F.slice("_tk", F.col("_start") + 1, L), " ")
+    gram_key = F.unhex(F.md5(win)) if key == "hash128" else win
+    grams = (
+        d.where(n >= L)
+        .select(
+            F.col(id_col),
+            "_tk",
+            F.explode(F.sequence(F.lit(0), n - L)).alias("_start"),
+        )
+        .select(F.col(id_col), "_start", gram_key.alias("_ng"))
     )
     dup = (
         grams.groupBy("_ng")

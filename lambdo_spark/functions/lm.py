@@ -44,20 +44,24 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.size(toks) > 0) & (F.element_at(toks, 1) != F.lit("")),
         F.concat(F.array(F.lit(_BOS)), toks),
     ).otherwise(F.array().cast("array<string>"))
-    # NB Spark sequence(1, 0) is DESCENDING, not empty — short streams
-    # must short-circuit before the transform (verify-skill gotcha)
-    pairs = F.when(
-        F.size(stream) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(stream) - 1),
-            lambda i: F.struct(
-                F.element_at(stream, i).alias("w1"),
-                F.element_at(stream, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return docs.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
-        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    # codegen-friendly shape: posexplode the stream and read the
+    # successor token with element_at on the carried array — a
+    # transform(sequence, λ→struct) form ran INTERPRETED (higher-order
+    # lambdas never enter whole-stage codegen; the same lesson as the
+    # round-2 gap-fill rewrite, BENCH.md) and cost 34 s per evaluation
+    # at 500k docs vs ~4 s for this Generate+projection
+    return (
+        docs.select(F.col(id_col), stream.alias("_s"))
+        .select(
+            F.col(id_col), F.col("_s"),
+            F.posexplode(F.col("_s")).alias("_p", "w1"),
+        )
+        .where(F.col("_p") < F.size("_s") - 1)
+        .select(
+            id_col,
+            "w1",
+            F.element_at("_s", F.col("_p") + 2).alias("w2"),
+        )
     )
 
 
@@ -70,8 +74,11 @@ def lm_counts(
     persist them if scoring several corpora against one reference."""
     bg = _doc_bigrams(ref, id_col, text_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    contexts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.select(F.col("w2").alias("w")).distinct().agg(
+    # contexts and vocabulary derive from the (far smaller) bigram
+    # count table instead of re-scanning the corpus: c1(w1) = Σ_w2
+    # c12(w1, w2), and every corpus token appears as some bigram's w2
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bigrams.select(F.col("w2").alias("w")).distinct().agg(
         F.count(F.lit(1)).alias("v")
     )
     return bigrams, contexts, vocab

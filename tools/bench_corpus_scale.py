@@ -78,7 +78,13 @@ def main() -> None:
     walls, rows = {}, {}
     for name, fn in ops.items():
         t0 = time.time()
-        rows[name] = fn().count()
+        df = fn()
+        # noop sink: count() alone is join-eliminated on these
+        # doc-shaped outputs (Catalyst proves the aggregated join side
+        # unique and counts the bare id column — measured, see
+        # bench.py run_forced) — the noop write forces every column
+        df.write.format("noop").mode("overwrite").save()
+        rows[name] = df.count()
         walls[name] = round(time.time() - t0, 3)
         print(f"{name}: {walls[name]}s rows={rows[name]}", file=sys.stderr)
         assert rows[name] == N_DOCS, (name, rows[name])

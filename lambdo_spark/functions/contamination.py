@@ -35,7 +35,13 @@ def ngram_set(col: Column, n: int) -> Column:
     """Distinct n-token shingle strings (whitespace tokenization —
     the shared contract in functions/text.py); empty array for texts
     shorter than n tokens. NB Spark ``sequence(1, 0)`` is DESCENDING,
-    so short inputs must short-circuit."""
+    so short inputs must short-circuit.
+
+    NB the transform(sequence, λ) here runs INTERPRETED (higher-order
+    lambdas never enter whole-stage codegen); the hot paths below use
+    :func:`_exploded_ngrams` — a Generate + plain-projection form that
+    stays in codegen — and keep this array form for per-doc-array
+    consumers and the SQL-parity tests."""
     toks = F.split(F.trim(col), r"\s+")
     m = F.size(toks)
     return F.when(
@@ -47,6 +53,28 @@ def ngram_set(col: Column, n: int) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _exploded_ngrams(df: DataFrame, text_col: str, n: int, keep) -> DataFrame:
+    """(keep..., _ng) rows — one per n-gram OCCURRENCE (not per-doc
+    distinct: every consumer below is a semi-join or COUNT DISTINCT,
+    where occurrence duplicates are harmless). Codegen-friendly:
+    explode the start positions, build the gram with slice/array_join
+    in a plain projection — same rewrite as span dedup / lm bigrams."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.size("_tk")
+    return (
+        df.select(*keep, toks.alias("_tk"))
+        .where(m >= n)
+        .select(
+            *keep, "_tk",
+            F.explode(F.sequence(F.lit(1), m - (n - 1))).alias("_i"),
+        )
+        .select(
+            *keep,
+            F.array_join(F.slice("_tk", F.col("_i"), n), " ").alias("_ng"),
+        )
+    )
 
 
 def decontaminate(
@@ -84,13 +112,8 @@ def decontaminate(
     oracle SQL).
     """
     bt = bench_text_col or text_col
-    tr = train.select(
-        F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("_ng")
-    )
-    be = (
-        bench.select(F.explode(ngram_set(F.col(bt), n)).alias("_ng"))
-        .distinct()
-    )
+    tr = _exploded_ngrams(train, text_col, n, [F.col(id_col)])
+    be = _exploded_ngrams(bench, bt, n, []).distinct()
     if prefilter == "hash64":
         bh = be.select(F.xxhash64("_ng").alias("_ngh")).distinct()
         if broadcast_bench:
@@ -140,13 +163,8 @@ def contamination_pairs(
     by actual overlaps, not the cross product.
     """
     bt = bench_text_col or text_col
-    tr = train.select(
-        F.col(id_col), F.explode(ngram_set(F.col(text_col), n)).alias("_ng")
-    )
-    be = bench.select(
-        F.col(bench_id_col),
-        F.explode(ngram_set(F.col(bt), n)).alias("_ng"),
-    ).distinct()
+    tr = _exploded_ngrams(train, text_col, n, [F.col(id_col)])
+    be = _exploded_ngrams(bench, bt, n, [F.col(bench_id_col)]).distinct()
     if broadcast_bench:
         be = F.broadcast(be)
     return (

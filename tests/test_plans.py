@@ -343,3 +343,57 @@ def test_dedup_spans_count_exchange_fixed_width_key(spark):
     # text mode keeps the exact-string key (verify path)
     opt_text = _optimized(remove_duplicate_spans(docs, key="text"))
     assert "unhex(md5(" not in opt_text, opt_text
+
+
+def test_lm_score_plan_codegen_and_partial_agg(spark):
+    """lm_score: bigram construction must be Generate + projection
+    (no interpreted higher-order lambda in the hot path), counts must
+    map-side combine, and nothing plans a SinglePartition exchange."""
+    from lambdo_spark.functions.lm import lm_score
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = lm_score(docs)
+    plan = _plan(out)
+    assert "partial_" in plan, plan
+    # exactly ONE SinglePartition is allowed: the vocabulary-size
+    # count — a global aggregate over the already-distinct token set
+    # (|V| rows, pre-combined by the hash-distinct exchange below it).
+    # The bigram/context counts and the score join must all stay
+    # hash-partitioned.
+    assert plan.count("SinglePartition") <= 1, plan
+    opt = _optimized(out)
+    assert "lambdafunction" not in opt.lower(), opt
+    assert "Generate" in opt, opt
+
+
+def test_dedup_spans_plan_no_interpreted_lambda(spark):
+    """Span-dedup window construction stays in codegen: the gram
+    stage (the corpus-wide hot path — rows ≈ corpus tokens) is
+    Generate(explode(sequence)) + slice/array_join in a plain
+    projection, never inside a transform lambda. The per-DOC
+    reassembly transform after the final groupBy is allowed — its
+    input is one doc's own tokens, not corpus-scale."""
+    from lambdo_spark.functions.exact_substr import remove_duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    opt = _optimized(remove_duplicate_spans(docs))
+    # every gram-construction site (array_join over a slice) must be a
+    # plain projection expression, not a lambda body
+    for ln in opt.splitlines():
+        low = ln.lower()
+        if "array_join(slice(" in low:
+            assert "lambdafunction" not in low, ln
+    # and the only lambdas left are the per-doc reassembly transform
+    assert opt.lower().count("lambdafunction(") <= 2, opt
+
+
+def test_decontaminate_plan_no_interpreted_lambda(spark):
+    """Decontamination n-gram explode stays in codegen (the
+    _exploded_ngrams form), both plain and hash64-prefilter paths."""
+    from lambdo_spark.functions.contamination import decontaminate
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    for pf in (None, "hash64"):
+        opt = _optimized(decontaminate(docs, bench, n=8, prefilter=pf))
+        assert "lambdafunction" not in opt.lower(), (pf, opt)

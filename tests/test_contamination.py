@@ -101,3 +101,33 @@ def test_decontaminate_hash_prefilter_identical(spark):
     assert "xxhash64" in plan
     with pytest.raises(ValueError, match="prefilter"):
         decontaminate(train, bench, prefilter="bloom")
+
+
+def test_exploded_ngrams_matches_ngram_set(spark):
+    """The codegen explode form and the array form must describe the
+    same n-gram sets: distinct occurrences per doc == ngram_set."""
+    from lambdo_spark.functions.contamination import (
+        _exploded_ngrams, ngram_set,
+    )
+
+    rows = [
+        (1, "a b c d e"), (2, "a a a a"), (3, "x"), (4, ""),
+        (5, "  padded   tokens  here four five  "),
+        (6, "t1 t2 t3 t1 t2 t3 t1 t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 4, 8):
+        arr = {
+            r["doc_id"]: sorted(r["ng"])
+            for r in df.select(
+                "doc_id", ngram_set(F.col("text"), n).alias("ng")
+            ).collect()
+        }
+        exp = {r[0]: [] for r in rows}
+        for r in (
+            _exploded_ngrams(df, "text", n, [F.col("doc_id")])
+            .dropDuplicates(["doc_id", "_ng"]).collect()
+        ):
+            exp[r["doc_id"]].append(r["_ng"])
+        exp = {k: sorted(v) for k, v in exp.items()}
+        assert arr == exp, n

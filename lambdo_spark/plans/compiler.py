@@ -931,6 +931,8 @@ class Workflow:
                 text_col=tdef.get("text", "text"),
                 span_tokens=int(tdef.get("span_tokens", 8)),
                 min_count=int(tdef.get("min_count", 2)),
+                key=tdef.get("key", "hash128"),
+                cache_grams=bool(tdef.get("cache_grams", True)),
             )
         if op == "components":
             from lambdo_spark.functions.cluster import connected_components

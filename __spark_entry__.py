@@ -1444,6 +1444,51 @@ def _q_image_decode_real(spark, sf_dir):
     )
 
 
+def _q_image_decode_png(spark, sf_dir):
+    """REAL compressed-image decode, oracled: per-doc PNG blobs
+    (DEFLATE via stdlib zlib) are synthesized from a closed-form pixel
+    formula — mixed scanline filters (row i uses filter i%5) and split
+    IDAT chunks — then decoded by the pure-numpy PNG parser and
+    reduced to integer-exact per-channel sums; DuckDB computes the
+    same sums straight from the formula. A hash match proves the
+    DEFLATE round trip, chunk walk, and ALL FIVE defilter paths
+    byte-for-byte on a genuinely compressed format."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import decode_image, encode_png
+
+    def kernel(batches):
+        for b in batches:
+            rows = {"media_id": [], "width": [], "height": [],
+                    "r_sum": [], "g_sum": [], "b_sum": []}
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 7 + d % 6, 5 + d % 5
+                n = w * h * 3
+                pix = ((d * 11 + np.arange(n, dtype=np.int64) * 19) % 256).astype(
+                    np.uint8
+                ).reshape(h, w, 3)
+                blob = encode_png(pix, filter_type="mixed", idat_split=3)
+                arr = decode_image(blob).astype(np.int64)
+                rows["media_id"].append(str(d))
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["r_sum"].append(int(arr[:, :, 0].sum()))
+                rows["g_sum"].append(int(arr[:, :, 1].sum()))
+                rows["b_sum"].append(int(arr[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="media_id string, width int, height int, "
+            "r_sum long, g_sum long, b_sum long",
+        )
+    )
+
+
 def _q_video_features(spark, sf_dir):
     """REAL video decode, oracled: per-doc uncompressed AVI blobs
     (RIFF walk + DIB frames) synthesized from a closed-form pixel
@@ -1862,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "decontaminate_hash": _q_decontaminate_hash,
         # ---- entry #50
+        "image_decode_png": _q_image_decode_png,
         "roll_mad_w7": _q_roll_mad_w7,
         # ==== below: green in CORRECTNESS_r03 (or displaced trivial
         # ==== stale rows that lead the round-5 window)
@@ -2947,6 +2993,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(px.v) AS BIGINT) AS px_sum
             FROM dims d JOIN px USING (doc_id)
             GROUP BY d.doc_id, d.nf, d.w, d.h
+        """,
+        "image_decode_png": """
+            WITH dims AS (
+              SELECT doc_id, 7 + doc_id % 6 AS w, 5 + doc_id % 5 AS h
+              FROM documents
+            ), px AS (
+              SELECT doc_id, k % 3 AS ch,
+                     ((doc_id * 11 + k * 19) % 256) AS v
+              FROM dims,
+                   LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) g
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+                   CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height,
+                   CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum,
+                   CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS g_sum,
+                   CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum
+            FROM dims d JOIN px USING (doc_id)
+            GROUP BY d.doc_id, d.w, d.h
         """,
         "image_decode_real": """
             WITH dims AS (

@@ -105,10 +105,12 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode an image binary to an H×W×3 uint8 RGB array.
 
-    Binary PPM (P6), uncompressed 24/32-bit BMP, and PNG (DEFLATE via
-    stdlib zlib — see :func:`decode_png`) decode in pure numpy
-    everywhere; every other format needs Pillow (import-guarded —
-    wire opencv here instead if that's the cluster's lib). Raises
+    Binary PPM (P6), uncompressed 24/32-bit BMP, PNG (DEFLATE via
+    stdlib zlib — see :func:`decode_png`) and baseline JPEG (pure-numpy
+    Huffman+DCT — see :mod:`lambdo_spark.functions.jpeg`) decode in
+    pure numpy everywhere; every other format needs Pillow
+    (import-guarded — wire opencv here instead if that's the cluster's
+    lib). Raises
     NotImplementedError, loudly, if the format needs a decoder this
     environment doesn't have.
     """
@@ -118,6 +120,10 @@ def decode_image(data: bytes) -> "np.ndarray":
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from lambdo_spark.functions.jpeg import decode_jpeg  # noqa: PLC0415
+
+        return decode_jpeg(data)
     img_mod = _pil()
     if img_mod:
         import io  # noqa: PLC0415
@@ -433,18 +439,35 @@ VIDEO_SCHEMA = (
 )
 
 
-def encode_avi_rgb(frames: "np.ndarray", fps: int = 10) -> bytes:
-    """Minimal uncompressed AVI: frames is N×H×W×3 uint8 RGB; stored
-    as bottom-up BGR DIB rows (the BMP raster convention), one '00db'
-    chunk per frame."""
+def encode_avi_rgb(
+    frames: "np.ndarray", fps: int = 10,
+    codec: str = "raw", quality: int = 90,
+) -> bytes:
+    """Minimal AVI: frames is N×H×W×3 uint8 RGB.
+
+    ``codec="raw"`` stores bottom-up BGR DIB rows (the BMP raster
+    convention), one '00db' chunk per frame; ``codec="mjpeg"`` stores
+    one baseline-JPEG image per frame in '00dc' chunks (fourcc MJPG,
+    the Motion-JPEG convention) — a real COMPRESSED video format,
+    encoded by :mod:`lambdo_spark.functions.jpeg` at ``quality``."""
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
-    dib_frames = []
-    for f in frames:
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
-        dib_frames.append(rows.tobytes())
-    fsize = h * stride
+    if codec == "mjpeg":
+        from lambdo_spark.functions.jpeg import encode_jpeg  # noqa: PLC0415
+
+        dib_frames = [encode_jpeg(f, quality=quality) for f in frames]
+        fsize = max(len(d) for d in dib_frames)
+        handler, bi_comp, chunk_id = b"MJPG", b"MJPG", b"00dc"
+    elif codec == "raw":
+        dib_frames = []
+        for f in frames:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+            dib_frames.append(rows.tobytes())
+        fsize = h * stride
+        handler, bi_comp, chunk_id = b"DIB ", b"\x00\x00\x00\x00", b"00db"
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r} (raw|mjpeg)")
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -460,24 +483,30 @@ def encode_avi_rgb(frames: "np.ndarray", fps: int = 10) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, fsize, 0, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, fsize, 0, 0,
         0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24,
+        struct.unpack("<I", bi_comp)[0], fsize, 0, 0, 0, 0,
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dib_frames))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, d) for d in dib_frames))
     return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
 
 
 def decode_avi_rgb(data: bytes) -> "np.ndarray":
-    """Parse an uncompressed AVI → N×H×W×3 uint8 RGB frames. Walks the
-    RIFF tree for the avih header and every '00db' DIB chunk; raises
-    ``ValueError`` on non-AVI input — loud, never a silent fake."""
+    """Parse an AVI → N×H×W×3 uint8 RGB frames. Walks the RIFF tree
+    for the avih header and every frame chunk: '00db' uncompressed
+    DIBs and '00dc' Motion-JPEG frames (each a baseline JPEG, decoded
+    by :mod:`lambdo_spark.functions.jpeg` — no image library). Raises
+    ``ValueError`` on non-AVI input or an unsupported '00dc' codec —
+    loud, never a silent fake."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = None
-    frames = []
+    frames: list = []
 
     def walk(lo: int, hi: int) -> None:
         nonlocal w, h
@@ -495,18 +524,33 @@ def decode_avi_rgb(data: bytes) -> "np.ndarray":
                     raise ValueError("malformed avih header")
                 hdr = struct.unpack("<IIIIIIIIII", data[body_lo:body_lo + 40])
                 w, h = hdr[8], hdr[9]
-            elif cid == b"00db":
-                frames.append(data[body_lo:body_hi])
+            elif cid in (b"00db", b"00dc"):
+                frames.append((cid, data[body_lo:body_hi]))
             pos = body_hi + (size & 1)
 
     walk(12, len(data))
     if w is None or not frames:
-        raise ValueError("missing avih header or 00db frames")
+        raise ValueError("missing avih header or frame chunks")
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
-    for i, d in enumerate(frames):
-        rows = np.frombuffer(d, dtype=np.uint8, count=stride * h).reshape(h, stride)
-        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # → top-down RGB
+    for i, (cid, d) in enumerate(frames):
+        if cid == b"00dc":
+            if d[:2] != b"\xff\xd8":
+                raise ValueError(
+                    "compressed AVI frame is not Motion-JPEG (only MJPG "
+                    "'00dc' chunks are supported without a codec library)"
+                )
+            from lambdo_spark.functions.jpeg import decode_jpeg  # noqa: PLC0415
+
+            frame = decode_jpeg(d)
+            if frame.shape[:2] != (h, w):
+                raise ValueError("MJPEG frame dims disagree with avih header")
+            out[i] = frame
+        else:
+            rows = np.frombuffer(
+                d, dtype=np.uint8, count=stride * h
+            ).reshape(h, stride)
+            out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # → top-down RGB
     return out
 
 

@@ -13,8 +13,12 @@ from lambdo_spark.sources.pages import generate_pages
 
 
 def test_decode_is_an_explicit_stub():
-    # JPEG has no pure-numpy decoder here: needs Pillow, loudly.
+    # GIF has no pure-numpy decoder here (PPM/BMP/PNG/JPEG do):
+    # needs Pillow, loudly.
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a" + b"\x00" * 16)
+    # truncated JPEG fails loudly too — in the decoder, not the stub
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
@@ -477,3 +481,140 @@ def test_png_roundtrip_property(w, h, ch, ft, seed):
     else:
         want = px[:, :, :3]
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: baseline DCT codec in pure numpy (lambdo_spark.functions.jpeg)
+# and Motion-JPEG AVI ('00dc' frames) through the same decoder.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_color_matches_closed_form():
+    """The exactness contract behind the image_decode_jpeg oracle:
+    a constant-color image decodes — at every quality, subsampling
+    and restart setting — to the closed-form DC-only value, uniformly
+    across all pixels (every quantized AC term is exactly zero)."""
+    import numpy as np
+
+    from lambdo_spark.functions.jpeg import (
+        constant_color_roundtrip,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(40):
+        r, g, b = (int(x) for x in rng.integers(0, 256, 3))
+        q = int(rng.integers(10, 96))
+        sub = ("444", "422", "420")[trial % 3]
+        ri = trial % 4
+        h, w = int(rng.integers(3, 21)), int(rng.integers(3, 21))
+        img = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(img, quality=q, subsampling=sub, restart_interval=ri)
+        )
+        assert out.shape == (h, w, 3)
+        uniq = np.unique(out.reshape(-1, 3), axis=0)
+        assert len(uniq) == 1, (r, g, b, q, sub, ri)
+        assert tuple(uniq[0]) == constant_color_roundtrip(r, g, b, quality=q)
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_grayscale():
+    """Random rasters round-trip within a small error bound at high
+    quality (lossy, but sane), grayscale replicates to 3 channels, and
+    4:2:0 on odd dims crops back to the exact frame size."""
+    import numpy as np
+
+    from lambdo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 40
+
+    gray = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    g3 = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert g3.shape == (17, 19, 3)
+    assert np.array_equal(g3[:, :, 0], g3[:, :, 1])
+
+    odd = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, subsampling="420")).shape == (9, 11, 3)
+
+
+def test_jpeg_restart_interval_changes_stream_not_pixels():
+    import numpy as np
+
+    from lambdo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    plain = encode_jpeg(img, quality=80)
+    rst = encode_jpeg(img, quality=80, restart_interval=2)
+    assert plain != rst and b"\xff\xdd" in rst  # DRI marker present
+    assert np.array_equal(decode_jpeg(plain), decode_jpeg(rst))
+
+
+def test_jpeg_malformed_inputs_raise_value_error():
+    """Loud failure on non-JPEG bytes, truncation at several offsets,
+    and the documented scope limits (progressive SOF2)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lambdo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    good = encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8), quality=75)
+    for cut in (2, 20, len(good) // 2):
+        with _pytest.raises(ValueError):
+            decode_jpeg(good[:cut])
+    sof0 = good.index(b"\xff\xc0")
+    progressive = good[:sof0] + b"\xff\xc2" + good[sof0 + 2:]
+    with _pytest.raises(ValueError, match="[Pp]rogressive|SOF"):
+        decode_jpeg(progressive)
+
+
+def test_avi_mjpeg_roundtrip_and_features(spark):
+    """Motion-JPEG AVI: '00dc' frames decode through the pure-numpy
+    JPEG path; constant frames are exact; extract_video_features sees
+    the same integer features as the raw-DIB twin."""
+    import numpy as np
+
+    from lambdo_spark.functions.jpeg import constant_color_roundtrip
+    from lambdo_spark.functions.multimodal import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+        extract_video_features,
+    )
+
+    const = np.full((3, 10, 14, 3), (120, 33, 200), dtype=np.uint8)
+    blob = encode_avi_rgb(const, codec="mjpeg", quality=85)
+    out = decode_avi_rgb(blob)
+    assert out.shape == const.shape
+    want = constant_color_roundtrip(120, 33, 200, quality=85)
+    assert tuple(np.unique(out.reshape(-1, 3), axis=0)[0]) == want
+
+    df = spark.createDataFrame(
+        [("v", bytearray(blob))], "doc_id string, video binary"
+    )
+    row = extract_video_features(df).collect()[0]
+    assert (row.n_frames, row.height, row.width) == (3, 10, 14)
+    assert row.px_sum == 3 * 10 * 14 * sum(want)
+
+    with __import__("pytest").raises(ValueError, match="Motion-JPEG"):
+        # a structurally-valid '00dc' chunk whose payload is not JPEG
+        # must fail loudly: rename a raw AVI's DIB chunks to '00dc'
+        raw = encode_avi_rgb(const)  # uncompressed twin
+        decode_avi_rgb(raw.replace(b"00db", b"00dc"))
+
+
+def test_decode_image_dispatches_jpeg_magic():
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import decode_image
+    from lambdo_spark.functions.jpeg import encode_jpeg
+
+    img = np.full((8, 8, 3), (1, 2, 3), dtype=np.uint8)
+    got = decode_image(encode_jpeg(img, quality=100))
+    assert got.shape == (8, 8, 3)

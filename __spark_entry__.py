@@ -1575,6 +1575,69 @@ def _q_video_features_mjpeg(spark, sf_dir):
     return extract_video_features(docs)
 
 
+def _q_image_decode_gif(spark, sf_dir):
+    """REAL GIF decode, oracled: per-doc animated GIFs (pure-numpy
+    LZW with variable code width, lambdo_spark.functions.gif) are
+    synthesized from closed-form palette-index patterns — frame 0
+    full-screen, frame 1 a transparent sub-rect composited over it,
+    interlace on odd docs — decoded back and reduced to per-channel
+    pixel sums over BOTH composited frames. GIF is lossless, so DuckDB
+    recomputes the exact sums straight from the index formulas: the
+    hash match proves the LZW entropy decode, the interlace reorder,
+    transparency masking and frame compositing byte-for-byte."""
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, encode_gif
+
+    def kernel(batches):
+        for b in batches:
+            rows = {"media_id": [], "n_frames": [], "width": [],
+                    "height": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for d in b["doc_id"]:
+                d = int(d)
+                w, h = 10 + d % 7, 8 + d % 5
+                ncol = 4 + d % 5
+                cs = np.arange(ncol, dtype=np.int64)
+                pal = np.stack(
+                    [(d * 7 + cs * 31) % 256,
+                     (d * 11 + cs * 59) % 256,
+                     (d * 23 + cs * 83) % 256], axis=1,
+                ).astype(np.uint8)
+                xs, ys = np.arange(w), np.arange(h)
+                f0 = ((3 * xs[None, :] + 5 * ys[:, None] + d) % ncol).astype(
+                    np.uint8
+                )
+                fw, fh = 1 + w // 2, 1 + h // 2
+                ox, oy = d % (w - fw + 1), d % (h - fh + 1)
+                us, vs = np.arange(fw), np.arange(fh)
+                f1 = ((2 * us[None, :] + 7 * vs[:, None] + d) % ncol).astype(
+                    np.uint8
+                )
+                blob = encode_gif(
+                    [f0, f1], pal, offsets=[(0, 0), (ox, oy)],
+                    transparent=d % ncol, interlace=bool(d % 2),
+                )
+                fr = decode_gif(blob).astype(np.int64)
+                rows["media_id"].append(str(d))
+                rows["n_frames"].append(fr.shape[0])
+                rows["height"].append(fr.shape[1])
+                rows["width"].append(fr.shape[2])
+                rows["r_sum"].append(int(fr[:, :, :, 0].sum()))
+                rows["g_sum"].append(int(fr[:, :, :, 1].sum()))
+                rows["b_sum"].append(int(fr[:, :, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="media_id string, n_frames int, width int, height int, "
+            "r_sum long, g_sum long, b_sum long",
+        )
+    )
+
+
 def _q_video_features(spark, sf_dir):
     """REAL video decode, oracled: per-doc uncompressed AVI blobs
     (RIFF walk + DIB frames) synthesized from a closed-form pixel
@@ -1998,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- dedup_jaccard_pairs ceded its slot to the JPEG row (its
         # ---- band-exchange code is driver-covered via dedup_minhash).
         "video_features_mjpeg": _q_video_features_mjpeg,
+        "image_decode_gif": _q_image_decode_gif,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "roll_mad_w7": _q_roll_mad_w7,
         # ==== below: green in CORRECTNESS_r03 (or displaced trivial
@@ -3144,6 +3208,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g2 * w * h AS BIGINT) AS g_sum,
                    CAST(b2 * w * h AS BIGINT) AS b_sum
             FROM px
+        """,
+        "image_decode_gif": """
+            WITH p AS (
+              SELECT doc_id AS d, 10 + doc_id % 7 AS w, 8 + doc_id % 5 AS h,
+                     4 + doc_id % 5 AS ncol
+              FROM documents
+            ), p2 AS (
+              SELECT *, 1 + w // 2 AS fw, 1 + h // 2 AS fh,
+                     d % (w - (1 + w // 2) + 1) AS ox,
+                     d % (h - (1 + h // 2) + 1) AS oy,
+                     d % ncol AS t
+              FROM p
+            ), px AS (
+              SELECT p2.*, x, y,
+                     (3 * x + 5 * y + d) % ncol AS i0,
+                     CASE WHEN x >= ox AND x < ox + fw
+                           AND y >= oy AND y < oy + fh
+                          THEN (2 * (x - ox) + 7 * (y - oy) + d) % ncol
+                     END AS i1
+              FROM p2,
+                   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+                   LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy
+            ), v0 AS (
+              SELECT *,
+                CASE WHEN i0 = t THEN (d*7) % 256 ELSE (d*7 + i0*31) % 256 END AS v0r,
+                CASE WHEN i0 = t THEN (d*11) % 256 ELSE (d*11 + i0*59) % 256 END AS v0g,
+                CASE WHEN i0 = t THEN (d*23) % 256 ELSE (d*23 + i0*83) % 256 END AS v0b
+              FROM px
+            ), v1 AS (
+              SELECT *,
+                CASE WHEN i1 IS NOT NULL AND i1 <> t
+                     THEN (d*7 + i1*31) % 256 ELSE v0r END AS v1r,
+                CASE WHEN i1 IS NOT NULL AND i1 <> t
+                     THEN (d*11 + i1*59) % 256 ELSE v0g END AS v1g,
+                CASE WHEN i1 IS NOT NULL AND i1 <> t
+                     THEN (d*23 + i1*83) % 256 ELSE v0b END AS v1b
+              FROM v0
+            )
+            SELECT CAST(d AS VARCHAR) AS media_id,
+                   CAST(2 AS INT) AS n_frames,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(SUM(v0r + v1r) AS BIGINT) AS r_sum,
+                   CAST(SUM(v0g + v1g) AS BIGINT) AS g_sum,
+                   CAST(SUM(v0b + v1b) AS BIGINT) AS b_sum
+            FROM v1
+            GROUP BY d, w, h
         """,
         "video_features_mjpeg": """
             WITH p AS (

@@ -4,9 +4,10 @@ The Spark-side machinery — schema, partition-preserving mapInPandas,
 Arrow batch shapes, typed metadata — is real and tested against the
 pages table's ``html`` binary column. The *decode* step is
 import-guarded: ``decode_image`` decodes binary PPM (P6), BMP, and
-PNG (a real compressed format — DEFLATE via stdlib zlib, see the PNG
-section at the bottom) in pure numpy everywhere, uses Pillow for
-JPEG/GIF/etc. when importable, and otherwise raises a loud
+PNG (DEFLATE via stdlib zlib, see the PNG section at the bottom),
+baseline JPEG (Huffman+DCT, functions/jpeg.py) and GIF (LZW,
+functions/gif.py) in pure numpy everywhere, uses Pillow for
+WebP/TIFF/etc. when importable, and otherwise raises a loud
 NotImplementedError (never a silent fake) so a misconfigured
 production deploy fails visibly. ``fake_features`` remains the
 deterministic stand-in the oracled driver rows run — it exercises
@@ -124,6 +125,10 @@ def decode_image(data: bytes) -> "np.ndarray":
         from lambdo_spark.functions.jpeg import decode_jpeg  # noqa: PLC0415
 
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        from lambdo_spark.functions.gif import decode_gif  # noqa: PLC0415
+
+        return decode_gif(data)[0]  # first composited frame
     img_mod = _pil()
     if img_mod:
         import io  # noqa: PLC0415
@@ -554,18 +559,33 @@ def decode_avi_rgb(data: bytes) -> "np.ndarray":
     return out
 
 
+def decode_video(data: bytes) -> "np.ndarray":
+    """Decode a video binary to N×H×W×3 uint8 RGB frames: RIFF/AVI
+    (uncompressed DIB or Motion-JPEG — :func:`decode_avi_rgb`) and
+    animated GIF (LZW — :mod:`lambdo_spark.functions.gif`); raises a
+    clean ValueError naming any other container."""
+    if data[:4] == b"RIFF":
+        return decode_avi_rgb(data)
+    if data[:4] == b"GIF8":
+        from lambdo_spark.functions.gif import decode_gif  # noqa: PLC0415
+
+        return decode_gif(data)
+    raise ValueError("unsupported video container (RIFF/AVI and GIF decode here)")
+
+
 def extract_video_features(
     df: DataFrame, id_col: str = "doc_id", video_col: str = "video"
 ) -> DataFrame:
-    """Decode AVI blobs to integer-exact video features in one
-    mapInPandas pass (frame count, dims, raw frame bytes, pixel sum)."""
+    """Decode video blobs (AVI raw/MJPEG, animated GIF) to
+    integer-exact features in one mapInPandas pass (frame count,
+    dims, raw frame bytes, pixel sum)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = {"media_id": [], "n_frames": [], "width": [],
                    "height": [], "frame_bytes": [], "px_sum": []}
             for mid, x in zip(b[id_col], b[video_col]):
-                fr = decode_avi_rgb(bytes(x))
+                fr = decode_video(bytes(x))
                 out["media_id"].append(str(mid))
                 out["n_frames"].append(fr.shape[0])
                 out["height"].append(fr.shape[1])

@@ -13,9 +13,12 @@ from lambdo_spark.sources.pages import generate_pages
 
 
 def test_decode_is_an_explicit_stub():
-    # GIF has no pure-numpy decoder here (PPM/BMP/PNG/JPEG do):
+    # WebP has no pure-numpy decoder here (PPM/BMP/PNG/JPEG/GIF do):
     # needs Pillow, loudly.
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    # truncated GIF fails loudly in the decoder, not the stub
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 16)
     # truncated JPEG fails loudly too — in the decoder, not the stub
     with pytest.raises(ValueError):
@@ -618,3 +621,173 @@ def test_decode_image_dispatches_jpeg_magic():
     img = np.full((8, 8, 3), (1, 2, 3), dtype=np.uint8)
     got = decode_image(encode_jpeg(img, quality=100))
     assert got.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# GIF: LZW codec in pure numpy (lambdo_spark.functions.gif) — the
+# decoder is pinned against a HAND-COMPUTED byte fixture so a
+# co-designed encode/decode bug cannot cancel out.
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_hand_fixture():
+    """LZW of indices [1,1,0] at min code size 2, computed by hand:
+    codes CLEAR(4),1,1,0,EOI(5) all at width 3, packed LSB-first =
+    0x4C 0x50. Both directions must reproduce it exactly."""
+    import numpy as np
+
+    from lambdo_spark.functions.gif import lzw_decode, lzw_encode
+
+    assert lzw_encode(2, np.array([1, 1, 0], dtype=np.uint8)) == bytes.fromhex(
+        "4c50"
+    )
+    assert list(lzw_decode(2, bytes.fromhex("4c50"), 3)) == [1, 1, 0]
+
+
+def test_gif_hand_assembled_file_decodes():
+    """A complete one-frame GIF assembled byte-by-byte in the test
+    (header, LSD, 4-color GCT, image descriptor, the hand-computed
+    LZW stream above padded to 2x2) — decoder never sees encoder
+    output."""
+    import struct
+
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, lzw_encode
+
+    pal = np.array(
+        [[10, 20, 30], [200, 100, 50], [0, 0, 0], [255, 255, 255]],
+        dtype=np.uint8,
+    )
+    lzw = lzw_encode(2, np.array([1, 1, 0, 3], dtype=np.uint8))
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | (7 << 4) | 1, 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2, len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    out = decode_gif(blob)
+    assert out.shape == (1, 2, 2, 3)
+    want = pal[np.array([[1, 1], [0, 3]])]
+    assert np.array_equal(out[0], want)
+
+
+def test_gif_roundtrip_single_frame_and_interlace():
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    f = rng.integers(0, 8, (13, 17)).astype(np.uint8)
+    for interlace in (False, True):
+        out = decode_gif(encode_gif([f], pal, interlace=interlace))
+        assert out.shape == (1, 13, 17, 3)
+        assert np.array_equal(out[0], pal[f]), f"interlace={interlace}"
+
+
+def test_gif_code_width_growth_to_12_bits_and_table_reset():
+    """A 256-color noisy raster forces LZW code width through every
+    step 9..12 and (at this size) a mid-stream table reset; lossless
+    equality proves the growth rule and the CLEAR handling."""
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    f = rng.integers(0, 256, (120, 150)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([f], pal))[0], pal[f])
+
+
+def test_gif_animation_transparency_disposal_local_palettes():
+    """Two frames: full-screen then a transparent sub-rect with its
+    own local palette; disposal 2 restores background after frame 2.
+    The composited canvases must match a straight numpy rendering."""
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(2)
+    gpal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    lpal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 4, (10, 10)).astype(np.uint8)
+    f2 = rng.integers(0, 8, (4, 5)).astype(np.uint8)
+    blob = encode_gif(
+        [f1, f2], gpal, local_palettes=[None, lpal],
+        offsets=[(0, 0), (3, 2)], transparent=1, disposals=[1, 2],
+    )
+    out = decode_gif(blob)
+    assert out.shape == (2, 10, 10, 3)
+    want1 = np.where((f1 == 1)[..., None], gpal[0], gpal[f1])
+    assert np.array_equal(out[0], want1)
+    want2 = want1.copy()
+    sub = want2[2:6, 3:8]
+    m = f2 != 1
+    sub[m] = lpal[f2][m]
+    assert np.array_equal(out[1], want2)
+
+
+def test_gif_malformed_inputs_raise_value_error():
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    blob = encode_gif([rng.integers(0, 4, (6, 7)).astype(np.uint8)], pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + blob[6:])
+    for cut in (10, 14, len(blob) // 2, len(blob) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(blob[:cut])
+    # flipped bit inside the LZW stream: bad code or short raster
+    body = bytearray(blob)
+    body[-6] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_gif(bytes(body))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 18),
+    ncol=st.integers(2, 64),
+    interlace=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+def test_gif_roundtrip_property(w, h, ncol, interlace, seed):
+    import numpy as np
+
+    from lambdo_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+    f = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+    out = decode_gif(encode_gif([f], pal, interlace=interlace))
+    assert out.shape == (1, h, w, 3)
+    assert np.array_equal(out[0], pal[f])
+
+
+def test_gif_decodes_via_decode_image_and_video_features(spark):
+    """decode_image returns the first composited frame; an animated
+    GIF flows through extract_video_features like an AVI."""
+    import numpy as np
+
+    from lambdo_spark.functions.gif import encode_gif
+    from lambdo_spark.functions.multimodal import extract_video_features
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 8, (6, 9)).astype(np.uint8) for _ in range(3)]
+    blob = encode_gif(frames, pal)
+    first = decode_image(blob)
+    assert first.shape == (6, 9, 3)
+    assert np.array_equal(first, pal[frames[0]])
+
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, video binary")
+    row = extract_video_features(df).collect()[0]
+    assert (row.n_frames, row.height, row.width) == (3, 6, 9)
+    assert row.px_sum == sum(int(pal[f].astype(np.int64).sum()) for f in frames)

@@ -1638,6 +1638,45 @@ def _q_image_decode_gif(spark, sf_dir):
     )
 
 
+def _q_audio_features_g711(spark, sf_dir):
+    """REAL compressed-audio decode, oracled: per-doc G.711 WAV blobs
+    (format tag 6 A-law / 7 mu-law by doc parity) are synthesized from
+    closed-form COMPANDED payload bytes — written verbatim, so the
+    proof never depends on the compressor — decoded by the pure-numpy
+    expander (multimodal.g711_expand) and reduced to integer-exact
+    features; DuckDB restates the ITU-T G.711 expansion formulas
+    directly in SQL. The hash match proves the chunk walk, both
+    expansion segment tables, and the sign conventions bit-for-bit."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        encode_wav_g711,
+        extract_audio_features,
+    )
+
+    def mk(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for d in b["doc_id"]:
+                d = int(d)
+                n = 40 + d % 25
+                sr = 8000 + (d % 3) * 4000
+                law = "mulaw" if d % 2 == 0 else "alaw"
+                pay = ((d * 3 + np.arange(n, dtype=np.int64) * 7) % 256).astype(
+                    np.uint8
+                )
+                ids.append(d)
+                blobs.append(encode_wav_g711(pay, sr, law))
+            yield pd.DataFrame({"doc_id": ids, "audio": blobs})
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(mk, schema="doc_id long, audio binary")
+    )
+    return extract_audio_features(docs)
+
+
 def _q_video_features(spark, sf_dir):
     """REAL video decode, oracled: per-doc uncompressed AVI blobs
     (RIFF walk + DIB frames) synthesized from a closed-form pixel
@@ -2062,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- band-exchange code is driver-covered via dedup_minhash).
         "video_features_mjpeg": _q_video_features_mjpeg,
         "image_decode_gif": _q_image_decode_gif,
+        "audio_features_g711": _q_audio_features_g711,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "roll_mad_w7": _q_roll_mad_w7,
         # ==== below: green in CORRECTNESS_r03 (or displaced trivial
@@ -3208,6 +3248,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g2 * w * h AS BIGINT) AS g_sum,
                    CAST(b2 * w * h AS BIGINT) AS b_sum
             FROM px
+        """,
+        "audio_features_g711": """
+            WITH p AS (
+              SELECT doc_id AS d, 40 + doc_id % 25 AS n,
+                     8000 + (doc_id % 3) * 4000 AS sr,
+                     doc_id % 2 AS law  -- 0 = mu-law (tag 7), 1 = A-law (tag 6)
+              FROM documents
+            ), s AS (
+              SELECT p.*, (d * 3 + i * 7) % 256 AS u
+              FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+            ), b AS (
+              SELECT *, CASE WHEN law = 0 THEN 255 - u ELSE xor(u, 85) END AS a
+              FROM s
+            ), c AS (
+              SELECT *, a % 16 AS m, (a // 16) % 8 AS e, a // 128 AS sg
+              FROM b
+            ), t AS (
+              SELECT *,
+                CASE WHEN law = 0 THEN ((m * 8 + 132) << e) - 132
+                     WHEN e = 0 THEN m * 16 + 8
+                     WHEN e = 1 THEN m * 16 + 264
+                     ELSE (m * 16 + 264) << (e - 1)
+                END AS mag
+              FROM c
+            ), v AS (
+              -- mu-law sign bit means negative; A-law sign bit means positive
+              SELECT *,
+                CASE WHEN law = 0
+                     THEN CASE WHEN sg = 1 THEN -mag ELSE mag END
+                     ELSE CASE WHEN sg = 1 THEN mag ELSE -mag END
+                END AS x
+              FROM t
+            )
+            SELECT CAST(d AS VARCHAR) AS media_id,
+                   CAST(sr AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+                   CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+                   CAST(MAX(ABS(x)) AS INT) AS peak
+            FROM v
+            GROUP BY d, sr, n
         """,
         "image_decode_gif": """
             WITH p AS (

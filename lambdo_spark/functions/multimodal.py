@@ -360,16 +360,99 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int, channels: int = 1) -
     )
 
 
-def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse RIFF/WAVE PCM16 → (sample_rate, n_channels, int16 frames).
+def g711_expand(payload: "np.ndarray", law: str) -> "np.ndarray":
+    """Expand G.711 companded bytes to int16 PCM — the real decode of
+    a real COMPRESSED audio codec (ITU-T G.711, the telephony /
+    RTP/WebRTC standard), vectorized numpy, closed-form enough that
+    plain SQL can state it (the audio_features_g711 oracle does).
 
-    Walks the chunk list (extra chunks like LIST/INFO are skipped), so
+    mu-law: u' = ~u; t = ((mant<<3)+132) << exp; x = ±(t-132).
+    A-law:  a' = a ^ 0x55; t per segment table; sign bit SET means
+    positive (G.711 convention)."""
+    u = np.asarray(payload, dtype=np.uint8).astype(np.int64)
+    if law == "mulaw":
+        u2 = 255 - u
+        m, e, s = u2 & 0x0F, (u2 >> 4) & 7, u2 >> 7
+        t = ((m << 3) + 132) << e
+        x = np.where(s == 1, 132 - t, t - 132)
+    elif law == "alaw":
+        a = u ^ 0x55
+        m, seg, s = a & 0x0F, (a >> 4) & 7, a >> 7
+        t = np.where(
+            seg == 0, (m << 4) + 8,
+            ((m << 4) + 0x108) << np.maximum(seg - 1, 0),
+        )
+        x = np.where(s == 1, t, -t)
+    else:
+        raise ValueError(f"unknown G.711 law {law!r} (mulaw|alaw)")
+    return x.astype(np.int16)
+
+
+def g711_compress(samples: "np.ndarray", law: str) -> "np.ndarray":
+    """Compress int16 PCM to G.711 bytes (fixture synthesis; exact
+    involution with :func:`g711_expand` — compress(expand(b)) == b
+    for every byte, pinned in tests)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if law == "mulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32635) + 132
+        e = (np.frexp(mag.astype(np.float64))[1] - 8).clip(0, 7)
+        m = (mag >> (e + 3)) & 0x0F
+        return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+    if law == "alaw":
+        x13 = x >> 3
+        mask = np.where(x13 >= 0, 0xD5, 0x55)
+        mag = np.where(x13 >= 0, x13, -x13 - 1)
+        clipped = mag > 0xFFF
+        mag = np.minimum(mag, 0xFFF)
+        seg = (np.frexp(np.maximum(mag, 1).astype(np.float64))[1] - 5).clip(0, 7)
+        m = (mag >> np.where(seg < 2, 1, seg)) & 0x0F
+        out = ((seg << 4) | m) ^ mask
+        return np.where(clipped, 0x7F ^ mask, out).astype(np.uint8)
+    raise ValueError(f"unknown G.711 law {law!r} (mulaw|alaw)")
+
+
+_G711_TAGS = {"alaw": 6, "mulaw": 7}
+
+
+def encode_wav_g711(
+    samples: "np.ndarray", sample_rate: int, law: str = "mulaw",
+    channels: int = 1,
+) -> bytes:
+    """RIFF/WAVE with G.711-companded 8-bit payload (format tag 6 =
+    A-law, 7 = mu-law). ``samples`` may be int16 PCM (compressed
+    here) or uint8 (already-companded bytes, written verbatim —
+    the oracle row synthesizes payloads this way so the decode proof
+    never depends on the compressor)."""
+    arr = np.asarray(samples)
+    payload = (
+        arr.astype(np.uint8) if arr.dtype == np.uint8
+        else g711_compress(arr, law)
+    )
+    data = payload.tobytes()
+    tag = _G711_TAGS[law]
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, tag, channels, sample_rate,
+            sample_rate * channels, channels, 8,
+        )
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse RIFF/WAVE → (sample_rate, n_channels, int16 frames).
+
+    PCM 16-bit (format 1) and G.711 A-law/mu-law 8-bit (formats 6/7 —
+    expanded to int16 via :func:`g711_expand`) decode here. Walks the
+    chunk list (extra chunks like LIST/INFO are skipped), so
     real-world WAV files decode, not just our own output. Raises
-    ``ValueError`` on non-RIFF input or non-PCM16 encodings — loud,
+    ``ValueError`` on non-RIFF input or other encodings — loud,
     never a silent fake."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, sr, ch, bits, frames = 12, None, None, None, None
+    pos, sr, ch, fmt, raw = 12, None, None, None, None
     while pos + 8 <= len(data):
         cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
@@ -380,15 +463,26 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("malformed fmt chunk")
             fmt, ch, sr = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if fmt != 1 or bits != 16:
+            if not (
+                (fmt == 1 and bits == 16)
+                or (fmt in (6, 7) and bits == 8)
+            ):
                 raise ValueError(
-                    f"only PCM16 supported (got format={fmt}, bits={bits})"
+                    "only PCM16 and G.711 A-law/mu-law supported "
+                    f"(got format={fmt}, bits={bits})"
                 )
         elif cid == b"data":
-            frames = np.frombuffer(body, dtype="<i2")
+            raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if sr is None or frames is None:
+    if sr is None or raw is None:
         raise ValueError("missing fmt/data chunk")
+    if fmt == 1:
+        frames = np.frombuffer(raw, dtype="<i2")
+    else:
+        frames = g711_expand(
+            np.frombuffer(raw, dtype=np.uint8),
+            "alaw" if fmt == 6 else "mulaw",
+        )
     if ch > 1:
         frames = frames[: (len(frames) // ch) * ch].reshape(-1, ch)
     return int(sr), int(ch), frames

@@ -791,3 +791,75 @@ def test_gif_decodes_via_decode_image_and_video_features(spark):
     row = extract_video_features(df).collect()[0]
     assert (row.n_frames, row.height, row.width) == (3, 6, 9)
     assert row.px_sum == sum(int(pal[f].astype(np.int64).sum()) for f in frames)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law: real compressed audio (ITU-T telephony codec)
+# through the same RIFF/WAVE walk (format tags 7 / 6).
+# ---------------------------------------------------------------------------
+
+
+def test_g711_expand_compress_involution_all_bytes():
+    """compress(expand(b)) == b for every companded byte — the exact
+    property the classic g711.c tables have. One documented
+    exception: mu-law 0x7F is 'negative zero'; it decodes to 0 like
+    0xFF does, and the compressor canonicalizes 0 to 0xFF."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import g711_compress, g711_expand
+
+    allb = np.arange(256, dtype=np.uint8)
+    back_mu = g711_compress(g711_expand(allb, "mulaw").astype(np.int64), "mulaw")
+    diff = np.nonzero(back_mu != allb)[0]
+    assert list(diff) == [0x7F] and back_mu[0x7F] == 0xFF
+    assert int(g711_expand(np.array([0x7F, 0xFF], np.uint8), "mulaw").sum()) == 0
+
+    back_a = g711_compress(g711_expand(allb, "alaw").astype(np.int64), "alaw")
+    assert np.array_equal(back_a, allb)
+
+
+def test_g711_wav_roundtrip_and_idempotence():
+    """Lossy but stable: expand(compress(x)) re-compresses to the
+    same bytes; container round trip preserves rate/channels; raw
+    uint8 payloads pass through verbatim (the oracle-row path)."""
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_g711,
+        g711_expand,
+    )
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32768, 400).astype(np.int16)
+    for law in ("mulaw", "alaw"):
+        sr, ch, fr = decode_wav(encode_wav_g711(pcm, 16000, law))
+        assert (sr, ch) == (16000, 1) and len(fr) == 400
+        sr2, ch2, fr2 = decode_wav(encode_wav_g711(fr, 16000, law))
+        assert np.array_equal(fr, fr2), law
+        assert int(np.abs(fr.astype(int) - pcm.astype(int)).max()) < 1024
+
+    pay = ((np.arange(64) * 7 + 3) % 256).astype(np.uint8)
+    _, _, fr = decode_wav(encode_wav_g711(pay, 8000, "alaw"))
+    assert np.array_equal(fr, g711_expand(pay, "alaw"))
+
+
+def test_g711_error_surface():
+    import struct
+
+    import numpy as np
+
+    from lambdo_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_g711,
+        g711_compress,
+    )
+
+    with pytest.raises(ValueError):
+        g711_compress(np.zeros(4, np.int64), "adpcm")
+    # format tag 2 (ADPCM) must fail loudly in the chunk walk
+    blob = bytearray(encode_wav_g711(np.zeros(8, np.uint8), 8000, "mulaw"))
+    tag_off = blob.index(b"fmt ") + 8
+    blob[tag_off:tag_off + 2] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(blob))

@@ -1820,9 +1820,14 @@ def _q_dedup_embedding_multiprobe(spark, sf_dir):
     vector also probes every bucket reachable by flipping a subset of
     its 3 least-confident sign bits) + exact cosine re-rank. The
     oracle is the brute-force all-pairs SQL, so this row is a
-    FULL-RECALL check of the multiprobe path at sf0.01."""
+    FULL-RECALL check of the multiprobe path. probes=4 (gate override
+    of the probes=3 default) buys recall margin: measured at sf0.1,
+    probes=2 misses 2/14 true pairs, probes=3 finds 14/14 exactly, and
+    probe sets grow monotonically with ``probes`` — so 4 keeps the row
+    deterministic-green with a full probe level of slack rather than
+    sitting at the edge where a regenerated fixture could flip it."""
     return dedup_embedding_cosine(
-        _t(spark, sf_dir, "embeddings"), threshold=0.5
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, probes=4
     ).select("id_a", "id_b")
 
 
@@ -3138,7 +3143,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lm_score": """
             WITH tk AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              SELECT doc_id, regexp_split_to_array(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                       '\\s+') AS t
               FROM documents
             ), st AS (
               SELECT doc_id,

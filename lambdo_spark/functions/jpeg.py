@@ -537,6 +537,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         m = data[pos + 1]
+        if m == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            pos += 1
+            continue
         if m == 0xD9:  # EOI
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
@@ -600,6 +603,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comp_sel, scan_start = scan
     if len(comp_sel) != len(comps):
         raise ValueError("non-interleaved multi-scan JPEG not supported")
+    if len(comps) == 1:
+        # T.81 A.2.3: a one-component scan is non-interleaved — its MCU
+        # is exactly ONE data unit regardless of declared sampling
+        # factors (grayscale files converted from 4:2:0 color keep the
+        # 2x2 luma factors). Normalizing to 1x1 yields the correct
+        # block raster: ceil(fw/8) x ceil(fh/8), one block per MCU.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
 
     # split the entropy stream on restart markers, destuff FF00
     segments: list[bytes] = []

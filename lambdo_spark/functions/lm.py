@@ -39,7 +39,12 @@ _BOS = "\x02"  # ASCII STX — cannot appear in whitespace-split tokens
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) rows — one per bigram of the BOS-prefixed stream."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # regexp trim, NOT F.trim: trim() strips only spaces, so a doc
+    # starting with a tab/newline would keep a leading '' token after
+    # the whitespace split and be mis-guarded as empty below
+    toks = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
     stream = F.when(
         (F.size(toks) > 0) & (F.element_at(toks, 1) != F.lit("")),
         F.concat(F.array(F.lit(_BOS)), toks),

@@ -119,16 +119,32 @@ def decode_image(data: bytes) -> "np.ndarray":
         return _decode_ppm_p6(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    # PNG/JPEG/GIF: try the pure-numpy decoders first; variants they
+    # reject by design (progressive JPEG, Adam7 / 16-bit PNG, ...)
+    # fall through to Pillow when it's importable, so having Pillow
+    # never narrows the decodable set vs passing everything to it.
     if data[:8] == _PNG_SIG:
-        return decode_png(data)
-    if data[:2] == b"\xff\xd8":
+        try:
+            return decode_png(data)
+        except (ValueError, NotImplementedError):
+            if not _pil():
+                raise
+    elif data[:2] == b"\xff\xd8":
         from lambdo_spark.functions.jpeg import decode_jpeg  # noqa: PLC0415
 
-        return decode_jpeg(data)
-    if data[:4] == b"GIF8":
+        try:
+            return decode_jpeg(data)
+        except (ValueError, NotImplementedError):
+            if not _pil():
+                raise
+    elif data[:4] == b"GIF8":
         from lambdo_spark.functions.gif import decode_gif  # noqa: PLC0415
 
-        return decode_gif(data)[0]  # first composited frame
+        try:
+            return decode_gif(data)[0]  # first composited frame
+        except (ValueError, NotImplementedError):
+            if not _pil():
+                raise
     img_mod = _pil()
     if img_mod:
         import io  # noqa: PLC0415
@@ -389,9 +405,13 @@ def g711_expand(payload: "np.ndarray", law: str) -> "np.ndarray":
 
 
 def g711_compress(samples: "np.ndarray", law: str) -> "np.ndarray":
-    """Compress int16 PCM to G.711 bytes (fixture synthesis; exact
-    involution with :func:`g711_expand` — compress(expand(b)) == b
-    for every byte, pinned in tests)."""
+    """Compress int16 PCM to G.711 bytes (fixture synthesis).
+
+    compress(expand(b)) == b for every byte EXCEPT mu-law 0x7F
+    ("negative zero"): it expands to sample 0, which re-compresses to
+    the canonical 0xFF ("positive zero") — the same one-byte exception
+    the classic g711.c tables have. A-law is a true involution on all
+    256 bytes. Both pinned in tests/test_multimodal.py."""
     x = np.asarray(samples, dtype=np.int64)
     if law == "mulaw":
         sign = np.where(x < 0, 0x80, 0)

@@ -61,8 +61,15 @@ def doc_texts(ids: np.ndarray, seed: int) -> np.ndarray:
     gid = ids // np.uint64(8)
     j = ids % np.uint64(8)
     is_dup = j < np.uint64(3)
-    # trio members stream from the GROUP key, uniques from the doc key
-    stream_key = np.where(is_dup, gid, ids + np.uint64(1) << np.uint64(32))
+    # trio members stream from the GROUP key, uniques from the doc key;
+    # parity keeps the two key spaces disjoint at ANY corpus size (the
+    # previous `ids + 1 << 32` offset parsed as `(ids+1) << 32` and
+    # repeated with period 2^26 after the *64 below)
+    stream_key = np.where(
+        is_dup,
+        gid * np.uint64(2) + np.uint64(1),
+        ids * np.uint64(2),
+    )
     n = len(ids)
     cols = []
     W = np.uint64(len(_POOL))

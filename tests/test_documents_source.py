@@ -19,6 +19,18 @@ def test_partitioning_invariance(spark):
     assert all(got[i] == texts[i] for i in range(64))
 
 
+def test_key_spaces_disjoint_at_any_size():
+    """Unique-doc stream keys must never repeat nor collide with trio
+    group keys — regression for the `ids + 1 << 32` precedence bug
+    that made 'unique' docs 2**26 apart byte-identical."""
+    a = doc_texts(np.array([7, 7 + 2**26], dtype=np.uint64), seed=42)
+    assert a[0] != a[1]
+    # unique member (j=5) of a huge group vs its trio stream
+    big = np.array([8 * 2**40, 8 * 2**40 + 5], dtype=np.uint64)
+    b = doc_texts(big, seed=42)
+    assert b[0] != b[1]
+
+
 def test_planted_trios_cluster_exactly(spark):
     """dedup_clusters on the generated corpus must recover exactly the
     planted structure: n/8 trios (component id = trio minimum), the

@@ -16,6 +16,9 @@ ROWS = [
     (5, "the"),                             # single token: 1 bigram (BOS,the)
     (6, ""),                                # empty: n_bigrams 0, NULL ppl
     (7, "   "),                             # whitespace-only == empty
+    (8, "\tthe cat sat"),                   # leading tab must still score
+    (9, "\n\nthe dog ran\t"),               # leading newlines, trailing tab
+    (10, "\t \n"),                          # mixed whitespace-only == empty
 ]
 
 

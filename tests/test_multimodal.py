@@ -863,3 +863,89 @@ def test_g711_error_surface():
     blob[tag_off:tag_off + 2] = struct.pack("<H", 2)
     with pytest.raises(ValueError):
         decode_wav(bytes(blob))
+
+
+def test_decode_image_falls_back_to_pillow_for_rejected_variants():
+    """Variants the pure-numpy decoders reject by design (here: Adam7
+    interlaced PNG) must fall through to Pillow when importable —
+    having Pillow never narrows the decodable set."""
+    import numpy as np
+
+    from lambdo_spark.functions import multimodal as mm
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob = bytearray(mm.encode_png(rgb))
+    # IHDR interlace byte: 8 (sig) + 8 (len+type) + 12th data byte
+    assert blob[16 + 12] == 0
+    blob[16 + 12] = 1  # claim Adam7 -> decode_png raises ValueError
+    import binascii
+    import struct
+
+    crc = binascii.crc32(bytes(blob[12:12 + 4 + 13])) & 0xFFFFFFFF
+    blob[12 + 4 + 13:12 + 4 + 13 + 4] = struct.pack(">I", crc)
+    blob = bytes(blob)
+
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.decode_png(blob)
+
+    class _FakeImg:
+        def convert(self, mode):
+            return np.zeros((4, 4, 3), dtype=np.uint8)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(fh):
+            return _FakeImg()
+
+    old = mm._PIL_IMAGE
+    try:
+        mm._PIL_IMAGE = _FakePIL
+        out = mm.decode_image(blob)
+        assert out.shape == (4, 4, 3) and not out.any()
+        # and with no Pillow, the numpy decoder's error surfaces
+        mm._PIL_IMAGE = False
+        with pytest.raises(ValueError, match="interlaced"):
+            mm.decode_image(blob)
+    finally:
+        mm._PIL_IMAGE = old
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF pad bytes before a
+    marker; the walk must skip them, not parse 0xFF as a marker."""
+    import numpy as np
+
+    from lambdo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    blob = encode_jpeg(img, quality=90)
+    ref = decode_jpeg(blob)
+    # insert fill bytes before the DQT marker
+    at = blob.index(b"\xff\xdb")
+    padded = blob[:at] + b"\xff" * 3 + blob[at:]
+    assert np.array_equal(decode_jpeg(padded), ref)
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.3: a one-component scan's MCU is exactly one data unit
+    regardless of declared sampling factors (grayscale converted from
+    4:2:0 keeps 2x2 luma factors). Patching the SOF factors byte from
+    1x1 to 2x2 must not change the decode."""
+    import numpy as np
+
+    from lambdo_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    gray = (np.arange(24 * 40, dtype=np.uint32) * 7 % 256).astype(
+        np.uint8).reshape(24, 40)
+    blob = encode_jpeg(gray, quality=85)
+    ref = decode_jpeg(blob)
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 11] == 0x11  # ncomp=1, factors 1x1
+    patched = blob[:sof + 11] + b"\x22" + blob[sof + 12:]
+    assert np.array_equal(decode_jpeg(patched), ref)

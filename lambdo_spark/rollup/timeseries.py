@@ -224,15 +224,23 @@ def order_stat(
         return df.groupBy(*keys).agg(
             F.percentile_approx(F.col(value_col), q).alias(output)
         )
+    # NULL values are excluded BEFORE counting/ranking — same
+    # population percentile_approx uses, and it keeps the k-th pick
+    # from landing on (or being shifted by) NULL rows; a group that is
+    # all-NULL vanishes from the output, same as the approx path.
     w = _ordered_window(keys, [value_col, *tiebreak])
     wn = Window.partitionBy(*keys)
-    ranked = df.select(
+    ranked = df.where(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col),
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(wn).alias("_n"),
     )
-    k = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+    # greatest(1, ·): q=0.0 means "the minimum", not an empty result
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(q) * F.col("_n")).cast("long"),
+    )
     return (
         ranked.where(F.col("_rn") == k)
         .select(*keys, F.col(value_col).alias(output))
@@ -309,13 +317,22 @@ def lttb_downsample(
     tiny lag/lead window over the centroids, one shuffle join of the
     points to their bucket's anchor row, one max-struct groupBy —
     raw rows shuffle twice (centroid agg + join), centroid rows are
-    |buckets| ≪ |points|."""
+    |buckets| ≪ |points|.
+
+    Value typing: INTEGRAL columns keep exact long partial sums, so
+    centroids (and thus picks) are bit-equal across engines — the
+    oracle-row guarantee. FLOATING columns stay double (no silent
+    truncation to long); their centroid sums are subject to the usual
+    last-bit float-summation order variance, which can only surface
+    as a different pick on an exact area TIE."""
+    vtype = df.schema[value_col].dataType.simpleString()
+    integral = vtype in ("tinyint", "smallint", "int", "bigint", "boolean")
     ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
     pts = df.select(
         *partition_by,
         (F.floor(ts_s / width_s) * width_s).cast("long").alias(bucket_col),
         ts_s.alias("_t"),
-        F.col(value_col).cast("long").alias("_v"),
+        F.col(value_col).cast("long" if integral else "double").alias("_v"),
     )
     cent = pts.groupBy(*partition_by, bucket_col).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -699,7 +716,11 @@ def quantile_from_hist(
     w_tot = Window.partitionBy(*keys)
     cum = F.sum("n").over(w_cum)
     tot = F.sum("n").over(w_tot)
-    k = F.ceil(F.lit(q) * tot).cast("long")
+    # greatest(1, ·): q=0.0 selects the lowest populated bin instead
+    # of silently dropping the group (k=0 satisfies no bin predicate)
+    k = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(q) * tot).cast("long")
+    )
     return (
         partials.select(
             *keys,

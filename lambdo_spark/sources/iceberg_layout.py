@@ -316,16 +316,56 @@ class IcebergLayoutTable:
                 os.close(fd)
                 break
             except FileExistsError:
+                if time.time() - t0 > timeout_s:
+                    raise TimeoutError(f"commit lock busy > {timeout_s}s: {path}")
+                # judge staleness by the timestamp the holder wrote
+                # INTO the lock (falls back to mtime for empty/corrupt
+                # locks) — the same identity the break path below uses
+                # to decide whether it stole a fresh lock, so a
+                # restored lock is never immediately re-broken
                 try:
-                    age = time.time() - os.path.getmtime(path)
+                    try:
+                        with open(path) as fh:
+                            born = float(fh.read().split()[1])
+                    except (IndexError, ValueError):
+                        born = os.path.getmtime(path)
+                    age = time.time() - born
                 except OSError:
                     continue  # raced with a release — retry
                 if age > stale_s:
+                    # break the stale lock by ATOMIC RENAME, not bare
+                    # remove: with remove, two waiters can both judge
+                    # the lock stale, the first deletes + re-creates,
+                    # and the second's remove then deletes the FRESH
+                    # lock — two writers in the commit section. Rename
+                    # moves exactly one inode, so exactly one breaker
+                    # wins; any lock created after the rename is
+                    # respected by the O_EXCL create above.
+                    grave = os.path.join(
+                        self.meta_dir,
+                        f"COMMIT.lock.stale-{os.getpid()}-{time.monotonic_ns()}",
+                    )
+                    try:
+                        os.rename(path, grave)
+                    except OSError:
+                        continue  # someone broke/released it first
+                    # narrow residual race: if the inode we moved was
+                    # actually a FRESH lock re-created in the
+                    # getmtime→rename window, put it back (os.link is
+                    # atomic-exclusive — it refuses if a newer lock
+                    # already took the path)
+                    try:
+                        with open(grave) as fh:
+                            born = float(fh.read().split()[1])
+                        stolen_fresh = time.time() - born <= stale_s
+                    except (OSError, IndexError, ValueError):
+                        stolen_fresh = False
+                    if stolen_fresh:
+                        with contextlib.suppress(OSError):
+                            os.link(grave, path)
                     with contextlib.suppress(OSError):
-                        os.remove(path)
+                        os.remove(grave)
                     continue
-                if time.time() - t0 > timeout_s:
-                    raise TimeoutError(f"commit lock busy > {timeout_s}s: {path}")
                 time.sleep(0.05)
         try:
             yield
@@ -1246,6 +1286,22 @@ class IcebergLayoutTable:
         return out
 
     @staticmethod
+    def _lt(a, b) -> bool | None:
+        """a < b with type reconciliation: manifest stats for
+        non-numeric dtypes are stored as strings, so numeric prune
+        bounds against (say) timestamp-column stats hit str-vs-int.
+        Coerce both sides to float when directly incomparable; if that
+        fails too, return None = "unknown" (caller must keep the
+        file — pruning stays sound, never crashes a read)."""
+        try:
+            return a < b
+        except TypeError:
+            try:
+                return float(a) < float(b)
+            except (TypeError, ValueError):
+                return None
+
+    @staticmethod
     def _overlaps(stats: dict, prune: dict[str, tuple]) -> bool:
         for c, (lo, hi) in prune.items():
             if c not in stats:
@@ -1253,9 +1309,9 @@ class IcebergLayoutTable:
             mn, mx = stats[c]
             if mn is None or mx is None:
                 continue
-            if lo is not None and mx < lo:
+            if lo is not None and IcebergLayoutTable._lt(mx, lo):
                 return False
-            if hi is not None and mn > hi:
+            if hi is not None and IcebergLayoutTable._lt(hi, mn):
                 return False
         return True
 

@@ -3,6 +3,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from lambdo_spark.rollup.compress_stage import compress_tier
@@ -463,3 +464,73 @@ def test_optimistic_concurrency_conflict_and_orphans(spark, tmp_path):
     deleted = t.remove_orphans(older_than_s=0.0)
     assert orphan in deleted and not os.path.exists(orphan)
     assert t.read_tier(spark).count() == 20  # live data untouched
+
+
+def test_stale_lock_break_single_winner(tmp_path):
+    """Breaking a stale commit lock must move exactly one inode
+    (atomic rename) — a second breaker that also judged it stale must
+    NOT delete the fresh lock the winner re-created."""
+    import os
+    import time as _time
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    os.makedirs(t.meta_dir, exist_ok=True)
+    path = os.path.join(t.meta_dir, "COMMIT.lock")
+    # plant a stale lock (born 999s ago)
+    with open(path, "w") as fh:
+        fh.write(f"999 {_time.time() - 999}")
+    os.utime(path, (_time.time() - 999,) * 2)
+    with t._commit_lock(timeout_s=5, stale_s=120):
+        # we broke the stale lock and now hold a fresh one
+        assert os.path.exists(path)
+        with open(path) as fh:
+            born = float(fh.read().split()[1])
+        assert _time.time() - born < 10
+    assert not os.path.exists(path)
+    # no stale-break graveyard files left behind
+    assert not [f for f in os.listdir(t.meta_dir) if "stale" in f]
+
+
+def test_stale_lock_break_restores_stolen_fresh_lock(tmp_path, monkeypatch):
+    """The narrow race: between a breaker's staleness check and its
+    rename, the stale holder releases and a NEW writer creates a
+    fresh lock — the breaker then steals the fresh lock. It must put
+    it back (and not re-break it), leaving the live writer locked."""
+    import os
+    import time as _time
+
+    t = IcebergLayoutTable(str(tmp_path / "t"))
+    os.makedirs(t.meta_dir, exist_ok=True)
+    path = os.path.join(t.meta_dir, "COMMIT.lock")
+    with open(path, "w") as fh:
+        fh.write(f"999 {_time.time() - 999}")  # embedded ts: STALE
+
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        if os.path.basename(src) == "COMMIT.lock":
+            # simulate the release+re-acquire landing just before us
+            with open(src, "w") as fh:
+                fh.write(f"777 {_time.time()}")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", racy_rename)
+    with pytest.raises(TimeoutError):
+        with t._commit_lock(timeout_s=1.0, stale_s=120):
+            pass
+    # the stolen fresh lock was restored, content intact
+    with open(path) as fh:
+        assert fh.read().split()[0] == "777"
+    assert not [f for f in os.listdir(t.meta_dir) if "stale" in f]
+
+
+def test_overlaps_type_reconciliation():
+    """String-stored stats vs numeric prune bounds must reconcile (or
+    keep the file), never raise."""
+    ov = IcebergLayoutTable._overlaps
+    # numeric-as-string stats, int bounds: reconciled via float
+    assert ov({"ts": ("100", "200")}, {"ts": (150, 180)}) is True
+    assert ov({"ts": ("100", "200")}, {"ts": (250, 300)}) is False
+    assert ov({"ts": ("100", "200")}, {"ts": (None, 50)}) is False
+    # truly incomparable (non-numeric string stats): keep the file
+    assert ov({"url": ("a", "m")}, {"url": (1, 2)}) is True

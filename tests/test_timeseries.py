@@ -530,3 +530,54 @@ def test_lttb_downsample_golden(spark):
         for r in lttb_downsample(df, "v", "ts", 3600, ["k"]).collect()
     }
     assert out == {0: (0, 0), 3600: (3700, 500), 7200: (7210, 20)}
+
+
+def test_order_stat_nulls_and_q0(spark):
+    """NULL values are excluded from the ranked population (same as
+    percentile_approx); q=0.0 returns the group minimum, not an empty
+    result; an all-NULL group vanishes like in the approx path."""
+    df = spark.createDataFrame(
+        [("g", 0, None), ("g", 1, None), ("g", 2, 1), ("g", 3, 2),
+         ("g", 4, 3), ("n", 0, None)],
+        "k string, id long, v long",
+    )
+    med = order_stat(df, ["k"], "v", 0.5, tiebreak=["id"]).toPandas()
+    # median of the NON-NULL population [1,2,3] is 2 (k=ceil(1.5)=2)
+    assert med["k"].tolist() == ["g"]
+    assert med["order_stat"].tolist() == [2]
+    lo = order_stat(df, ["k"], "v", 0.0, tiebreak=["id"]).toPandas()
+    assert lo["order_stat"].tolist() == [1]
+
+
+def test_quantile_from_hist_q0_lowest_bin(spark):
+    from lambdo_spark.rollup.timeseries import (
+        quantile_from_hist,
+        value_hist_partials,
+    )
+
+    df = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1, 0, 0, i), v)
+         for i, v in enumerate([15, 25, 35])],
+        "k string, ts timestamp, v long",
+    )
+    p = value_hist_partials(df, "v", "ts", 3600, ["k"], bin_width=10)
+    q0 = quantile_from_hist(p, 0.0, ["k"]).toPandas()
+    assert len(q0) == 1  # group present, lowest populated bin
+    assert q0.iloc[0]["q_est"] == 10
+
+
+def test_lttb_float_values_not_truncated(spark):
+    """Floating value columns must keep their fractional part — the
+    pick must distinguish 10.9 from 10.1 (both truncate to 10)."""
+    from lambdo_spark.rollup.timeseries import lttb_downsample
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # three buckets; middle bucket has a clear float outlier 10.9
+    for b, vals in enumerate([[5.0], [10.1, 10.9, 10.2], [5.0]]):
+        for i, v in enumerate(vals):
+            rows.append(("g", base + dt.timedelta(seconds=b * 60 + i * 5), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = lttb_downsample(df, "v", "ts", 60, ["k"]).toPandas()
+    mid = out[out["bucket_s"] == out["bucket_s"].sort_values().iloc[1]]
+    assert abs(float(mid["v"].iloc[0]) - 10.9) < 1e-9

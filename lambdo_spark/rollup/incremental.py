@@ -168,40 +168,61 @@ def _rebuild_tiers(
     # partition containing an affected bucket is rebuilt IN FULL
     # (all its buckets), never partially.
     ps = store.part_spec()["part_seconds"]
+    _check_uniform_spec(root, ps)
     aff_weeks = {int(p) for p in affected}
+    # per-tier rewrite sets and their source weeks: a bucket starting
+    # in a rewritten partition ends at most tsec past it (30d buckets
+    # span ~5 weekly partitions)
+    plans = {}
     for tier_name, tsec in TIER_SECONDS.items():
         parts_to_rewrite = _parts_containing_overlapping_buckets(
             aff_weeks, tsec, ps
         )
-        # source partitions: a bucket starting in a rewritten
-        # partition ends at most tsec past it (30d buckets span ~5
-        # weekly partitions)
         need_weeks = set()
         for p in parts_to_rewrite:
             w = p
             while w < p + ps + tsec:
                 need_weeks.add(str(w))
                 w += ps
-        src = _read_store_parts(spark, store, need_weeks)
-        if src is None:
-            continue
-        part1h = src.drop("part")
-        tier_partials = (
-            part1h if tsec == TIER_SECONDS["1h"] else downsample(part1h, tsec)
-        )
-        out = with_part(finalize(tier_partials), part_seconds=ps)
-        out = out.where(
-            F.col("part").isin(sorted(parts_to_rewrite))
-        )
-        tsnap = _tier_table(root, tier_name).overwrite_parts(
-            out,
-            [str(p) for p in sorted(parts_to_rewrite)],
-            input_snapshot=f"partials@{store_snapshot_id}",
-        )
-        result["affected_parts"][tier_name] = sorted(
-            str(p) for p in parts_to_rewrite
-        )
-        result["snapshots"][tier_name] = tsnap
+        plans[tier_name] = (tsec, parts_to_rewrite, need_weeks)
+    # ONE store scan for all three tiers: the union of the need sets
+    # (in practice the 30d superset), persisted because every tier's
+    # rebuild consumes it — same reason pipeline.py caches p1h; the
+    # per-tier need filter is a partition-column predicate on the
+    # cached frame, so no tier reads weeks it doesn't need twice
+    union_weeks = set().union(*(nw for _, _, nw in plans.values()))
+    src_all = _read_store_parts(spark, store, union_weeks)
+    if src_all is None:
+        return
+    src_all = src_all.persist()
+    try:
+        for tier_name, (tsec, parts_to_rewrite, need_weeks) in plans.items():
+            if not parts_to_rewrite:
+                continue
+            src = src_all.where(
+                F.col("part").cast("string").isin(sorted(need_weeks))
+            )
+            part1h = src.drop("part")
+            tier_partials = (
+                part1h
+                if tsec == TIER_SECONDS["1h"]
+                else downsample(part1h, tsec)
+            )
+            out = with_part(finalize(tier_partials), part_seconds=ps)
+            out = out.where(
+                F.col("part").isin(sorted(parts_to_rewrite))
+            )
+            tsnap = _tier_table(root, tier_name).overwrite_parts(
+                out,
+                [str(p) for p in sorted(parts_to_rewrite)],
+                input_snapshot=f"partials@{store_snapshot_id}",
+            )
+            result["affected_parts"][tier_name] = sorted(
+                str(p) for p in parts_to_rewrite
+            )
+            result["snapshots"][tier_name] = tsnap
+    finally:
+        src_all.unpersist()
 
     # 3. recompress only the chunks whose buckets changed — the
     # compressed tables partition on chunk id, and a chunk blob
@@ -298,13 +319,11 @@ def refresh_from_pages(
                 spark, store, root, pending_parts, prev["snapshot_id"],
                 compress, chunk_buckets, result,
             )
-            store.commit_metadata(
-                input_snapshot=f"refresh-complete:{pending['tag']}",
-                extra={"pending": None},
-            )
+            _clear_pending(store, pending["tag"], expect=pending)
         return result
 
     ps = store.part_spec()["part_seconds"]
+    _check_uniform_spec(root, ps)
     delta = with_part(
         partials_from_pages(new_pages, TIER_SECONDS["1h"]),
         part_seconds=ps,
@@ -338,6 +357,15 @@ def refresh_from_pages(
                         "parts": sorted(affected),
                     },
                 },
+                # CAS: this commit's ledger/pending were derived from
+                # `prev` — a concurrent refresh moving either key in
+                # the window would have its entry silently dropped
+                # (double-merge on ITS retry). Conflict -> raise, the
+                # caller re-runs against the fresh snapshot.
+                expect_extra={
+                    "applied_deltas": prev.get("applied_deltas"),
+                    "pending": prev.get("pending"),
+                },
             )
         else:
             snap = prev
@@ -350,13 +378,60 @@ def refresh_from_pages(
         )
 
         # all downstream tables committed — clear the pending marker
-        store.commit_metadata(
-            input_snapshot=f"refresh-complete:{delta_tag or 'untagged'}",
-            extra={"pending": None},
+        _clear_pending(
+            store,
+            delta_tag or "untagged",
+            expect={
+                "tag": delta_tag or "untagged", "parts": sorted(affected)
+            },
         )
     finally:
         delta.unpersist()
     return result
+
+
+def _check_uniform_spec(root: str, ps: int) -> None:
+    """Single-spec invariant across the root: tier part math derives
+    every tier's partition keys from the STORE's width. A crashed
+    evolve_root_partitioning can leave tiers on the old width —
+    rebuilding would overwrite a week-keyed partition with a day's
+    rows (silent data loss). Detect and refuse; the remedy is
+    idempotent (re-run evolve_root_partitioning: per-table evolution
+    no-ops tables already at the target spec, completes the rest)."""
+    mixed = {}
+    for tier_name in TIER_SECONDS:
+        tdir = os.path.join(root, f"tier_{tier_name}", "metadata", "CURRENT")
+        if not os.path.exists(tdir):
+            continue
+        tps = _tier_table(root, tier_name).part_spec()["part_seconds"]
+        if tps != ps:
+            mixed[tier_name] = tps
+    if mixed:
+        raise ValueError(
+            f"partition specs diverge across the root: partials store is "
+            f"{ps}s but {mixed} — an interrupted evolve_root_partitioning? "
+            f"Re-run evolve_root_partitioning(spark, root, {ps}) to bring "
+            f"every table to one spec (idempotent), then retry the refresh."
+        )
+
+
+def _clear_pending(store, tag: str, expect: dict) -> None:
+    """Clear the pending-refresh marker with a CAS on its value: if a
+    CONCURRENT refresh replaced the marker after this one's merge
+    commit, that refresh's pending covers these weeks too (pending
+    parts ride along into every later refresh), so ownership of the
+    clear transferred — leave THEIR marker for them to clear rather
+    than clobbering it."""
+    from lambdo_spark.sources.iceberg_layout import ConcurrentWriteConflict
+
+    try:
+        store.commit_metadata(
+            input_snapshot=f"refresh-complete:{tag}",
+            extra={"pending": None},
+            expect_extra={"pending": expect},
+        )
+    except ConcurrentWriteConflict:
+        pass
 
 
 def evolve_root_partitioning(

@@ -884,17 +884,46 @@ class IcebergLayoutTable:
         part_col: str = "part",
         input_snapshot: str = "",
         extra: dict | None = None,
+        base_snapshot: dict | None = None,
+        cluster: bool | None = None,
+        expect_extra: dict | None = None,
     ) -> dict:
         """Force-rewrite the given partitions (committed or not) —
         the incremental-refresh primitive. MVCC: the rewrite lands in
         a fresh ``snapv`` directory, so readers holding the previous
         snapshot keep a consistent view; only the new snapshot points
-        at the new version."""
+        at the new version.
+
+        ``base_snapshot``: the snapshot the caller's ``df`` was READ
+        from. When given, commit validation pins the rewritten parts'
+        versions AND row state (MOR add/delete files) to that
+        snapshot, so a concurrent commit landing in the read→commit
+        window raises :class:`ConcurrentWriteConflict` instead of
+        being silently overwritten — the copy-on-write DML paths all
+        pass it. When None (the incremental-refresh force-rewrite
+        form), versions are validated only against commit-time state:
+        last-writer-wins by design, the caller orchestrates."""
         parts = sorted({str(p) for p in parts})
-        base = self.part_versions()
+        if base_snapshot is not None:
+            base = {
+                p: base_snapshot.get("parts", {}).get(p) for p in parts
+            }
+            row_state = {
+                p: (
+                    base_snapshot.get("adds", {}).get(p, []),
+                    (base_snapshot.get("deletes") or {}).get(p, []),
+                )
+                for p in parts
+            }
+        else:
+            base = self.part_versions()
+            row_state = None
         schema_id, expect_schema = self._ensure_write_schema(df, part_col)
         version = self._claim_version()
-        self._write_parts(df, parts, version, part_col, input_snapshot, schema_id)
+        self._write_parts(
+            df, parts, version, part_col, input_snapshot, schema_id,
+            cluster=cluster,
+        )
         return self._commit(
             {},
             {
@@ -907,21 +936,38 @@ class IcebergLayoutTable:
             update={p: version for p in parts},
             base_versions=base,
             expect_schema=expect_schema,
+            expect_row_state=row_state,
+            expect_extra=expect_extra,
         )
 
-    def commit_metadata(self, input_snapshot: str = "", extra: dict | None = None) -> dict:
+    def commit_metadata(
+        self,
+        input_snapshot: str = "",
+        extra: dict | None = None,
+        expect_extra: dict | None = None,
+    ) -> dict:
         """Metadata-only commit: same partition versions, new snapshot
         carrying updated application state (e.g. clearing a pending
-        refresh marker after downstream tables committed)."""
+        refresh marker after downstream tables committed).
+
+        The parts map is taken from the LATEST snapshot under the
+        commit lock (``update={}``), so a data commit landing between
+        this caller's read and its commit is never rolled back.
+        ``expect_extra`` CASes application-state keys the caller
+        derived its update from (e.g. the pending marker it is
+        clearing) — a concurrent mover raises ConcurrentWriteConflict
+        instead of being clobbered."""
         snap = self.current_snapshot() or {}
         return self._commit(
-            dict(snap.get("parts", {})),
+            {},
             {
                 "input_snapshot": input_snapshot,
                 "new_parts": [],
                 "part_col": snap.get("part_col", "part"),
                 **(extra or {}),
             },
+            update={},
+            expect_extra=expect_extra,
         )
 
     def _write_parts(
@@ -932,6 +978,7 @@ class IcebergLayoutTable:
         part_col: str,
         input_snapshot: str,
         schema_id: int | None = None,
+        cluster: bool | None = None,
     ) -> None:
         spark = df.sparkSession
         if not missing:
@@ -945,7 +992,7 @@ class IcebergLayoutTable:
         # per-part), then an in-task sort clusters row groups on the
         # table sort order — content is unchanged (lineage hashes are
         # order-insensitive bit_xor)
-        if self.cluster_writes:
+        if self.cluster_writes if cluster is None else cluster:
             pending = pending.hint("rebalance", part_col)
             sort_cols = [c for c in self.sort_order if c in pending.columns]
             if sort_cols:
@@ -1654,6 +1701,19 @@ class IcebergLayoutTable:
         with multiple matches on the source side being an error left
         to the caller).
 
+        PRECONDITION — keys must functionally determine the partition:
+        only partitions present in ``delta`` are read and rewritten
+        (that bounded read IS the O(delta) design), so if a key can
+        have base rows in a partition the delta doesn't touch, those
+        rows survive as silent duplicates. ``keys`` must therefore
+        contain ``part_col`` or a column it is derived from (the tier
+        tables satisfy this: ``part`` is a function of ``bucket_s``
+        and every caller merges on ``(url, bucket_s)``). Merging on a
+        key that can move between partitions (e.g. ``url`` alone on a
+        time-partitioned table) is out of contract — same as Iceberg,
+        where a MERGE touching rows outside the pruned partition set
+        must read them.
+
         ``idempotency_tag`` makes replays exactly-once for a
         single-writer feed (the streaming-upsert sink): a tag already
         in the snapshot's ``applied_upserts`` ledger returns the
@@ -1673,6 +1733,15 @@ class IcebergLayoutTable:
                 + [idempotency_tag]
             )[-100:]}
         )
+        # CAS the ledger this writer extended: a concurrent tagged
+        # merge moving applied_upserts in the read->commit window
+        # would otherwise have its entry silently dropped (lost
+        # update), breaking exactly-once on ITS next replay
+        ledger_cas = (
+            None
+            if idempotency_tag is None
+            else {"applied_upserts": (snap or {}).get("applied_upserts")}
+        )
         part_col = part_col or (snap.get("part_col", "part") if snap else "part")
         if part_col not in delta.columns:
             raise ValueError(f"delta must carry the partition column {part_col!r}")
@@ -1685,7 +1754,8 @@ class IcebergLayoutTable:
             )
         if mode == "merge-on-read":
             return self._merge_rows_mor(
-                delta, keys, snap, part_col, affected, extra=ledger
+                delta, keys, snap, part_col, affected, extra=ledger,
+                expect_extra=ledger_cas,
             )
         pairs = self._version_pairs(snap, affected)
         tsid = snap.get("schema_id")
@@ -1699,11 +1769,14 @@ class IcebergLayoutTable:
         return self.overwrite_parts(
             merged, affected, part_col=part_col, input_snapshot="merge",
             extra={"merge_keys": list(keys), **ledger},
+            base_snapshot=snap,
+            expect_extra=ledger_cas,
         )
 
     def _merge_rows_mor(
         self, delta: DataFrame, keys: list[str], snap: dict,
         part_col: str, affected: list[str], extra: dict | None = None,
+        expect_extra: dict | None = None,
     ) -> dict:
         """Merge-on-read half of :meth:`merge_rows`: append the delta
         as new data files (``adds``) and its key tuples as
@@ -1768,6 +1841,7 @@ class IcebergLayoutTable:
             expect_schema=expect_schema,
             add_deletes=add_dels,
             add_adds={p: [v] for p in existing},
+            expect_extra=expect_extra,
             expect_row_state={
                 p: (
                     snap.get("adds", {}).get(p, []),
@@ -1826,6 +1900,7 @@ class IcebergLayoutTable:
         return self.overwrite_parts(
             kept, matching, part_col=part_col,
             input_snapshot=f"delete:{predicate}",
+            base_snapshot=snap,
         )
 
     def update_where(
@@ -1884,6 +1959,7 @@ class IcebergLayoutTable:
         return self.overwrite_parts(
             updated, matching, part_col=part_col,
             input_snapshot=f"update:{predicate}",
+            base_snapshot=snap,
         )
 
     def _update_where_mor(
@@ -2026,23 +2102,54 @@ class IcebergLayoutTable:
         schemas are normalized to the CURRENT schema on the way through
         — compaction doubles as schema materialization, like Iceberg's
         rewrite_data_files."""
-        versions = self.part_versions()
+        snap = self.current_snapshot()
+        versions = dict((snap or {}).get("parts", {}))
         todo = sorted(versions) if parts is None else sorted(
             {str(p) for p in parts} & set(versions)
         )
-        snap = self.current_snapshot()
         part_col = snap.get("part_col", "part") if snap else "part"
         tsid = snap.get("schema_id") if snap else None
         target = self.schema(tsid) if tsid is not None else None
         df = self._read_versions(
             spark, self._version_pairs(snap, todo), part_col, target_schema=target,
             deletes=self._delete_descs(snap, todo),
-        ).drop("snapv").coalesce(max(1, target_files))
+        ).drop("snapv")
         # the overwrite commit drops the materialized parts' delete
         # descriptors (version changed ⇒ deletes no longer apply) —
         # compaction doubles as Iceberg's rewrite_position_delete_files
+        if target_files <= 1:
+            if not self.cluster_writes:
+                # no rebalance on the write path (cluster_writes=False
+                # is the streaming/foreign-writer regime) — put each
+                # partition wholly into one task so exactly one file
+                # lands per part (hash-partitioning by part_col never
+                # splits a part across tasks)
+                df = df.repartition(max(1, len(todo)), F.col(part_col))
+                sort_cols = [c for c in self.sort_order if c in df.columns]
+                if sort_cols:
+                    df = df.sortWithinPartitions(part_col, *sort_cols)
+            # with cluster_writes=True the write's REBALANCE + in-task
+            # sort already lands one file per partition
+            return self.overwrite_parts(
+                df, todo, part_col=part_col, input_snapshot="compaction",
+                base_snapshot=snap,
+            )
+        # target_files > 1: a deterministic in-partition salt splits
+        # each part across exactly ≤ target_files tasks; the write
+        # must NOT re-cluster (the rebalance hint would re-shuffle and
+        # pick its own file count), so cluster=False for this write.
+        salt_src = [c for c in self.sort_order if c in df.columns] or df.columns
+        salted = df.repartition(
+            max(1, len(todo)) * target_files,
+            F.col(part_col),
+            F.pmod(F.xxhash64(*salt_src), F.lit(target_files)),
+        )
+        sort_cols = [c for c in self.sort_order if c in df.columns]
+        if sort_cols:
+            salted = salted.sortWithinPartitions(part_col, *sort_cols)
         return self.overwrite_parts(
-            df, todo, part_col=part_col, input_snapshot="compaction"
+            salted, todo, part_col=part_col, input_snapshot="compaction",
+            base_snapshot=snap, cluster=False,
         )
 
     def _sweep_delete_files(

@@ -534,3 +534,173 @@ def test_overlaps_type_reconciliation():
     assert ov({"ts": ("100", "200")}, {"ts": (None, 50)}) is False
     # truly incomparable (non-numeric string stats): keep the file
     assert ov({"url": ("a", "m")}, {"url": (1, 2)}) is True
+
+
+def test_cow_merge_toctou_conflict(spark, tmp_path):
+    """Copy-on-write DML validates against the snapshot its data was
+    READ from, not commit-time state: writer A commits between B's
+    read and B's commit → B must raise ConcurrentWriteConflict instead
+    of silently discarding A's rows (the TOCTOU the re-read base
+    allowed)."""
+    from lambdo_spark.sources.iceberg_layout import (
+        ConcurrentWriteConflict,
+        IcebergLayoutTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    df = spark.createDataFrame(
+        [(1, i, 0) for i in range(10)], "part long, k long, v long"
+    )
+    t.write_tier(df)
+
+    # writer B: plan a CoW merge, then have A land first. We simulate
+    # B's stale read by monkey-free sequencing: capture B's table
+    # handle, let A commit, then run B's merge whose snap was read
+    # BEFORE A committed — merge_rows reads the snapshot at call time,
+    # so drive the race through overwrite_parts' base_snapshot hook.
+    snap_before = t.current_snapshot()
+    # A lands a CoW update (bumps part 1's version)
+    ta = IcebergLayoutTable(root)
+    ta.update_where(spark, "k = 3", {"v": "v + 7"})
+
+    delta = spark.createDataFrame([(1, 3, 99)], "part long, k long, v long")
+    with pytest.raises(ConcurrentWriteConflict):
+        t.overwrite_parts(
+            delta, ["1"], input_snapshot="merge",
+            base_snapshot=snap_before,
+        )
+
+    # and merge_rows itself (fresh read) still works after the conflict
+    tb = IcebergLayoutTable(root)
+    tb.merge_rows(delta, keys=["part", "k"])
+    got = {
+        (r["k"], r["v"]) for r in tb.read_tier(spark).where("k = 3").collect()
+    }
+    assert got == {(3, 99)}
+
+
+def test_cow_rewrite_conflicts_with_concurrent_mor_delete(spark, tmp_path):
+    """A MOR delete landing between a CoW writer's read and commit
+    does NOT bump the part version — row-state validation must catch
+    it (otherwise the rewrite resurrects the deleted rows)."""
+    from lambdo_spark.sources.iceberg_layout import (
+        ConcurrentWriteConflict,
+        IcebergLayoutTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    df = spark.createDataFrame(
+        [(1, i, 0) for i in range(10)], "part long, k long, v long"
+    )
+    t.write_tier(df)
+    snap_before = t.current_snapshot()
+
+    # concurrent MOR delete: same part version, new delete file
+    IcebergLayoutTable(root).delete_where(
+        spark, "k = 5", mode="merge-on-read"
+    )
+
+    stale_rewrite = spark.createDataFrame(
+        [(1, i, 1) for i in range(10)], "part long, k long, v long"
+    )
+    with pytest.raises(ConcurrentWriteConflict):
+        t.overwrite_parts(
+            stale_rewrite, ["1"], input_snapshot="merge",
+            base_snapshot=snap_before,
+        )
+
+
+def test_compact_parts_honors_target_files(spark, tmp_path):
+    """target_files > 1 must actually bound the files per partition —
+    the clustered-write rebalance hint must not override it."""
+    import glob
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    df = spark.createDataFrame(
+        [(p, i, f"u{i % 97}") for p in (1, 2) for i in range(400)],
+        "part long, k long, url string",
+    )
+    t.write_tier(df)
+    before = t.read_tier(spark).orderBy("part", "k", "url").collect()
+    snap = t.compact_parts(spark, target_files=3)
+    for p in ("1", "2"):
+        v = snap["parts"][p]
+        files = glob.glob(
+            os.path.join(root, "data", f"part={p}", f"snapv={v}", "*.parquet")
+        )
+        assert 2 <= len(files) <= 3, (p, files)
+    after = t.read_tier(spark).orderBy("part", "k", "url").collect()
+    assert after == before
+    # and the default stays one file per part
+    snap1 = t.compact_parts(spark, target_files=1)
+    for p in ("1", "2"):
+        v = snap1["parts"][p]
+        files = glob.glob(
+            os.path.join(root, "data", f"part={p}", f"snapv={v}", "*.parquet")
+        )
+        assert len(files) == 1, (p, files)
+
+
+def test_expect_extra_cas_on_ledger_keys(spark, tmp_path):
+    """Application-state CAS: a commit whose ledger expectation went
+    stale (concurrent refresh/merge moved applied_deltas or pending)
+    must raise instead of silently dropping the other writer's entry."""
+    from lambdo_spark.sources.iceberg_layout import (
+        ConcurrentWriteConflict,
+        IcebergLayoutTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    df = spark.createDataFrame([(1, 0)], "part long, k long")
+    t.write_tier(df)
+    prev = t.current_snapshot()
+
+    # writer A extends the ledger
+    t.overwrite_parts(
+        df, ["1"], extra={"applied_deltas": ["a"]},
+        expect_extra={"applied_deltas": prev.get("applied_deltas")},
+    )
+    # writer B derived its ledger from the SAME prev — must conflict
+    with pytest.raises(ConcurrentWriteConflict):
+        t.overwrite_parts(
+            df, ["1"], extra={"applied_deltas": ["b"]},
+            expect_extra={"applied_deltas": prev.get("applied_deltas")},
+        )
+    assert t.current_snapshot()["applied_deltas"] == ["a"]
+
+    # commit_metadata CAS: clearing a pending marker someone replaced
+    t.commit_metadata(extra={"pending": {"tag": "x", "parts": ["1"]}})
+    with pytest.raises(ConcurrentWriteConflict):
+        t.commit_metadata(
+            extra={"pending": None},
+            expect_extra={"pending": {"tag": "OLD", "parts": []}},
+        )
+    t.commit_metadata(
+        extra={"pending": None},
+        expect_extra={"pending": {"tag": "x", "parts": ["1"]}},
+    )
+    assert t.current_snapshot().get("pending") is None
+
+
+def test_commit_metadata_preserves_concurrent_parts(spark, tmp_path):
+    """commit_metadata takes the parts map from the LATEST snapshot
+    under the commit lock — it must never roll back a data commit that
+    landed concurrently."""
+    from lambdo_spark.sources.iceberg_layout import IcebergLayoutTable
+
+    root = str(tmp_path / "t")
+    t = IcebergLayoutTable(root)
+    t.write_tier(spark.createDataFrame([(1, 0)], "part long, k long"))
+    # a data commit bumps part 1
+    t2 = IcebergLayoutTable(root)
+    s = t2.overwrite_parts(
+        spark.createDataFrame([(1, 5)], "part long, k long"), ["1"]
+    )
+    # metadata-only commit afterwards keeps the bumped version
+    m = t.commit_metadata(extra={"pending": None})
+    assert m["parts"] == s["parts"]
+    assert t.read_tier(spark).collect()[0]["k"] == 5

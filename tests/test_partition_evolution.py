@@ -134,3 +134,27 @@ def test_retention_pipeline_respects_evolved_spec(spark, tmp_path):
         parts = [int(p) for p in tab.part_versions()]
         assert parts and all(p % DAY == 0 for p in parts), name
         assert any(p % DEFAULT_PART_SECONDS != 0 for p in parts), name
+
+
+def test_refresh_refuses_mixed_spec_root_and_evolve_recovers(spark, tmp_path):
+    """Crash-interrupted evolve (store evolved, tiers not): the next
+    refresh must REFUSE (rebuilding would key a day's rows into weekly
+    partitions — silent data loss), and re-running evolve must
+    complete the remaining tables (per-table evolution is idempotent),
+    after which refresh succeeds."""
+    import pytest
+
+    root = str(tmp_path / "tiers")
+    d1 = generate_pages(spark, 1500, seed=41)
+    run_retention_pipeline(spark, d1, root, enforce_audit=False)
+    # simulate the crash: only the store reaches the new spec
+    IcebergLayoutTable(os.path.join(root, "partials_1h")).evolve_partitioning(
+        DAY, spark=spark, rewrite=True
+    )
+    d2 = generate_pages(spark, 800, seed=42)
+    with pytest.raises(ValueError, match="diverge"):
+        refresh_from_pages(spark, d2, root, delta_tag="dx", enforce_audit=False)
+    # recovery: evolve the whole root (store no-ops, tiers evolve)
+    evolve_root_partitioning(spark, root, DAY)
+    r = refresh_from_pages(spark, d2, root, delta_tag="dx2", enforce_audit=False)
+    assert r["affected_parts"]["partials_1h"]

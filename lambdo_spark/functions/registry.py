@@ -96,7 +96,14 @@ register(
         doc="threshold compare (lambdo examples/example9.py:44-49)",
     )
 )
-register(Kernel("to_timestamp", expr=lambda c, fmt=None: F.to_timestamp(c[0], fmt) if fmt else F.to_timestamp(c[0])))
+# coerce=True -> try_to_timestamp (NULL on parse failure, pandas
+# errors='coerce'); default raises under ANSI, matching pandas' raise
+register(Kernel("to_timestamp", expr=lambda c, fmt=None, coerce=False: (
+    # try_to_timestamp needs the format as a Column, to_timestamp a str
+    (F.try_to_timestamp(c[0], F.lit(fmt)) if fmt else F.try_to_timestamp(c[0]))
+    if coerce
+    else (F.to_timestamp(c[0], fmt) if fmt else F.to_timestamp(c[0]))
+)))
 register(Kernel("round", expr=lambda c, digits=0: F.round(c[0], digits)))
 
 

@@ -61,13 +61,23 @@ def ann_bruteforce_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
     )
+    return _topk_rerank(scored, k)
+
+
+def _topk_rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact-cosine top-k tail of every ANN variant: rank the
+    (query_id, neighbor_id, cosine) candidates per query (ties broken
+    on neighbor_id for determinism) and keep the first k."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"), "rank",
+        )
     )
 
 
@@ -85,7 +95,6 @@ def lsh_bucket_udf(dim: int, bits: int = 12, tables: int = 4, seed: int = 42):
     @pandas_udf("array<long>")
     def _udf(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (n, dim)
-        out = []
         sigs = [((m @ p.T) > 0).astype(np.int64) @ weights for p in planes]
         allsigs = np.stack(sigs, axis=1)  # (n, tables)
         # offset each table's signature space so buckets never collide
@@ -250,14 +259,7 @@ def ann_ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _topk_rerank(cand, k)
 
 
 def ann_ivf_index_write(
@@ -325,8 +327,15 @@ def ann_ivf_index_topk(
     # queries are the small (broadcast) side — collecting their probed
     # cells is O(Q·nprobe) and buys reading only those partitions
     probed = {str(r[0]) for r in q.select("cell").distinct().collect()}
-    versions = {p: v for p, v in table.part_versions().items() if p in probed}
-    corpus = table._read_versions(spark, versions).drop("snapv", "part").select(
+    pruned = table.read_parts(spark, probed)
+    if pruned is None:
+        return _topk_rerank(
+            spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double"
+            ),
+            k,
+        )
+    corpus = pruned.drop("part").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         "cell",
@@ -336,14 +345,7 @@ def ann_ivf_index_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _topk_rerank(cand, k)
 
 
 def ann_lsh_topk(
@@ -366,7 +368,16 @@ def ann_lsh_topk(
     volume (×2**probes per side) for recall on moderate-cosine
     neighbors where base sign-LSH misses. Precision is unaffected —
     candidates are exactly re-ranked."""
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        # empty corpus: empty result with the contract schema, no UDF
+        return _topk_rerank(
+            emb.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double"
+            ),
+            k,
+        )
+    dim = len(first[0])
     if probes > 0:
         udf = lsh_multiprobe_udf(dim, bits, tables, seed, probes)
     else:
@@ -385,11 +396,4 @@ def ann_lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _topk_rerank(cand, k)

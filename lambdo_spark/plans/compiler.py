@@ -166,13 +166,34 @@ def _rewrite_wellknown_function(c: dict) -> None:
     name = _WELLKNOWN_FUNCTIONS.get(ref)
     if name is None:
         return
-    c["kernel"] = name
-    c.pop("function", None)
     if name == "to_timestamp":
         m = c.get("model") or {}
-        c["model"] = (
-            {"fmt": strftime_to_spark(m["format"])} if "format" in m else None
+        # errors='coerce' maps to try_to_timestamp (NULL on parse
+        # failure); the default (errors='raise') maps to ANSI
+        # to_timestamp, which raises — both pandas-exact. Any other
+        # model arg would be SILENTLY dropped by this rewrite, so
+        # refuse it loudly.
+        extra = set(m) - {"format"} - (
+            {"errors"} if m.get("errors") == "coerce" else set()
         )
+        if extra:
+            raise ValueError(
+                f"column {c.get('id')!r}: pandas:to_datetime model args "
+                f"{sorted(extra)} are not supported by the Spark "
+                "to_timestamp rewrite (supported: format, "
+                "errors='coerce' — unparseable values become NULL)"
+            )
+        c["kernel"] = name
+        c.pop("function", None)
+        model = {}
+        if "format" in m:
+            model["fmt"] = strftime_to_spark(m["format"])
+        if m.get("errors") == "coerce":
+            model["coerce"] = True
+        c["model"] = model or None
+        return
+    c["kernel"] = name
+    c.pop("function", None)
 
 
 def strip_comments(text: str) -> str:
@@ -331,7 +352,13 @@ class Workflow:
                     td["operation"] = "extend"
                     td.setdefault("source", self._order[i - 1])
             elif op == "extend" and "source" not in td:
-                td["source"] = self._order[max(0, i - 1)]
+                if i == 0:
+                    raise ValueError(
+                        f"table {tid!r}: operation 'extend' with no "
+                        "'source' cannot be the first table — there is "
+                        "no predecessor to extend"
+                    )
+                td["source"] = self._order[i - 1]
 
     def _normalize_function_table(self, td: dict) -> None:
         """Reference T3 function tables (Table.py:192-203: a table def
@@ -458,7 +485,15 @@ class Workflow:
         fmt = tdef.get("format", "parquet")
         schema = tdef.get("schema")
         if schema is None:
-            schema = self.spark.read.format(fmt).load(tdef["path"]).schema
+            # infer with the SAME reader recipe the batch `source` op
+            # uses (options + csv header/inferSchema defaults) — a bare
+            # read would see a csv header row as data and hand the
+            # stream an all-string _c0/_c1 schema
+            from lambdo_spark.operators.table_ops import source as _src
+
+            schema = _src(
+                self.spark, fmt, tdef["path"], tdef.get("options")
+            ).schema
         reader = self.spark.readStream.schema(schema).format(fmt)
         for k, v in (tdef.get("options") or {}).items():
             reader = reader.option(k, v)

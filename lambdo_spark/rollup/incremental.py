@@ -76,12 +76,7 @@ def _read_store_parts(
     """Committed snapshot versions of the requested partitions only —
     via the store's MVCC path list, so stale rewritten versions are
     never double-read."""
-    versions = {
-        p: v for p, v in store.part_versions().items() if p in parts
-    }
-    if not versions:
-        return None
-    return store._read_versions(spark, versions).drop("snapv")
+    return store.read_parts(spark, parts)
 
 
 def _parts_containing_overlapping_buckets(

@@ -1463,6 +1463,29 @@ class IcebergLayoutTable:
             "part_col": part_col,
         }
 
+    def read_parts(
+        self,
+        spark: SparkSession,
+        parts,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Public pruned-partition read: exactly the requested
+        partitions at their committed snapshot versions (MVCC — a
+        stale rewritten version is never double-read), None if none of
+        the requested partitions exist. The partition-restricted
+        sibling of :meth:`read_tier` — consumers (incremental refresh,
+        the persisted ANN index) use this instead of reaching into the
+        private version plumbing."""
+        want = {str(p) for p in parts}
+        versions = {
+            p: v
+            for p, v in self.part_versions(snapshot_id).items()
+            if p in want
+        }
+        if not versions:
+            return None
+        return self._read_versions(spark, versions).drop("snapv")
+
     def read_tier(
         self,
         spark: SparkSession,

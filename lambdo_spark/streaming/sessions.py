@@ -126,17 +126,32 @@ def _make_sessionizer(gap_seconds: int, ts_col: str):
 
         # gap boundaries within the batch; the open session's last
         # event is ts[0]'s virtual predecessor, so index 0 can never
-        # break (any state-vs-batch gap was handled above)
-        prev = np.concatenate(([last], ts[:-1]))
+        # break (any state-vs-batch gap was handled above). Each
+        # predecessor is clamped to at least `last`: late events sort
+        # before the stored last_ts, and a gap measured against a late
+        # predecessor instead of the session's true last would split a
+        # session the open state actually bridges. The clamp self-
+        # neutralizes after any break (a break implies ts > last+gap,
+        # so every later predecessor already exceeds `last`).
+        prev = np.maximum(np.concatenate(([last], ts[:-1])), last)
         breaks = np.flatnonzero(ts - prev > gap_seconds)
         seg_starts = np.concatenate(([0], breaks))
         seg_ends = np.concatenate((breaks, [ts.size]))  # exclusive
 
         for i, (a, b) in enumerate(zip(seg_starts, seg_ends)):
             first_seg = i == 0
-            s_start = start if first_seg else int(ts[a])
+            # first segment continues the OPEN session: a late-but-
+            # within-watermark event sorts before the stored last_ts,
+            # so the boundary timestamps must merge via min/max — bare
+            # ts[b-1] would REGRESS last_ts (shrinking the timeout
+            # deadline and mis-splitting the next batch) and bare
+            # `start` would miss a late event earlier than the open
+            # session's first
+            s_start = min(start, int(ts[a])) if first_seg else int(ts[a])
             s_n = (n if first_seg else 0) + int(b - a)
-            s_last = int(ts[b - 1])
+            s_last = (
+                max(last, int(ts[b - 1])) if first_seg else int(ts[b - 1])
+            )
             if b == ts.size:
                 # newest segment stays open in state
                 state.update((s_start, s_last, s_n, n_closed))
@@ -165,11 +180,22 @@ def streaming_sessionizer(
 
     The watermark bounds both lateness tolerance and how long an idle
     session stays open past its last event.
+
+    The output ``key`` field takes the INPUT key column's type (the
+    schema template's StringType is replaced), so numeric user ids
+    don't fail the Arrow output conversion.
     """
+    key_type = events_stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("key", key_type),
+            *[f for f in SESSION_SCHEMA.fields if f.name != "key"],
+        ]
+    )
     stream = events_stream.withWatermark(ts_col, watermark_delay)
     return stream.groupBy(key_col).applyInPandasWithState(
         _make_sessionizer(gap_seconds, ts_col),
-        outputStructType=SESSION_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -72,9 +72,15 @@ def _finalize_buckets(
 
     tier_seconds = 3600
     for pdf in pdfs:
+        # NULL warc_ts rows are dropped (a NaT would otherwise become
+        # a garbage int64 bucket); NULL text counts as length 0 — the
+        # same tolerance the batch tier's F.sum(F.length(text)) has
+        pdf = pdf[pdf["warc_ts"].notna()]
+        if pdf.empty:
+            continue
         ts = pdf["warc_ts"].astype("datetime64[ns]").astype("int64") // 10**9
         bucket = (ts // tier_seconds) * tier_seconds
-        ln = pdf["text"].str.len().astype("int64")
+        ln = pdf["text"].str.len().fillna(0).astype("int64")
         g = pd.DataFrame({"b": bucket, "n": 1, "s": ln, "lo": ts, "hi": ts}).groupby(
             "b"
         ).agg(n=("n", "sum"), s=("s", "sum"), lo=("lo", "min"), hi=("hi", "max"))

@@ -773,3 +773,34 @@ def test_decontaminate_prefilter_op(spark):
         sorted(map(tuple, out["fast"].collect()))
     flags = {r["doc_id"]: r["contaminated"] for r in out["fast"].collect()}
     assert flags[0] == 1 and flags[9] == 0
+
+
+def test_to_datetime_coerce_and_unsupported_model_args(spark, tmp_path):
+    """errors='coerce' maps to try_to_timestamp (NULL on bad input);
+    any model arg the JVM rewrite would silently drop raises."""
+    d = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("2024-01-02",), ("garbage",), ("2024-02-03",)], "s string"
+    ).write.parquet(d)
+
+    def spec(model):
+        return {"tables": [
+            {"id": "t", "operation": "source", "format": "parquet",
+             "path": d,
+             "columns": [{"id": "ts", "function": "pandas:to_datetime",
+                          "inputs": ["s"], "model": model}]}]}
+
+    out = (
+        Workflow(spec({"format": "%Y-%m-%d", "errors": "coerce"}), spark)
+        .execute()["t"].orderBy("s").collect()
+    )
+    assert [r["ts"] is None for r in out] == [False, False, True]
+    with pytest.raises(ValueError, match="unit"):
+        Workflow(spec({"format": "%Y-%m-%d", "unit": "s"}), spark).execute()
+
+
+def test_extend_first_table_without_source_raises(spark):
+    with pytest.raises(ValueError, match="first table"):
+        Workflow(
+            {"tables": [{"id": "t0", "operation": "extend"}]}, spark
+        ).execute()

@@ -127,3 +127,60 @@ def test_streaming_sessions_match_batch_and_resume(spark, tmp_path):
     v2 = v[v["session_id"] == 2]
     assert len(v2) == 1 and v2.iloc[0]["n_events"] == 2
     assert v2.iloc[0]["duration_s"] == 300
+
+
+def test_streaming_sessions_late_events_merge_not_split(spark, tmp_path):
+    """Late-but-within-watermark events sort BEFORE the open session's
+    stored last_ts. They must neither regress last_ts (key a: a later
+    batch event 9.8min after the true last would then be mis-split)
+    nor act as gap predecessors (key b: same two events in ONE batch).
+    Batch oracle: all four events per key form one session."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    staging = str(tmp_path / "staging")
+
+    rows1 = [("a", _ts(0)), ("a", _ts(5)), ("b", _ts(0)), ("b", _ts(5))]
+    f1 = _land(
+        spark.createDataFrame(rows1, "k string, ts timestamp"), staging, src, "f1"
+    )
+    schema = spark.read.parquet(f1).schema
+    _start(spark, src, out, ckpt, schema)
+
+    # a: late 4.5 alone; b: late 4.5 AND 14.8 together (in-batch form)
+    rows2 = [("a", _ts(4.5)), ("b", _ts(4.5)), ("b", _ts(14.8))]
+    _land(
+        spark.createDataFrame(rows2, "k string, ts timestamp"), staging, src, "f2"
+    )
+    _start(spark, src, out, ckpt, schema)
+
+    rows3 = [("a", _ts(14.8))]
+    _land(
+        spark.createDataFrame(rows3, "k string, ts timestamp"), staging, src, "f3"
+    )
+    _start(spark, src, out, ckpt, schema)
+
+    # far future closes everything open
+    rows4 = [("a", _ts(60)), ("b", _ts(60))]
+    _land(
+        spark.createDataFrame(rows4, "k string, ts timestamp"), staging, src, "f4"
+    )
+    _start(spark, src, out, ckpt, schema)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["key", "session_id"])
+        .reset_index(drop=True)
+    )
+    all_rows = spark.createDataFrame(
+        rows1 + rows2 + rows3 + rows4, "k string, ts timestamp"
+    )
+    batch = session_table(all_rows, ["k"], "ts", GAP).toPandas()
+    for k in ("a", "b"):
+        exp = batch[(batch["k"] == k) & (batch["session_id"] == 1)].iloc[0]
+        g = got[(got["key"] == k) & (got["session_id"] == 1)]
+        assert len(g) == 1, (k, got)
+        g = g.iloc[0]
+        assert (
+            g["start_s"], g["end_s"], g["n_events"]
+        ) == (exp["start_s"], exp["end_s"], exp["n_events"]), k
+        assert g["n_events"] == 4, k

@@ -321,3 +321,27 @@ def test_rowlocal_corpus_ops_stream_parity(spark, tmp_path):
     s = streamed[batch.columns].sort_values(key).reset_index(drop=True)
     assert b.equals(s)
     assert "clean_text" in b.columns and b["keep"].isin([True, False]).all()
+
+
+def test_stream_source_schema_inference_respects_csv_options(spark, tmp_path):
+    """Schema inference for a stream source must use the same reader
+    recipe as the batch source op (header + inferSchema for csv) — a
+    bare read would treat the header row as data and hand the stream
+    an all-string _c0/_c1 schema."""
+    import os
+
+    d = str(tmp_path / "csvsrc")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.csv"), "w") as fh:
+        fh.write("url,n\nhttp://a,1\nhttp://b,2\n")
+    w = Workflow(
+        {"tables": [
+            {"id": "ev", "stream": True, "format": "csv", "path": d,
+             "options": {"header": "true"}},
+        ]},
+        spark,
+    )
+    df = w.execute()["ev"]
+    assert df.isStreaming
+    assert df.columns == ["url", "n"]
+    assert dict(df.dtypes)["n"] in ("int", "bigint")

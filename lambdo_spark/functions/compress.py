@@ -41,18 +41,18 @@ import numpy as np
 _U64 = np.uint64
 
 
-def _pack_codes(codes_hi: np.ndarray, codes_lo: np.ndarray, lengths: np.ndarray) -> bytes:
-    """MSB-first concatenation of variable-length codes (≤128 bits each).
-
-    Vectorized: one pass per bit position (≤ max(lengths) iterations),
-    each pass O(n) numpy — no per-element Python.
-    """
-    n = len(lengths)
-    if n == 0:
-        return b""
-    total = int(lengths.sum())
-    bits = np.zeros(total, dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+def _scatter_code_bits(
+    bits: np.ndarray,
+    offsets: np.ndarray,
+    hi: np.ndarray,
+    lo: np.ndarray,
+    lengths: np.ndarray,
+) -> None:
+    """Write each code's bits MSB-first into ``bits`` at its
+    ``offsets`` position — one vectorized pass per bit position
+    (≤ max(lengths) iterations), codes straddling the 64-bit boundary
+    read from the hi word. Shared by the single-series and grouped
+    packers so the trickiest loop in the module exists once."""
     max_len = int(lengths.max())
     for j in range(max_len):
         m = lengths > j
@@ -60,15 +60,24 @@ def _pack_codes(codes_hi: np.ndarray, codes_lo: np.ndarray, lengths: np.ndarray)
             break
         shift = (lengths[m] - 1 - j).astype(np.int64)
         hi_part = shift >= 64
-        bit = np.empty(m.sum(), dtype=np.uint8)
         s_lo = np.where(hi_part, 0, shift).astype(np.uint64)
         s_hi = np.where(hi_part, shift - 64, 0).astype(np.uint64)
-        bit = np.where(
+        bits[offsets[m] + j] = np.where(
             hi_part,
-            (codes_hi[m] >> s_hi) & _U64(1),
-            (codes_lo[m] >> s_lo) & _U64(1),
+            (hi[m] >> s_hi) & _U64(1),
+            (lo[m] >> s_lo) & _U64(1),
         ).astype(np.uint8)
-        bits[offsets[m] + j] = bit
+
+
+def _pack_codes(codes_hi: np.ndarray, codes_lo: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-length codes (≤128 bits each)."""
+    n = len(lengths)
+    if n == 0:
+        return b""
+    total = int(lengths.sum())
+    bits = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    _scatter_code_bits(bits, offsets, codes_hi, codes_lo, lengths)
     return np.packbits(bits).tobytes()
 
 
@@ -290,20 +299,7 @@ def _grouped_pack(
         base_per_code = grp_base[np.cumsum(grp_first) - 1]
         within = starts_of_code - base_per_code
         offsets = byte_start[code_gid] * 8 + within
-        max_len = int(lengths.max())
-        for j in range(max_len):
-            m = lengths > j
-            if not m.any():
-                break
-            shift = (lengths[m] - 1 - j).astype(np.int64)
-            hi_part = shift >= 64
-            s_lo = np.where(hi_part, 0, shift).astype(np.uint64)
-            s_hi = np.where(hi_part, shift - 64, 0).astype(np.uint64)
-            bits[offsets[m] + j] = np.where(
-                hi_part,
-                (hi[m] >> s_hi) & _U64(1),
-                (lo[m] >> s_lo) & _U64(1),
-            ).astype(np.uint8)
+        _scatter_code_bits(bits, offsets, hi, lo, lengths)
     buf = np.packbits(bits)
     return buf, byte_start, bytes_per_group
 

@@ -42,75 +42,12 @@ FILE_PREFIX = "$file:"
 
 # ------------------------------------------------------------- fitting
 
-def fit_linear(df: DataFrame, inputs: list[str], label: str) -> dict:
-    """OLS fit of ``label ~ inputs`` via distributed normal equations.
-
-    Returns ``{"kind": "linear", "inputs": [...], "weights": [...],
-    "intercept": b, "n": rows}``.
-    """
-    p = len(inputs)
-    xs = [F.col(c).cast("double") for c in inputs]
-    y = F.col(label).cast("double")
-    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy")]
-    for i in range(p):
-        aggs.append(F.sum(xs[i]).alias(f"sx{i}"))
-        aggs.append(F.sum(xs[i] * y).alias(f"sxy{i}"))
-        for j in range(i, p):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"sxx{i}_{j}"))
-    r = df.agg(*aggs).collect()[0]
-
-    n = float(r["n"])
-    # normal matrix over [1, x1..xp]
-    a = np.zeros((p + 1, p + 1))
-    b = np.zeros(p + 1)
-    a[0, 0] = n
-    b[0] = r["sy"]
-    for i in range(p):
-        a[0, i + 1] = a[i + 1, 0] = r[f"sx{i}"]
-        b[i + 1] = r[f"sxy{i}"]
-        for j in range(i, p):
-            a[i + 1, j + 1] = a[j + 1, i + 1] = r[f"sxx{i}_{j}"]
-    coef = np.linalg.solve(a, b)
-    return {
-        "kind": "linear",
-        "inputs": list(inputs),
-        "weights": [float(w) for w in coef[1:]],
-        "intercept": float(coef[0]),
-        "n": int(r["n"]),
-    }
-
-
-def fit_linear_exact1(df: DataFrame, x: str, label: str) -> dict:
-    """Single-feature OLS over integer-valued columns with *exact*
-    long sums; float rounding happens only in the final two
-    divisions, mirroring what an exact-arithmetic SQL engine does
-    (``float(num)/float(den)``, not ``num/den``) so cross-engine
-    results are bit-identical."""
-    r = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(x).cast("long")).alias("sx"),
-        F.sum(F.col(label).cast("long")).alias("sy"),
-        F.sum((F.col(x) * F.col(x)).cast("long")).alias("sxx"),
-        F.sum((F.col(x) * F.col(label)).cast("long")).alias("sxy"),
-    ).collect()[0]
-    n, sx, sy, sxx, sxy = (int(r[c]) for c in ("n", "sx", "sy", "sxx", "sxy"))
-    num, den = n * sxy - sx * sy, n * sxx - sx * sx
-    slope = float(num) / float(den)
-    intercept = (float(sy) - slope * float(sx)) / float(n)
-    return {
-        "kind": "linear",
-        "inputs": [x],
-        "weights": [slope],
-        "intercept": intercept,
-        "n": n,
-    }
-
-
-def fit_ridge(df: DataFrame, inputs: list[str], label: str, alpha: float = 1.0) -> dict:
-    """Ridge regression via the SAME distributed normal equations as
-    :func:`fit_linear` — the executors ship only the p·(p+3)/2+2
-    aggregate sums; the driver solves (X'X + αI)w = X'y with the
-    intercept left unpenalized (standard ridge convention)."""
+def _normal_eq(df: DataFrame, inputs: list[str], label: str):
+    """Distributed normal-equation sums for ``label ~ [1, inputs]``:
+    ONE agg ships p·(p+3)/2+2 scalars to the driver; returns the
+    assembled (A, b, n) for the (p+1)-dim system over [1, x1..xp].
+    Shared by :func:`fit_linear` and :func:`fit_ridge` so the
+    aggregate construction and matrix assembly exist once."""
     p = len(inputs)
     xs = [F.col(c).cast("double") for c in inputs]
     y = F.col(label).cast("double")
@@ -130,6 +67,69 @@ def fit_ridge(df: DataFrame, inputs: list[str], label: str, alpha: float = 1.0) 
         b[i + 1] = r[f"sxy{i}"]
         for j in range(i, p):
             a[i + 1, j + 1] = a[j + 1, i + 1] = r[f"sxx{i}_{j}"]
+    return a, b, int(r["n"])
+
+
+def fit_linear(df: DataFrame, inputs: list[str], label: str) -> dict:
+    """OLS fit of ``label ~ inputs`` via distributed normal equations.
+
+    Returns ``{"kind": "linear", "inputs": [...], "weights": [...],
+    "intercept": b, "n": rows}``.
+    """
+    a, b, n = _normal_eq(df, inputs, label)
+    coef = np.linalg.solve(a, b)
+    return {
+        "kind": "linear",
+        "inputs": list(inputs),
+        "weights": [float(w) for w in coef[1:]],
+        "intercept": float(coef[0]),
+        "n": n,
+    }
+
+
+def fit_linear_exact1(df: DataFrame, x: str, label: str) -> dict:
+    """Single-feature OLS over integer-valued columns with *exact*
+    long sums; float rounding happens only in the final two
+    divisions, mirroring what an exact-arithmetic SQL engine does
+    (``float(num)/float(den)``, not ``num/den``) so cross-engine
+    results are bit-identical."""
+    # cast BEFORE multiplying (like the grouped twin): x*x in the
+    # column's native 32-bit type overflows under ANSI at ~|x|>46341
+    xl, yl = F.col(x).cast("long"), F.col(label).cast("long")
+    r = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(xl * yl).alias("sxy"),
+    ).collect()[0]
+    if r["n"] == 0:
+        raise ValueError(f"fit_linear_exact1: no rows to fit {label} ~ {x}")
+    n, sx, sy, sxx, sxy = (int(r[c]) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    if den == 0:
+        raise ValueError(
+            f"fit_linear_exact1: degenerate fit — feature {x!r} is "
+            f"constant over the {n} training rows (n*sxx == sx^2)"
+        )
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return {
+        "kind": "linear",
+        "inputs": [x],
+        "weights": [slope],
+        "intercept": intercept,
+        "n": n,
+    }
+
+
+def fit_ridge(df: DataFrame, inputs: list[str], label: str, alpha: float = 1.0) -> dict:
+    """Ridge regression via the SAME distributed normal equations as
+    :func:`fit_linear` — the executors ship only the p·(p+3)/2+2
+    aggregate sums; the driver solves (X'X + αI)w = X'y with the
+    intercept left unpenalized (standard ridge convention)."""
+    p = len(inputs)
+    a, b, n = _normal_eq(df, inputs, label)
     a[1:, 1:] += np.eye(p) * float(alpha)  # penalize weights, not intercept
     coef = np.linalg.solve(a, b)
     return {
@@ -137,7 +137,7 @@ def fit_ridge(df: DataFrame, inputs: list[str], label: str, alpha: float = 1.0) 
         "inputs": list(inputs),
         "weights": [float(w) for w in coef[1:]],
         "intercept": float(coef[0]),
-        "n": int(r["n"]),
+        "n": n,
         "alpha": float(alpha),
     }
 
@@ -188,7 +188,17 @@ def fit_linear_grouped(
                 for j in range(i, p):
                     sxx = pdf[f"sxx{i}_{j}"].to_numpy(dtype=np.float64)
                     a[:, i + 1, j + 1] = a[:, j + 1, i + 1] = sxx
-            coef = np.linalg.solve(a, b)  # batched over the g systems
+            # groups with n <= p (or a collinear/constant feature)
+            # have singular normal matrices; np.linalg.solve would
+            # throw for the WHOLE batch — mask them out and solve only
+            # the regular systems (batched). The masked NaNs cross the
+            # Arrow boundary as NULL coefficients: "no model" rows a
+            # downstream join can filter or coalesce.
+            det = np.linalg.det(a)
+            ok = np.isfinite(det) & (np.abs(det) > 0)
+            coef = np.full((g, p + 1), np.nan)
+            if ok.any():
+                coef[ok] = np.linalg.solve(a[ok], b[ok])
             out = pdf[group_keys].copy()
             out["intercept"] = coef[:, 0]
             out["weights"] = list(coef[:, 1:])

@@ -109,7 +109,16 @@ def roll(
     else:
         raise ValueError(f"kernel '{k.name}' has no aggregate form")
     if mp > 1:
-        have = F.count(F.lit(1)).over(w)
+        # pandas min_periods counts non-null OBSERVATIONS, not frame
+        # rows — a window of 3 rows holding [1.0, NULL, 2.0] has 2
+        # observations and must yield NULL at min_periods=3
+        if len(cols) == 1:
+            have = F.count(cols[0]).over(w)
+        else:
+            nn = cols[0].isNotNull()
+            for c in cols[1:]:
+                nn = nn & c.isNotNull()
+            have = F.count(F.when(nn, F.lit(1))).over(w)
         value = F.when(have >= F.lit(mp), value)
     return df.withColumn(output, value)
 

@@ -207,12 +207,19 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     key = list(on_key)
-    vals = list(value_cols)
+    # a value column whose name the left side also carries (and which
+    # is neither key nor ts) gets the pandas-merge_asof-style suffix —
+    # the bare name would otherwise appear twice in the merged frame
+    taken = {c for c in left.columns if c not in key and c != left_ts}
+    out_names = {
+        c: (f"{c}_right" if c in taken else c) for c in value_cols
+    }
+    vals = [out_names[c] for c in value_cols]
     r = right.dropDuplicates(key + [right_ts]).select(
         *key,
         F.col(right_ts).alias("__ts__"),
         F.lit(0).alias("__side__"),
-        *[F.col(c) for c in vals],
+        *[F.col(c).alias(out_names[c]) for c in value_cols],
     )
     # matched right timestamp rides along so tolerance can compare it
     r = r.withColumn("__rts__", F.col("__ts__"))
@@ -221,7 +228,10 @@ def asof_join(
         *key,
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__side__"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in vals],
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c])
+            for c in value_cols
+        ],
         *[F.col(c) for c in left_rest],
         F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts__"),
     )

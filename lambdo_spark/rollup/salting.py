@@ -51,14 +51,27 @@ def with_salt(
     """Add a salt column: uniform hash-mod for hot keys, 0 for cold.
 
     With ``hot_keys=None`` every key is salted (simple mode).
+
+    The salt is a DETERMINISTIC function of the full row content
+    (xxhash64 over every column) — a nondeterministic source
+    (monotonically_increasing_id, rand) feeding a shuffle is a
+    correctness bug: a recomputed map task after a fetch failure can
+    re-salt rows differently, double-counting some partials and
+    dropping others. The cost of determinism: rows that are
+    byte-identical land in the same salt bucket; at web scale
+    identical rows of one key are the pathological case map-side
+    combine already collapses, so the trade is right.
     """
     salt: Column = F.pmod(
-        F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
-        F.lit(buckets),
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)
     )
     if hot_keys is None:
         return df.withColumn(salt_col, salt)
-    hot = hot_keys.select(*keys, F.lit(True).alias("_is_hot"))
+    # duplicate hot-key rows (caller-built frames carry no uniqueness
+    # guarantee) would MULTIPLY fact rows through the join — dedup
+    hot = hot_keys.select(*keys).dropDuplicates(keys).select(
+        *keys, F.lit(True).alias("_is_hot")
+    )
     return (
         df.join(F.broadcast(hot), keys, "left")
         .withColumn(salt_col, F.when(F.col("_is_hot"), salt).otherwise(F.lit(0)))

@@ -59,6 +59,11 @@ def partials_from_table(
     pages: html/binary never leave the parquet scan).
     """
     cat = F.col(cat_col) if isinstance(cat_col, str) else cat_col
+    # NULL category (undetected language) buckets under a sentinel:
+    # it would otherwise become a NULL map key in finalize's
+    # map_from_entries — a runtime error in Spark — and coalescing
+    # HERE (not at finalize) keeps the sentinel a single merged group
+    cat = F.coalesce(cat, F.lit("und"))
     m = F.col(measure) if isinstance(measure, str) else measure
     return (
         df.select(

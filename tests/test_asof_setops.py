@@ -209,3 +209,26 @@ def test_asof_tolerance_forward_long_ts(spark):
     assert out["px"].tolist()[0] == 1.0
     assert out["px"].tolist()[1] == 2.0
     assert pd.isna(out["px"].tolist()[2])
+
+
+def test_asof_join_value_col_name_collision_suffixes(spark):
+    """A value column the left side also carries gets the _right
+    suffix (pandas merge_asof convention) instead of a duplicate-
+    column failure."""
+    import datetime as dt
+
+    from lambdo_spark.operators.table_ops import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=10), 111.0)],
+        "id string, ts timestamp, price double",
+    )
+    right = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=5), 42.0)],
+        "id string, rts timestamp, price double",
+    )
+    out = asof_join(left, right, ["id"], "ts", "rts", ["price"])
+    row = out.collect()[0]
+    assert row["price"] == 111.0          # the left's own column
+    assert row["price_right"] == 42.0     # the matched right value

@@ -256,3 +256,31 @@ def test_join_right_key_rename_collision(spark):
     )
     got = {tuple(r) for r in out.select("k", "lv", "k_r", "rv").collect()}
     assert got == {(1, "a", 100, "x"), (2, "b", 200, "y")}
+
+
+def test_roll_min_periods_counts_observations_not_rows(spark):
+    """pandas parity: min_periods counts non-null OBSERVATIONS — a
+    3-row window holding [1, NULL, 2] has 2 observations and must
+    yield NULL at min_periods=3 (pandas rolling(3, min_periods=3))."""
+    import math
+
+    from lambdo_spark.operators.column_ops import roll
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 2.0), (4, 4.0), (5, 8.0)],
+        "i long, v double",
+    )
+    out = {
+        r["i"]: r["s"]
+        for r in roll(df, "s", "sum", ["v"], 3, ["i"]).collect()
+    }
+    assert out[3] is None          # rows 1-3: only 2 observations
+    assert out[4] is None          # rows 2-4: only 2 observations
+    assert out[5] == 14.0          # rows 3-5: all present
+    # pandas cross-check
+    import pandas as pd
+
+    exp = pd.Series([1.0, None, 2.0, 4.0, 8.0]).rolling(3, min_periods=3).sum()
+    for i in range(1, 6):
+        e = exp[i - 1]
+        assert (out[i] is None) == math.isnan(e) or out[i] == e

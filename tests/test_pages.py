@@ -68,3 +68,28 @@ def test_hash_audit_catches_corruption(spark):
 def test_extract_text_python_reference():
     html = b"<html><body>hello world</body></html>"
     assert extract_text(html) == "hello world"
+
+
+def test_null_lang_buckets_under_sentinel(spark):
+    """NULL lang (undetected language) must not crash the rollup —
+    it buckets under 'und' and merges with explicit 'und' rows (the
+    sentinel is applied BEFORE grouping, so map_from_entries never
+    sees a NULL key)."""
+    import datetime as dt
+
+    from lambdo_spark.rollup.tiers import finalize, partials_from_pages
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    pages = spark.createDataFrame(
+        [
+            ("http://a", t0, b"", "xx", None),
+            ("http://a", t0, b"", "yyyy", "und"),
+            ("http://a", t0, b"", "zzzzzz", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    tier = finalize(partials_from_pages(pages, 3600)).collect()
+    assert len(tier) == 1
+    row = tier[0]
+    assert row["n_points"] == 3
+    assert dict(row["lang_hist"]) == {"und": 2, "en": 1}

@@ -66,8 +66,12 @@ def test_cold_keys_get_salt_zero(spark):
     assert out.where(F.col("_salt") != 0).count() == 0
 
 
-def test_hot_keys_fan_out(spark):
-    df = generate_pages(spark, 5000, seed=42).select("url")
+def test_hot_keys_fan_out_and_deterministic(spark):
+    # salt over the real row shape (url + ts + text), not a keys-only
+    # projection: the salt is a deterministic content hash, so rows
+    # must carry distinguishing columns to fan out — which actual
+    # fact rows do
+    df = generate_pages(spark, 5000, seed=42).select("url", "warc_ts", "text")
     top = df.groupBy("url").count().orderBy(F.desc("count")).limit(1)
     hot = top.select("url")
     out = with_salt(df, ["url"], hot_keys=hot, buckets=16)
@@ -76,3 +80,11 @@ def test_hot_keys_fan_out(spark):
         out.where(F.col("url") == hot_url).select("_salt").distinct().count()
     )
     assert n_salts > 4  # the hot key really spreads across buckets
+    # determinism: two independent evaluations assign identical salts
+    # (a retry-recomputed task must not re-salt rows differently)
+    a = out.orderBy("url", "warc_ts").select("_salt").collect()
+    b = (
+        with_salt(df, ["url"], hot_keys=hot, buckets=16)
+        .orderBy("url", "warc_ts").select("_salt").collect()
+    )
+    assert a == b

@@ -211,3 +211,40 @@ def test_user_fit_escape_hatch(spark):
         os.remove("/tmp/userfit_model_test.json")
     finally:
         sys.path.remove(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_fit_exact1_degenerate_and_overflow_safe(spark):
+    from lambdo_spark.functions.train import fit_linear_exact1
+
+    # constant feature -> clear error, not ZeroDivisionError
+    const = spark.createDataFrame([(5, 1), (5, 2)], "x int, y int")
+    with pytest.raises(ValueError, match="constant"):
+        fit_linear_exact1(const, "x", "y")
+
+    # int32 column with |x| large enough that x*x overflows int32:
+    # the long-cast-first sums must fit (ANSI would error otherwise)
+    big = spark.createDataFrame(
+        [(100000, 3), (200000, 5), (300000, 7)], "x int, y int"
+    )
+    m = fit_linear_exact1(big, "x", "y")
+    assert abs(m["weights"][0] - 2e-05) < 1e-12
+    assert abs(m["intercept"] - 1.0) < 1e-9
+
+
+def test_fit_grouped_singular_groups_nan_not_crash(spark):
+    from lambdo_spark.functions.train import fit_linear_grouped
+
+    rows = (
+        [("good", float(i), 2.0 * i + 1) for i in range(5)]
+        + [("single", 4.0, 9.0)]          # n=1: singular
+        + [("const", 3.0, 1.0), ("const", 3.0, 2.0)]  # constant x: singular
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in fit_linear_grouped(df, ["x"], "y", ["k"]).collect()}
+    assert abs(out["good"]["weights"][0] - 2.0) < 1e-9
+    assert abs(out["good"]["intercept"] - 1.0) < 1e-9
+    # singular groups surface as NULL coefficients (NaN crosses the
+    # Arrow boundary as null) — "no model", join-able downstream
+    for k in ("single", "const"):
+        assert out[k]["intercept"] is None, k
+        assert out[k]["weights"][0] is None, k

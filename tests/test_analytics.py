@@ -1,0 +1,241 @@
+"""Series analytics: EWMA, seasonal anomaly, CUSUM, correlation.
+
+Cross-checked against independent pandas/numpy computations (not the
+module's own kernels) and golden hand-walks for the recursions.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambdo_spark.rollup.analytics import (
+    anomaly_seasonal,
+    corr_pairs,
+    cusum,
+    ewma,
+)
+
+
+def _series_df(spark, rows, cols=("k", "ts", "v")):
+    return spark.createDataFrame([tuple(r) for r in rows], list(cols))
+
+
+# ------------------------------------------------------------- ewma
+
+
+@pytest.mark.parametrize("adjust", [True, False])
+def test_ewma_matches_pandas(spark, adjust):
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in ["a", "b", "c"]:
+        vals = rng.integers(0, 1000, size=40)
+        for i, v in enumerate(vals):
+            rows.append((k, i, int(v)))
+    df = _series_df(spark, rows)
+    got = (
+        ewma(df, "v", ["ts"], ["k"], alpha=0.3, adjust=adjust)
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(rows, columns=["k", "ts", "v"])
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp["ewma"] = exp.groupby("k")["v"].transform(
+        lambda s: s.astype(float).ewm(alpha=0.3, adjust=adjust).mean()
+    )
+    np.testing.assert_allclose(got["ewma"], exp["ewma"], rtol=1e-12)
+
+
+def test_ewma_closed_form_single_series(spark):
+    # adjust=True is the explicit weighted ratio — verify against a
+    # from-scratch O(n^2) evaluation, independent of pandas.
+    vals = [10, 0, 50, 20, 20, 80]
+    df = _series_df(spark, [("s", i, v) for i, v in enumerate(vals)])
+    got = (
+        ewma(df, "v", ["ts"], ["k"], alpha=0.5)
+        .toPandas()
+        .sort_values("ts")["ewma"]
+        .to_numpy()
+    )
+    a = 0.5
+    exp = []
+    for t in range(len(vals)):
+        ws = [(1 - a) ** (t - i) for i in range(t + 1)]
+        exp.append(sum(w * v for w, v in zip(ws, vals[: t + 1])) / sum(ws))
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_ewma_null_passthrough(spark):
+    df = spark.createDataFrame(
+        [("s", 0, 10.0), ("s", 1, None), ("s", 2, 20.0)], ["k", "ts", "v"]
+    )
+    got = (
+        ewma(df, "v", ["ts"], ["k"], alpha=0.5)
+        .toPandas()
+        .sort_values("ts")["ewma"]
+        .to_numpy()
+    )
+    # pandas ignore_na=False: a NULL row re-emits the previous
+    # smoothed value but still decays the old weight, so
+    # y_2 = (0.25*10 + 20) / 1.25 = 18.
+    exp = pd.Series([10.0, np.nan, 20.0]).ewm(alpha=0.5, adjust=True).mean()
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+    assert got[1] == pytest.approx(10.0)
+    assert got[2] == pytest.approx(18.0)
+
+
+def test_ewma_alpha_validation(spark):
+    df = _series_df(spark, [("s", 0, 1)])
+    with pytest.raises(ValueError):
+        ewma(df, "v", ["ts"], ["k"], alpha=0.0)
+
+
+# ------------------------------------------------- seasonal anomaly
+
+
+def test_anomaly_seasonal_flags_spike(spark):
+    # 10 days of hourly data, flat value 100 at every hour, except a
+    # 10x spike at day 9 hour 5. Baseline for that bucket = prior
+    # same-hour values -> sd 0 -> but sd==0 means NULL z ... so add
+    # mild jitter to make sd positive.
+    rows = []
+    for day in range(10):
+        for hod in range(24):
+            v = 100 + (day % 3)  # jitter 0/1/2 -> sd > 0
+            if day == 9 and hod == 5:
+                v = 1000
+            rows.append(("u", day * 86400 + hod * 3600, v))
+    df = _series_df(spark, rows, cols=("k", "bucket_s", "v"))
+    out = anomaly_seasonal(
+        df, "v", "bucket_s", ["k"], period_s=86400, lookback=7, min_prior=3
+    ).toPandas()
+    flagged = out[out["is_anomaly"]]
+    assert list(flagged["bucket_s"]) == [9 * 86400 + 5 * 3600]
+    # cold-start rows (first 3 days) never flag and have NULL z
+    early = out[out["bucket_s"] < 3 * 86400]
+    assert not early["is_anomaly"].any()
+    assert early["zscore"].isna().all()
+
+
+def test_anomaly_seasonal_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        ("u", d * 86400 + h * 3600, int(rng.integers(0, 500)))
+        for d in range(8)
+        for h in range(4)
+    ]
+    df = _series_df(spark, rows, cols=("k", "bucket_s", "v"))
+    out = (
+        anomaly_seasonal(df, "v", "bucket_s", ["k"], lookback=5, min_prior=2)
+        .toPandas()
+        .sort_values("bucket_s")
+        .reset_index(drop=True)
+    )
+    pdf = (
+        pd.DataFrame(rows, columns=["k", "bucket_s", "v"])
+        .sort_values("bucket_s")
+        .reset_index(drop=True)
+    )
+    pdf["phase"] = pdf["bucket_s"] % 86400
+    g = pdf.groupby("phase")["v"]
+    mean = g.transform(lambda s: s.shift(1).rolling(5, min_periods=1).mean())
+    sd = g.transform(lambda s: s.shift(1).rolling(5, min_periods=2).std())
+    n = g.transform(lambda s: s.shift(1).rolling(5, min_periods=1).count())
+    z = (pdf["v"] - mean) / sd
+    z[(n < 2) | ~(sd > 0)] = np.nan
+    got = out.set_index("bucket_s")
+    exp = pd.DataFrame({"bucket_s": pdf["bucket_s"], "z": z}).set_index("bucket_s")
+    np.testing.assert_allclose(
+        got["zscore"].astype(float), exp["z"], rtol=1e-10, equal_nan=True
+    )
+
+
+# ----------------------------------------------------------- cusum
+
+
+def test_cusum_golden_recursion(spark):
+    vals = [5, 7, 3, 9, 9, 9, 2, 1, 8]
+    target, slack = 5, 1
+    df = _series_df(spark, [("s", i, v) for i, v in enumerate(vals)])
+    out = (
+        cusum(df, "v", ["ts"], ["k"], target=target, slack=slack)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    sp = sn = 0
+    exp_p, exp_n = [], []
+    for v in vals:
+        sp = max(0, sp + (v - target - slack))
+        sn = max(0, sn - (v - target + slack))
+        exp_p.append(sp)
+        exp_n.append(sn)
+    assert list(out["cusum_pos"]) == exp_p
+    assert list(out["cusum_neg"]) == exp_n
+
+
+def test_cusum_column_target_and_keys(spark):
+    rows = [("a", 0, 10, 8), ("a", 1, 4, 8), ("b", 0, 1, 0), ("b", 1, 5, 0)]
+    df = _series_df(spark, rows, cols=("k", "ts", "v", "base"))
+    out = (
+        cusum(df, "v", ["ts"], ["k"], target="base")
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    # a: devs +2,-4 -> pos 2,0 ; b: devs +1,+5 -> pos 1,6
+    assert list(out["cusum_pos"]) == [2, 0, 1, 6]
+
+
+def test_cusum_one_exchange_one_sort(spark):
+    # chained Window nodes over the same (keys, order) spec must reuse
+    # a single hash exchange and a single sort — the scale contract.
+    df = _series_df(spark, [("s", i, i) for i in range(10)])
+    plan = cusum(df, "v", ["ts"], ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort ") == 1
+
+
+# ------------------------------------------------------ correlation
+
+
+def test_corr_pairs_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=50)
+    series = {
+        "x": base + rng.normal(scale=0.1, size=50),
+        "y": -2 * base + rng.normal(scale=0.1, size=50),
+        "z": rng.normal(size=50),
+    }
+    rows = [
+        (name, i, float(v))
+        for name, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = _series_df(spark, rows, cols=("series", "bucket", "v"))
+    out = (
+        corr_pairs(df, "v", "series", "bucket")
+        .toPandas()
+        .set_index(["series_a", "series_b"])
+    )
+    for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+        exp = np.corrcoef(series[a], series[b])[0, 1]
+        assert out.loc[(a, b), "pearson_r"] == pytest.approx(exp, rel=1e-9)
+        assert out.loc[(a, b), "n_buckets"] == 50
+    assert out.loc[("x", "y"), "pearson_r"] < -0.9
+
+
+def test_corr_pairs_partial_overlap(spark):
+    rows = [("p", i, float(i)) for i in range(10)] + [
+        ("q", i, float(2 * i)) for i in range(5, 15)
+    ]
+    df = _series_df(spark, rows, cols=("series", "bucket", "v"))
+    out = corr_pairs(df, "v", "series", "bucket").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_buckets"] == 5  # buckets 5..9 shared
+    assert out.iloc[0]["pearson_r"] == pytest.approx(1.0)

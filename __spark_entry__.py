@@ -318,6 +318,33 @@ def _q_train_grouped(spark, sf_dir):
     )
 
 
+def _q_logistic_score(spark, sf_dir):
+    """Logistic-model scoring as a pure JVM expression: σ(η) with
+    η = −2 + 1.5·(cents/1000) over events. Coefficients are FIXED so
+    the oracle states the identical closed form (the distributed
+    Newton-IRLS fit itself is pinned in tests/test_train.py against a
+    from-scratch numpy IRLS — its float sums are partition-order
+    dependent, so the fit is a pytest surface, scoring the oracle
+    one). The class threshold p>0.5 ⇔ η>0 sits on an exact-arithmetic
+    boundary: η is plain double mul/add on integer cents, bit-equal
+    cross-engine; only σ needs exp (rounded at 6dp by the gate)."""
+    from lambdo_spark.functions.train import predict_expr
+
+    m = {
+        "kind": "logistic",
+        "inputs": ["cents_k"],
+        "weights": [1.5],
+        "intercept": -2.0,
+    }
+    ev = _events(spark, sf_dir).select(
+        "event_id", (_cents() / F.lit(1000.0)).alias("cents_k")
+    )
+    p = predict_expr(m)
+    return ev.select(
+        "event_id", p.alias("p_hot"), (p > F.lit(0.5)).alias("pred_hot")
+    )
+
+
 def _q_asof_snapshot(spark, sf_dir):
     """As-of join (operators/table_ops.py:asof_join — timeseries join
     the reference lacks): each event picks the most recent hourly
@@ -2228,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
+        "logistic_score": _q_logistic_score,
         # ---- entry #50
         "dedup_embedding_multiprobe": _q_dedup_embedding_multiprobe,
         # ---- below the observed 50-row gate: the remaining brand-new
@@ -3036,6 +3064,16 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w2 AS (
               PARTITION BY event_type ORDER BY bucket_s
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "logistic_score": """
+            SELECT event_id,
+                   1.0 / (1.0 + exp(-(-2.0 + 1.5 *
+                     (CAST(round(value * 100, 0) AS BIGINT) / 1000.0))))
+                     AS p_hot,
+                   (1.0 / (1.0 + exp(-(-2.0 + 1.5 *
+                     (CAST(round(value * 100, 0) AS BIGINT) / 1000.0)))))
+                     > 0.5 AS pred_hot
+            FROM events
         """,
         "bm25_search": """
             WITH toks AS (

@@ -248,3 +248,111 @@ def test_fit_grouped_singular_groups_nan_not_crash(spark):
     for k in ("single", "const"):
         assert out[k]["intercept"] is None, k
         assert out[k]["weights"][0] is None, k
+
+
+# ------------------------------------------------------------ logistic
+
+
+def _py_irls(x, y, iters=25, tol=1e-10, alpha=0.0):
+    """From-scratch numpy Newton-IRLS — the independent reference for
+    the distributed fit (same algorithm, all-local arithmetic)."""
+    xm = np.column_stack([np.ones(len(y)), x])
+    beta = np.zeros(xm.shape[1])
+    for _ in range(iters):
+        mu = 1.0 / (1.0 + np.exp(-(xm @ beta)))
+        w = mu * (1.0 - mu)
+        g = xm.T @ (y - mu)
+        h = xm.T @ (xm * w[:, None])
+        if alpha:
+            h[1:, 1:] += np.eye(xm.shape[1] - 1) * alpha
+            g[1:] -= alpha * beta[1:]
+        delta = np.linalg.solve(h, g)
+        beta = beta + delta
+        if np.max(np.abs(delta)) < tol:
+            break
+    return beta
+
+
+def _logistic_data(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 2))
+    eta = -0.5 + 1.5 * x[:, 0] - 2.0 * x[:, 1]
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+    return x, y
+
+
+def test_fit_logistic_matches_numpy_irls(spark):
+    from lambdo_spark.functions.train import fit_logistic
+
+    x, y = _logistic_data()
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)]
+    df = _df(spark, rows, "x1 double, x2 double, y double")
+    m = fit_logistic(df, ["x1", "x2"], "y")
+    exp = _py_irls(x, y)
+    np.testing.assert_allclose(
+        [m["intercept"], *m["weights"]], exp, rtol=1e-8
+    )
+    assert m["kind"] == "logistic" and m["n"] == len(y)
+    assert m["iters_run"] < 15  # Newton converges fast on scaled data
+
+
+def test_fit_logistic_gradient_zero_at_optimum(spark):
+    from lambdo_spark.functions.train import fit_logistic
+
+    x, y = _logistic_data(seed=11)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)]
+    df = _df(spark, rows, "x1 double, x2 double, y double")
+    m = fit_logistic(df, ["x1", "x2"], "y")
+    beta = np.array([m["intercept"], *m["weights"]])
+    xm = np.column_stack([np.ones(len(y)), x])
+    mu = 1.0 / (1.0 + np.exp(-(xm @ beta)))
+    np.testing.assert_allclose(xm.T @ (y - mu), 0.0, atol=1e-6)
+
+
+def test_fit_logistic_penalized_matches_numpy(spark):
+    from lambdo_spark.functions.train import fit_logistic
+
+    x, y = _logistic_data(seed=13)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)]
+    df = _df(spark, rows, "x1 double, x2 double, y double")
+    m = fit_logistic(df, ["x1", "x2"], "y", alpha=2.5)
+    exp = _py_irls(x, y, alpha=2.5)
+    np.testing.assert_allclose([m["intercept"], *m["weights"]], exp, rtol=1e-8)
+
+
+def test_fit_logistic_separable_raises_without_alpha(spark):
+    from lambdo_spark.functions.train import fit_logistic
+
+    # perfectly separable: y = 1 iff x > 0 — unpenalized MLE diverges
+    rows = [(float(v), 1.0 if v > 0 else 0.0) for v in range(-50, 51) if v != 0]
+    df = _df(spark, rows, "x double, y double")
+    with pytest.raises(ValueError):
+        fit_logistic(df, ["x"], "y", iters=60)
+    m = fit_logistic(df, ["x"], "y", alpha=1.0)  # penalized fit succeeds
+    assert np.isfinite(m["weights"][0]) and m["weights"][0] > 0
+
+
+def test_predict_expr_logistic_probability(spark):
+    df = _df(spark, [(0.0,), (1.0,), (-1.0,)], "x double")
+    m = {"kind": "logistic", "inputs": ["x"], "weights": [2.0], "intercept": 0.0}
+    got = sorted(
+        r[0] for r in df.select(predict_expr(m).alias("p")).collect()
+    )
+    exp = sorted(1.0 / (1.0 + np.exp(-2.0 * v)) for v in [0.0, 1.0, -1.0])
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_resolve_model_fit_logistic_roundtrip(spark, tmp_path):
+    x, y = _logistic_data(seed=17, n=200)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)]
+    df = _df(spark, rows, "x1 double, x2 double, y double")
+    path = str(tmp_path / "logit.json")
+    m = resolve_model(
+        f"$file:{path}",
+        df,
+        {"function": "fit_logistic", "inputs": ["x1", "x2"], "label": "y"},
+    )
+    assert m["kind"] == "logistic" and os.path.exists(path)
+    # second resolve loads the artifact without refitting
+    m2 = resolve_model(f"$file:{path}")
+    assert m2 == m

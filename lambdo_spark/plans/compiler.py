@@ -231,6 +231,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "keep_latest", "dedup_clusters", "sample_stratified",
         "remove_boilerplate", "shuffle", "components", "dedup_spans",
         "audio_features", "video_features", "pack",
+        "ewma", "anomaly", "cusum", "corr_pairs", "bm25", "tfidf", "semdedup",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -793,6 +794,71 @@ class Workflow:
                 self.tables[tdef["source"]], tdef["value"], tdef["ts"],
                 int(tdef["tier_seconds"]), tdef["keys"],
                 bucket_col=tdef.get("bucket_col", "bucket_s"),
+            )
+        if op == "ewma":
+            from lambdo_spark.rollup.analytics import ewma
+
+            return ewma(
+                self.tables[tdef["source"]], tdef["value"], tdef["order"],
+                tdef["keys"], float(tdef["alpha"]),
+                output=tdef.get("output", "ewma"),
+                adjust=bool(tdef.get("adjust", True)),
+            )
+        if op == "anomaly":
+            from lambdo_spark.rollup.analytics import anomaly_seasonal
+
+            return anomaly_seasonal(
+                self.tables[tdef["source"]], tdef["value"], tdef["bucket"],
+                tdef["keys"],
+                period_s=int(tdef.get("period_seconds", 86400)),
+                lookback=int(tdef.get("lookback", 7)),
+                min_prior=int(tdef.get("min_prior", 3)),
+                threshold=float(tdef.get("threshold", 3.0)),
+            )
+        if op == "cusum":
+            from lambdo_spark.rollup.analytics import cusum
+
+            return cusum(
+                self.tables[tdef["source"]], tdef["value"], tdef["order"],
+                tdef["keys"], target=tdef.get("target"),
+                slack=tdef.get("slack", 0),
+            )
+        if op == "corr_pairs":
+            from lambdo_spark.rollup.analytics import corr_pairs
+
+            return corr_pairs(
+                self.tables[tdef["source"]], tdef["value"], tdef["series"],
+                tdef["bucket"], min_buckets=int(tdef.get("min_buckets", 2)),
+            )
+        if op == "bm25":
+            from lambdo_spark.functions.ir import bm25_scores, bm25_topk
+
+            src = self.tables[tdef["source"]]
+            kw = dict(
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+                k1=float(tdef.get("k1", 1.2)),
+                b=float(tdef.get("b", 0.75)),
+            )
+            if "k" in tdef:
+                return bm25_topk(src, tdef["query"], k=int(tdef["k"]), **kw)
+            return bm25_scores(src, tdef["query"], **kw)
+        if op == "tfidf":
+            from lambdo_spark.functions.ir import tfidf_scores
+
+            return tfidf_scores(
+                self.tables[tdef["source"]], tdef["vocab"],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+            )
+        if op == "semdedup":
+            from lambdo_spark.functions.semdedup import semdedup
+
+            return semdedup(
+                self.tables[tdef["source"]], tau=float(tdef["tau"]),
+                k=int(tdef.get("k", 16)), iters=int(tdef.get("iters", 0)),
+                id_col=tdef.get("id_col", "vec_id"),
+                vec_col=tdef.get("vector", "embedding"),
             )
         if op == "time_weighted":
             from lambdo_spark.rollup.timeseries import (

@@ -804,3 +804,79 @@ def test_extend_first_table_without_source_raises(spark):
         Workflow(
             {"tables": [{"id": "t0", "operation": "extend"}]}, spark
         ).execute()
+
+
+def test_workflow_analytics_table_ops(spark):
+    """ewma/anomaly/cusum/corr_pairs as declarative population ops —
+    each compiled table must equal the direct function call."""
+    rows = [
+        ("a", i * 3600, (i * 7) % 23 + 1) for i in range(40)
+    ] + [("b", i * 3600, (i * 5) % 17 + 2) for i in range(40)]
+    data = {"h": spark.createDataFrame(rows, "k string, b long, v long")}
+    spec = {"tables": [
+        {"id": "h", "operation": "data"},
+        {"id": "sm", "operation": "ewma", "source": "h",
+         "keys": ["k"], "value": "v", "order": ["b"], "alpha": 0.4},
+        {"id": "an", "operation": "anomaly", "source": "h",
+         "keys": ["k"], "value": "v", "bucket": "b",
+         "lookback": 5, "min_prior": 2, "threshold": 2.5},
+        {"id": "cu", "operation": "cusum", "source": "h",
+         "keys": ["k"], "value": "v", "order": ["b"], "slack": 3},
+        {"id": "co", "operation": "corr_pairs", "source": "h",
+         "series": "k", "value": "v", "bucket": "b"},
+    ]}
+    out = compile_workflow(spec, spark, data)
+    from lambdo_spark.rollup.analytics import (
+        anomaly_seasonal, corr_pairs, cusum, ewma,
+    )
+
+    src = data["h"]
+    for tid, direct in [
+        ("sm", ewma(src, "v", ["b"], ["k"], 0.4)),
+        ("an", anomaly_seasonal(src, "v", "b", ["k"], lookback=5,
+                                min_prior=2, threshold=2.5)),
+        ("cu", cusum(src, "v", ["b"], ["k"], slack=3)),
+        ("co", corr_pairs(src, "v", "k", "b")),
+    ]:
+        import pandas.testing as pdt
+
+        cols = list(out[tid].columns)
+        got = out[tid].toPandas().sort_values(cols).reset_index(drop=True)
+        exp = direct.toPandas().sort_values(cols).reset_index(drop=True)
+        pdt.assert_frame_equal(got, exp, check_like=True), tid
+
+
+def test_workflow_retrieval_table_ops(spark):
+    """bm25 (scores + top-k) / tfidf / semdedup as declarative ops."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha beta"), (3, "delta gamma")],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == j) + 0.01 * i for j in range(3)]) for i in range(9)],
+        ["vec_id", "embedding"],
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "emb", "operation": "data"},
+        {"id": "scored", "operation": "bm25", "source": "docs",
+         "query": ["alpha", "gamma"]},
+        {"id": "top1", "operation": "bm25", "source": "docs",
+         "query": ["alpha", "gamma"], "k": 1},
+        {"id": "w", "operation": "tfidf", "source": "docs",
+         "vocab": ["alpha", "delta"]},
+        {"id": "kept", "operation": "semdedup", "source": "emb",
+         "tau": 0.95, "k": 3},
+    ]}
+    out = compile_workflow(spec, spark, {"docs": docs, "emb": emb})
+    scored = {r["doc_id"]: r["n_terms"] for r in out["scored"].collect()}
+    assert scored == {1: 2, 2: 1, 3: 1}
+    assert out["top1"].count() == 1
+    w = {(r["doc_id"], r["term"]): r["tf"] for r in out["w"].collect()}
+    assert w[(2, "alpha")] == 2 and w[(3, "delta")] == 1
+    kept = {r["vec_id"] for r in out["kept"].collect()}
+    assert kept and kept.issubset(set(range(9)))
+    from lambdo_spark.functions.semdedup import semdedup
+
+    direct = {r["vec_id"] for r in semdedup(emb, tau=0.95, k=3).collect()}
+    assert kept == direct

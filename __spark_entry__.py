@@ -1922,6 +1922,22 @@ def _q_dedup_embedding(spark, sf_dir):
     ).select("id_a", "id_b")  # cosine float kept out of the value-hash
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """REAL BPE tokenizer (Sennrich 2016): merge rules trained
+    distributed on the corpus word-frequency table (each round is one
+    vocab-sized groupBy — the corpus is scanned exactly once), then
+    Arrow-batched greedy encoding. Deliberately rows-only: the
+    iterative merge training has no SQL form; training and encoding
+    are pinned against a from-scratch Python reference in
+    tests/test_bpe.py, and n_tokens here is deterministic (count-desc
+    + lexicographic tie-break on every merge pick)."""
+    from lambdo_spark.functions.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, 16)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 def _q_bm25_search(spark, sf_dir):
     """BM25 relevance for a bag-of-terms query over documents: one
     tokenize + one map-side-combined (doc, term) groupBy; query
@@ -2323,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- compressed_roundtrip / dedup_simhash_md5)
         "compressed_chunks": _q_compressed_chunks,
         "dedup_simhash": _q_dedup_simhash,
+        "bpe_tokens": _q_bpe_tokens,
     }
 
 

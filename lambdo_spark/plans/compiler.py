@@ -232,6 +232,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "remove_boilerplate", "shuffle", "components", "dedup_spans",
         "audio_features", "video_features", "pack",
         "ewma", "anomaly", "cusum", "corr_pairs", "bm25", "tfidf", "semdedup",
+        "bpe",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -848,6 +849,23 @@ class Workflow:
 
             return tfidf_scores(
                 self.tables[tdef["source"]], tdef["vocab"],
+                id_col=tdef.get("id_col", "doc_id"),
+                text_col=tdef.get("text", "text"),
+            )
+        if op == "bpe":
+            from lambdo_spark.functions.bpe import bpe_encode, train_bpe
+
+            src = self.tables[tdef["source"]]
+            if "merges" in tdef:
+                merges = [tuple(m) for m in tdef["merges"]]
+            else:
+                merges = train_bpe(
+                    src, int(tdef["num_merges"]),
+                    text_col=tdef.get("text", "text"),
+                    min_count=int(tdef.get("min_count", 1)),
+                )
+            return bpe_encode(
+                src, merges,
                 id_col=tdef.get("id_col", "doc_id"),
                 text_col=tdef.get("text", "text"),
             )

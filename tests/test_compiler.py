@@ -880,3 +880,28 @@ def test_workflow_retrieval_table_ops(spark):
 
     direct = {r["vec_id"] for r in semdedup(emb, tau=0.95, k=3).collect()}
     assert kept == direct
+
+
+def test_workflow_bpe_op(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newer new lower low")], ["doc_id", "text"]
+    )
+    spec = {"tables": [
+        {"id": "docs", "operation": "data"},
+        {"id": "trained", "operation": "bpe", "source": "docs",
+         "num_merges": 6},
+        {"id": "fixed", "operation": "bpe", "source": "docs",
+         "merges": [["l", "o"], ["lo", "w"]]},
+    ]}
+    out = compile_workflow(spec, spark, {"docs": docs})
+    from lambdo_spark.functions.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(docs, 6)
+    exp = {r["doc_id"]: list(r["bpe_tokens"])
+           for r in bpe_encode(docs, merges).collect()}
+    got = {r["doc_id"]: list(r["bpe_tokens"])
+           for r in out["trained"].collect()}
+    assert got == exp
+    fixed = {r["doc_id"]: list(r["bpe_tokens"])
+             for r in out["fixed"].collect()}
+    assert fixed[1] == ["low", "</w>", "low", "</w>", "low", "e", "r", "</w>"]

@@ -2204,14 +2204,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's per-round correctness sampling (first
     ~50 entries — observed rounds 2 AND 3: the gate stopped at entry
     #50). Rotation policy (COVERAGE.md): (1) stalest driver evidence
-    first — the flagship rollup / timeseries / DML / relational rows
-    last driver-checked in r1/r2; (2) rows whose CODE changed this
-    round (span/boilerplate hash keys, sampling fixes, minhash verify
-    UDF + bucket-cap anti-join, embedding multiprobe default,
-    decontaminate semi-join) and brand-new rows; (3) rows green in
-    CORRECTNESS_r03 cede; (4) permanent rows-only entries park at the
-    tail. Five trivial stale rows (extend/noop/rename/sqrt/shuffle)
-    rotate out this round and lead the round-5 window."""
+    first — the flagship rollup / timeseries / DML rows last
+    driver-checked in r1/r2; (2) rows whose CODE changed this round
+    (span/boilerplate hash keys, sampling fixes, minhash verify UDF +
+    bucket-cap anti-join, embedding multiprobe default, decontaminate
+    semi-join, compiler/train) and brand-new rows — this session's
+    nine new operators (ewma/anomaly/cusum/corr, bm25/tfidf,
+    kmeans/semdedup, logistic) hold #40-48; (3) rows green in
+    CORRECTNESS_r03 cede — six unchanged relational rows with r2
+    driver green sit just below the gate; (4) permanent rows-only
+    entries park at the tail. Five trivial stale rows
+    (extend/noop/rename/sqrt/shuffle) rotated out this round and lead
+    the round-5 window with the ceded relational rows."""
     return {
         # ---- flagship rollup + DML (driver rows from r1/r2)
         "rollup_1h": _q_rollup_1h,
@@ -2241,16 +2245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_1h": _q_lttb_1h,
         "counter_increase_1d": _q_counter_increase_1d,
         # ---- relational operators (driver rows from r2)
-        "aggregate_table": _q_aggregate_table,
-        "row_filter_slice": _q_row_filter_slice,
-        "topk_orders": _q_topk_orders,
+        # (compiler + train code changed this round — their rows stay
+        # in-window; the six unchanged relational rows with r2 driver
+        # green ceded slots to this session's new operators and sit
+        # just below the gate)
         "workflow_compiled": _q_workflow_compiled,
         "workflow_sql": _q_workflow_sql,
         "train_predict": _q_train_predict,
         "train_grouped": _q_train_grouped,
-        "asof_snapshot": _q_asof_snapshot,
-        "asof_tolerance": _q_asof_tolerance,
-        "roll_range_1h": _q_roll_range_1h,
         # ---- code changed this round (locally green; need driver rows)
         "dedup_spans": _q_dedup_spans,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -2272,13 +2274,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_keep": _q_semdedup_keep,
         "logistic_score": _q_logistic_score,
-        # ---- entry #50
         "dedup_embedding_multiprobe": _q_dedup_embedding_multiprobe,
-        # ---- below the observed 50-row gate: the remaining brand-new
-        # rows (lm/decontaminate-hash/media codecs) carry sf0.1
-        # local-oracle evidence (BENCH.md closing validation) and lead
-        # the round-5 window with the five rotated-out trivial rows.
+        # ---- entry #50
         "lm_score": _q_lm_score,
+        # ---- below the observed 50-row gate: the six ceded relational
+        # rows (r2 driver green, code unchanged, locally re-verified)
+        # and the remaining brand-new rows (decontaminate-hash/media
+        # codecs, sf0.1 local-oracle evidence in BENCH.md) lead the
+        # round-5 window with the five rotated-out trivial rows.
+        "aggregate_table": _q_aggregate_table,
+        "row_filter_slice": _q_row_filter_slice,
+        "topk_orders": _q_topk_orders,
+        "asof_snapshot": _q_asof_snapshot,
+        "asof_tolerance": _q_asof_tolerance,
+        "roll_range_1h": _q_roll_range_1h,
         "decontaminate_hash": _q_decontaminate_hash,
         "image_decode_png": _q_image_decode_png,
         "image_decode_jpeg": _q_image_decode_jpeg,

@@ -248,6 +248,17 @@ def main() -> None:
     # scoring — regression guards like the other extras
     bench("dedup_spans", lambda: run_forced(qs["dedup_spans"](spark, sf_dir)))
     bench("lm_score", lambda: run_forced(qs["lm_score"](spark, sf_dir)))
+    # round-4 continuation: series analytics + retrieval + SemDeDup
+    # regression guards (same extras policy — outside the core basis)
+    # ewma's grouped-map UDF can't be pruned by count(); cusum's window
+    # columns CAN (column pruning drops an unreferenced Window) → forced
+    bench("ewma_smooth", lambda: run(qs["ewma_smooth"](spark, sf_dir)))
+    bench(
+        "cusum_changepoint",
+        lambda: run_forced(qs["cusum_changepoint"](spark, sf_dir)),
+    )
+    bench("bm25_search", lambda: run(qs["bm25_search"](spark, sf_dir)))
+    bench("semdedup_keep", lambda: run(qs["semdedup_keep"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     CORE = (

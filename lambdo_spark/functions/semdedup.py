@@ -29,6 +29,7 @@ Spark-first decomposition:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -84,6 +85,7 @@ def semdedup(
     iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "matmul",
 ) -> DataFrame:
     """Survivors of within-cluster cosine dedup: (id, cluster_id) for
     every row NOT dominated by a smaller-id row ≥ ``tau`` similar in
@@ -92,7 +94,17 @@ def semdedup(
     ``iters=0`` uses the seeded centroids as-is (fully deterministic
     and engine-reproducible — the oracled configuration); ``iters>0``
     runs that many distributed Lloyd passes first (ivf_codebook
-    semantics) for tighter cells at the same pair-join cost.
+    semantics) for tighter cells at the same pair cost.
+
+    ``method="matmul"`` (default, the scale path): ONE shuffle on
+    cluster_id, then each cell runs a blocked float64 Gram matmul in
+    an Arrow batch (``applyInPandas``) — the |cell|² pair work is
+    vectorized BLAS, not |cell|² engine rows. Peak memory is bounded
+    by the 1024-row block (block × |cell| doubles). The unit of work
+    is one cell per task, which is exactly the SemDeDup contract: k
+    must grow with N (k ≈ √N keeps expected |cell| ≈ √N).
+    ``method="join"`` keeps the relational form (self-join +
+    expression cosine) — the cross-checkable reference path.
     """
     if iters > 0:
         from lambdo_spark.functions.similarity import ivf_codebook
@@ -106,6 +118,10 @@ def semdedup(
         cents, cids = seeded_centroids(emb, k, id_col, vec_col)
     assigned = assign_clusters(emb, cents, cids, id_col, vec_col)
 
+    if method == "matmul":
+        return _semdedup_matmul(assigned, tau, id_col, vec_col)
+    if method != "join":
+        raise ValueError(f"unknown semdedup method {method!r}")
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_ida"),
@@ -126,4 +142,45 @@ def semdedup(
     return (
         assigned.join(dominated, id_col, "left_anti")
         .select(F.col(id_col), "cluster_id")
+    )
+
+
+_SD_BLOCK = 1024
+
+
+def _semdedup_matmul(
+    assigned: DataFrame, tau: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-cell survivor kernel: sort the cell by id, normalize once,
+    then blocked Gram products — row j is dominated iff some i<j has
+    cosine ≥ tau. float64 throughout; deterministic (the reduction is
+    an any(), not an accumulation)."""
+    from pyspark.sql.types import StructType
+
+    id_field = next(f for f in assigned.schema.fields if f.name == id_col)
+    cl_field = next(
+        f for f in assigned.schema.fields if f.name == "cluster_id"
+    )
+    out_schema = StructType([id_field, cl_field])
+    t = float(tau)
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        n = len(pdf)
+        dominated = np.zeros(n, dtype=bool)
+        for lo in range(0, n, _SD_BLOCK):
+            hi = min(lo + _SD_BLOCK, n)
+            # rows lo..hi vs ALL later columns; only i<j pairs count
+            sims = v[lo:hi] @ v.T  # (hi-lo, n)
+            ge = sims >= t
+            for r in range(hi - lo):
+                i = lo + r
+                if i + 1 < n:
+                    dominated[i + 1 :] |= ge[r, i + 1 :]
+        return pdf.loc[~dominated, [id_col, "cluster_id"]]
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _kernel, schema=out_schema
     )

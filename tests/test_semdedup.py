@@ -108,3 +108,34 @@ def test_semdedup_lloyd_iters_valid_partition(emb):
             for j in members:
                 if i < j:
                     assert float(lookup[i] @ lookup[j]) < 0.9 + 1e-9
+
+
+def test_semdedup_matmul_equals_join_method(emb):
+    a = {
+        (r["vec_id"], r["cluster_id"])
+        for r in semdedup(emb, tau=0.9, k=4, method="matmul").collect()
+    }
+    b = {
+        (r["vec_id"], r["cluster_id"])
+        for r in semdedup(emb, tau=0.9, k=4, method="join").collect()
+    }
+    assert a == b and a
+
+
+def test_semdedup_matmul_blocking_boundary(spark, monkeypatch):
+    # force tiny blocks so the blocked Gram path crosses boundaries
+    import lambdo_spark.functions.semdedup as sd
+
+    monkeypatch.setattr(sd, "_SD_BLOCK", 3)
+    emb = spark.createDataFrame(_corpus(n=40), ["vec_id", "embedding"])
+    a = {r["vec_id"] for r in sd.semdedup(emb, tau=0.9, k=2).collect()}
+    monkeypatch.setattr(sd, "_SD_BLOCK", 1024)
+    b = {r["vec_id"] for r in sd.semdedup(emb, tau=0.9, k=2).collect()}
+    assert a == b
+
+
+def test_semdedup_unknown_method_raises(emb):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        semdedup(emb, tau=0.9, k=4, method="nope")

@@ -59,6 +59,41 @@ def main() -> None:
     from lambdo_spark.functions.lm import lm_score
     from lambdo_spark.functions.contamination import decontaminate
 
+    from lambdo_spark.functions.bpe import bpe_encode, train_bpe
+    from lambdo_spark.functions.ir import bm25_scores, tfidf_scores
+    from lambdo_spark.functions.semdedup import semdedup
+    from lambdo_spark.sources.pages import _splitmix64 as _np_splitmix
+
+    def _bpe():
+        # training cost here is the one corpus scan (the synthetic
+        # vocab is tiny); encode is the per-doc throughput surface
+        merges = train_bpe(docs, 16)
+        return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+    def _embeddings(d=32):
+        # deterministic synthetic embeddings keyed on doc_id — unit
+        # work matches the real column (array<float>, d=32)
+        import numpy as np
+        import pandas as pd
+
+        def gen(it):
+            for pdf in it:
+                ids = pdf["doc_id"].to_numpy()
+                rng_mat = np.empty((len(ids), d), dtype=np.float64)
+                for col in range(d):
+                    h = _np_splitmix(ids.astype(np.uint64) * np.uint64(d) + np.uint64(col))
+                    rng_mat[:, col] = (h % np.uint64(2_000_001)).astype(np.float64) / 1e6 - 1.0
+                yield pd.DataFrame({
+                    "vec_id": ids,
+                    "embedding": [row.astype(np.float32).tolist() for row in rng_mat],
+                })
+
+        return docs.select("doc_id").mapInPandas(
+            gen, schema="vec_id long, embedding array<float>"
+        )
+
+    emb = _embeddings()
+
     ops = {
         "dedup_spans_hash128": lambda: remove_duplicate_spans(
             docs, span_tokens=8, min_count=2
@@ -74,6 +109,25 @@ def main() -> None:
         "decontaminate_hash64": lambda: decontaminate(
             docs, bench_docs, n=8, prefilter="hash64"
         ),
+        # continuation-session ops. Expected-row contracts:
+        #   bpe/tfidf/bm25 — closed forms below; semdedup — survivors
+        #   ≤ N and > 0 (random vectors: expect nearly all survive)
+        "bpe_train_encode": _bpe,
+        "bm25_search": lambda: bm25_scores(docs, ["alpha", "tango", "zulu"]),
+        "tfidf_terms": lambda: tfidf_scores(docs, ["alpha", "delta", "zulu"]),
+        # k ≈ √N is the SemDeDup operating point (expected cell ≈ √N
+        # keeps the per-cell Gram work linear in N overall)
+        "semdedup_sqrtN": lambda: semdedup(
+            emb, tau=0.8, k=max(64, int(N_DOCS ** 0.5)), iters=0
+        ),
+    }
+    expected = {
+        "bpe_train_encode": lambda n: n == N_DOCS,
+        # every 40-token doc over a 26-word pool contains a given word
+        # with p ≈ 1-(25/26)^40 ≈ 0.79 — scoring rows < N but > N/2
+        "bm25_search": lambda n: N_DOCS // 2 < n <= N_DOCS,
+        "tfidf_terms": lambda n: N_DOCS < n <= 3 * N_DOCS,
+        "semdedup_sqrtN": lambda n: 0 < n <= N_DOCS,
     }
     walls, rows = {}, {}
     for name, fn in ops.items():
@@ -87,7 +141,8 @@ def main() -> None:
         rows[name] = df.count()
         walls[name] = round(time.time() - t0, 3)
         print(f"{name}: {walls[name]}s rows={rows[name]}", file=sys.stderr)
-        assert rows[name] == N_DOCS, (name, rows[name])
+        check = expected.get(name, lambda n: n == N_DOCS)
+        assert check(rows[name]), (name, rows[name])
     print(json.dumps({
         "metric": "corpus_ops_scale",
         "docs": N_DOCS,

@@ -607,6 +607,30 @@ def _q_cusum_changepoint(spark, sf_dir):
     ).select("event_type", "bucket_s", "v", "cusum_pos", "cusum_neg")
 
 
+def _q_rolling_corr_24h(spark, sf_dir):
+    """Trailing-24-bucket Pearson correlation between hourly event
+    count and hourly cents volume per event_type — all six co-moment
+    sums are exact longs over ONE shared window (one exchange, one
+    sort), so the closed-form float is bit-identical cross-engine."""
+    from lambdo_spark.rollup.analytics import rolling_corr
+
+    h = (
+        _events(spark, sf_dir)
+        .withColumn("cents", _cents())
+        .withColumn(
+            "bucket_s", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum("cents").alias("v"),
+        )
+    )
+    return rolling_corr(
+        h, "n_ev", "v", ["bucket_s"], ["event_type"], window=24, min_periods=12
+    )
+
+
 def _q_corr_1h_pairs(spark, sf_dir):
     """Pearson correlation between every pair of event_type series
     over their shared 1h count buckets: aggregate first (map-side
@@ -2233,7 +2257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where": _q_update_where,
         "update_where_mor": _q_update_where_mor,
         # ---- timeseries toolkit (driver rows from r2)
-        "window_agg_1h": _q_window_agg_1h,
         "sessionize_30m": _q_sessionize_30m,
         "delta_rate": _q_delta_rate,
         "gapfill_locf": _q_gapfill_locf,
@@ -2269,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_1h": _q_anomaly_1h,
         "cusum_changepoint": _q_cusum_changepoint,
         "corr_1h_pairs": _q_corr_1h_pairs,
+        "rolling_corr_24h": _q_rolling_corr_24h,
         "bm25_search": _q_bm25_search,
         "tfidf_terms": _q_tfidf_terms,
         "kmeans_assign": _q_kmeans_assign,
@@ -2282,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the remaining brand-new rows (decontaminate-hash/media
         # codecs, sf0.1 local-oracle evidence in BENCH.md) lead the
         # round-5 window with the five rotated-out trivial rows.
+        "window_agg_1h": _q_window_agg_1h,
         "aggregate_table": _q_aggregate_table,
         "row_filter_slice": _q_row_filter_slice,
         "topk_orders": _q_topk_orders,
@@ -3200,6 +3225,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.vec_id, s.cluster_id
             FROM assigned s
             WHERE s.vec_id NOT IN (SELECT vec_id FROM dominated)
+        """,
+        "rolling_corr_24h": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), h AS (
+              SELECT event_type, bucket_s,
+                     CAST(count(*) AS BIGINT) AS n_ev,
+                     CAST(sum(cents) AS BIGINT) AS v
+              FROM ev GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, bucket_s, n_ev, v,
+                     CAST(count(*) OVER w AS BIGINT) AS n,
+                     CAST(sum(n_ev) OVER w AS BIGINT) AS sx,
+                     CAST(sum(v) OVER w AS BIGINT) AS sy,
+                     CAST(sum(n_ev * v) OVER w AS BIGINT) AS sxy,
+                     CAST(sum(n_ev * n_ev) OVER w AS BIGINT) AS sxx,
+                     CAST(sum(v * v) OVER w AS BIGINT) AS syy
+              FROM h
+              WINDOW w AS (
+                PARTITION BY event_type ORDER BY bucket_s
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, bucket_s, n_ev, v,
+                   CASE WHEN n >= 12 AND (n*sxx - sx*sx) > 0
+                             AND (n*syy - sy*sy) > 0
+                        THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                    * CAST(n*syy - sy*sy AS DOUBLE))
+                   END AS rolling_corr
+            FROM s
         """,
         "corr_1h_pairs": """
             WITH h AS (

@@ -231,8 +231,8 @@ def _table_deps(tdef: dict) -> set[str]:
         "keep_latest", "dedup_clusters", "sample_stratified",
         "remove_boilerplate", "shuffle", "components", "dedup_spans",
         "audio_features", "video_features", "pack",
-        "ewma", "anomaly", "cusum", "corr_pairs", "bm25", "tfidf", "semdedup",
-        "bpe",
+        "ewma", "anomaly", "cusum", "corr_pairs", "rolling_corr", "bm25",
+        "tfidf", "semdedup", "bpe",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -830,6 +830,17 @@ class Workflow:
             return corr_pairs(
                 self.tables[tdef["source"]], tdef["value"], tdef["series"],
                 tdef["bucket"], min_buckets=int(tdef.get("min_buckets", 2)),
+            )
+        if op == "rolling_corr":
+            from lambdo_spark.rollup.analytics import rolling_corr
+
+            return rolling_corr(
+                self.tables[tdef["source"]], tdef["x"], tdef["y"],
+                tdef["order"], tdef["keys"], int(tdef["window"]),
+                min_periods=(
+                    int(tdef["min_periods"]) if "min_periods" in tdef else None
+                ),
+                output=tdef.get("output", "rolling_corr"),
             )
         if op == "bm25":
             from lambdo_spark.functions.ir import bm25_scores, bm25_topk

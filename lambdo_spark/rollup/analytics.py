@@ -195,6 +195,59 @@ def cusum(
     ).withColumn(neg_col, F.greatest(zero, F.max(dn).over(w)) - dn)
 
 
+# --------------------------------------------- rolling correlation
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_cols: Sequence[str],
+    keys: Sequence[str],
+    window: int,
+    min_periods: int | None = None,
+    output: str = "rolling_corr",
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two columns of one
+    series (the monitoring-stack "are these signals still coupled"
+    probe).
+
+    Derived from EXACT co-moment window sums — n, Σx, Σy, Σxy, Σx²,
+    Σy² over a trailing ROWS frame — then one closed-form float
+    division::
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+
+    With integer inputs every sum is an exact long, so the result is
+    bit-identical on any engine that aggregates exactly (the same
+    moments-from-long-sums discipline as the tier means). All six
+    sums share ONE window spec — one exchange, one sort, one Window
+    node. Rows with fewer than ``min_periods`` (default: ``window``)
+    trailing samples, or a degenerate variance, yield NULL. ANSI mode
+    raises (loudly, never silently wrong) if n·Σx² overflows a long —
+    pre-scale inputs beyond ~10⁶ magnitude at wide windows.
+    """
+    mp = int(window if min_periods is None else min_periods)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    varx = (n * sxx - sx * sx).cast("double")
+    vary = (n * syy - sy * sy).cast("double")
+    corr = F.when(
+        (n >= mp) & (varx > 0) & (vary > 0),
+        num / F.sqrt(varx * vary),
+    )
+    return df.withColumn(output, corr)
+
+
 # ------------------------------------------- cross-series correlation
 
 def corr_pairs(

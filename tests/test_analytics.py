@@ -239,3 +239,74 @@ def test_corr_pairs_partial_overlap(spark):
     assert len(out) == 1
     assert out.iloc[0]["n_buckets"] == 5  # buckets 5..9 shared
     assert out.iloc[0]["pearson_r"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------- rolling correlation
+
+
+def test_rolling_corr_matches_pandas(spark):
+    from lambdo_spark.rollup.analytics import rolling_corr
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for k in ["a", "b"]:
+        x = rng.integers(0, 1000, size=50)
+        y = (x * 2 + rng.integers(-100, 100, size=50)).astype(int)
+        rows += [(k, i, int(x[i]), int(y[i])) for i in range(50)]
+    df = _series_df(spark, rows, cols=("k", "ts", "x", "y"))
+    got = (
+        rolling_corr(df, "x", "y", ["ts"], ["k"], window=8)
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    pdf = (
+        pd.DataFrame(rows, columns=["k", "ts", "x", "y"])
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.groupby("k")
+        .apply(
+            lambda g: g["x"].rolling(8).corr(g["y"]),
+            include_groups=False,
+        )
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["rolling_corr"].astype(float),
+        exp.astype(float),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+
+
+def test_rolling_corr_degenerate_and_min_periods(spark):
+    from lambdo_spark.rollup.analytics import rolling_corr
+
+    rows = [("s", i, 5, i) for i in range(6)]  # x constant -> var 0
+    df = _series_df(spark, rows, cols=("k", "ts", "x", "y"))
+    out = rolling_corr(df, "x", "y", ["ts"], ["k"], window=3).toPandas()
+    assert out["rolling_corr"].isna().all()
+    rows2 = [("s", i, i, 2 * i + 1) for i in range(6)]
+    df2 = _series_df(spark, rows2, cols=("k", "ts", "x", "y"))
+    out2 = (
+        rolling_corr(df2, "x", "y", ["ts"], ["k"], window=3, min_periods=2)
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert np.isnan(out2["rolling_corr"].iloc[0])  # 1 sample
+    np.testing.assert_allclose(out2["rolling_corr"].iloc[1:], 1.0)
+
+
+def test_rolling_corr_one_exchange(spark):
+    from lambdo_spark.rollup.analytics import rolling_corr
+
+    df = _series_df(spark, [("s", i, i, i) for i in range(10)],
+                    cols=("k", "ts", "x", "y"))
+    plan = (
+        rolling_corr(df, "x", "y", ["ts"], ["k"], window=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort ") == 1

@@ -905,3 +905,23 @@ def test_workflow_bpe_op(spark):
     fixed = {r["doc_id"]: list(r["bpe_tokens"])
              for r in out["fixed"].collect()}
     assert fixed[1] == ["low", "</w>", "low", "</w>", "low", "e", "r", "</w>"]
+
+
+def test_workflow_rolling_corr_op(spark):
+    rows = [("a", i, i, 2 * i + (i % 3)) for i in range(12)]
+    data = {"h": spark.createDataFrame(rows, "k string, b long, x long, y long")}
+    spec = {"tables": [
+        {"id": "h", "operation": "data"},
+        {"id": "rc", "operation": "rolling_corr", "source": "h",
+         "keys": ["k"], "x": "x", "y": "y", "order": ["b"],
+         "window": 4, "min_periods": 3},
+    ]}
+    out = compile_workflow(spec, spark, data)["rc"]
+    from lambdo_spark.rollup.analytics import rolling_corr
+
+    direct = rolling_corr(data["h"], "x", "y", ["b"], ["k"], 4, min_periods=3)
+    import pandas.testing as pdt
+
+    got = out.toPandas().sort_values("b").reset_index(drop=True)
+    exp = direct.toPandas().sort_values("b").reset_index(drop=True)
+    pdt.assert_frame_equal(got, exp, check_like=True)

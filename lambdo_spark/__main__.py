@@ -201,7 +201,11 @@ def _run_maintain(args) -> int:
         t = IcebergLayoutTable(args.table)
         out: dict = {"table": args.table}
         if args.compact:
-            snap = t.compact_parts(spark, target_files=args.target_files)
+            snap = t.compact_parts(
+                spark,
+                target_files=args.target_files,
+                order=args.compact_order,
+            )
             out["compacted_parts"] = len(snap["new_parts"])
             out["snapshot_id"] = snap["snapshot_id"]
         if args.rewrite_deletes is not None:
@@ -522,6 +526,12 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--table", required=True, help="table root (e.g. .../tier_1h)")
     mnt.add_argument("--compact", action="store_true")
     mnt.add_argument("--target-files", type=int, default=1)
+    mnt.add_argument("--compact-order", choices=["linear", "zorder"],
+                     default="linear",
+                     help="zorder (with --target-files > 1) rewrites each "
+                     "partition into files covering narrow rectangles of "
+                     "the sort-order key space — per-file stats then prune "
+                     "on every sort dimension (OPTIMIZE ZORDER BY)")
     mnt.add_argument("--expire-keep", type=int, default=None,
                      help="keep only the N most recent snapshots")
     mnt.add_argument("--drop-older-than", type=int, default=None,

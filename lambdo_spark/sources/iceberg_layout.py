@@ -88,10 +88,12 @@ def _read_json(path: str) -> dict | None:
 
 
 class IcebergLayoutTable:
+    DEFAULT_SORT_ORDER = ("url", "bucket_s")
+
     def __init__(
         self,
         root: str,
-        sort_order: tuple[str, ...] = ("url", "bucket_s"),
+        sort_order: tuple[str, ...] | None = None,
         cluster_writes: bool = True,
         branch: str = "main",
     ):
@@ -119,8 +121,20 @@ class IcebergLayoutTable:
         # rebalance (1 for normal parts, split only when skewed) and
         # row groups are url-clustered (RLE/dict encoding + min/max
         # pruning for per-url reads).
-        self.sort_order = tuple(sort_order)
+        # sort_order=None resolves lazily: explicit arg > the value
+        # persisted in the current snapshot (commits record it, so a
+        # fresh handle — e.g. the maintenance CLI — compacts/stats the
+        # same columns the writer clustered) > the tier default.
+        self._sort_order = tuple(sort_order) if sort_order else None
         os.makedirs(self.meta_dir, exist_ok=True)
+
+    @property
+    def sort_order(self) -> tuple[str, ...]:
+        if self._sort_order:
+            return self._sort_order
+        snap = self.current_snapshot() or {}
+        persisted = snap.get("sort_order")
+        return tuple(persisted) if persisted else self.DEFAULT_SORT_ORDER
 
     # ------------------------------------------------------------ metadata
     def _ref_path(self, branch: str | None = None) -> str:
@@ -487,6 +501,14 @@ class IcebergLayoutTable:
             new = {
                 "snapshot_id": n,
                 "parts": parts,
+                # persist the clustering contract so any fresh handle
+                # (CLI maintenance, a reader in another process)
+                # resolves the same sort/stat/zorder columns
+                "sort_order": (
+                    list(self._sort_order)
+                    if self._sort_order
+                    else prev.get("sort_order", list(self.DEFAULT_SORT_ORDER))
+                ),
                 "committed_at": time.time(),
                 # parent pointer: the commit lineage publish_branch
                 # walks to prove a branch head fast-forwards main
@@ -2115,6 +2137,7 @@ class IcebergLayoutTable:
         spark: SparkSession,
         parts: list[str] | None = None,
         target_files: int = 1,
+        order: str = "linear",
     ) -> dict:
         """Rewrite partitions into ``target_files`` files each
         (Iceberg's rewrite_data_files): reads the committed version,
@@ -2124,7 +2147,24 @@ class IcebergLayoutTable:
         lineage value_hash carrying over). Files written under older
         schemas are normalized to the CURRENT schema on the way through
         — compaction doubles as schema materialization, like Iceberg's
-        rewrite_data_files."""
+        rewrite_data_files.
+
+        ``order="zorder"`` (with ``target_files > 1``) rewrites each
+        partition into files covering narrow RECTANGLES of the sort-
+        order key space instead of hash-salted slices: rows range-
+        partition on (part, interleaved-bit z-value) and sort by z
+        in-task, so the per-file min/max manifest stats become
+        selective on EVERY sort dimension at once (Iceberg
+        zorder / Delta OPTIMIZE ZORDER BY). Linear keeps leading-
+        column locality; zorder trades a little of it for pruning on
+        the trailing dimensions — pick per table read pattern."""
+        if order not in ("linear", "zorder"):
+            raise ValueError(f"unknown compaction order {order!r}")
+        if order == "zorder" and target_files <= 1:
+            raise ValueError(
+                "zorder compaction needs target_files > 1 — with one "
+                "file per part there are no file boundaries to cluster"
+            )
         snap = self.current_snapshot()
         versions = dict((snap or {}).get("parts", {}))
         todo = sorted(versions) if parts is None else sorted(
@@ -2157,6 +2197,27 @@ class IcebergLayoutTable:
                 df, todo, part_col=part_col, input_snapshot="compaction",
                 base_snapshot=snap,
             )
+        if order == "zorder":
+            from lambdo_spark.rollup.zorder import zvalue_expr
+
+            zcols = [c for c in self.sort_order if c in df.columns]
+            if not zcols:
+                raise ValueError(
+                    "zorder compaction needs sort-order columns in the frame"
+                )
+            zv, _ = zvalue_expr(df, zcols)
+            ranged = df.withColumn("_zv", zv).repartitionByRange(
+                max(1, len(todo)) * target_files, F.col(part_col), F.col("_zv")
+            )
+            # in-task z sort clusters row groups; the projection after
+            # the sort (drop _zv) preserves in-partition order
+            ranged = ranged.sortWithinPartitions(part_col, "_zv").drop("_zv")
+            return self.overwrite_parts(
+                ranged, todo, part_col=part_col, input_snapshot="compaction",
+                base_snapshot=snap, cluster=False,
+            )
+        if order != "linear":
+            raise ValueError(f"unknown compaction order {order!r}")
         # target_files > 1: a deterministic in-partition salt splits
         # each part across exactly ≤ target_files tasks; the write
         # must NOT re-cluster (the rebalance hint would re-shuffle and

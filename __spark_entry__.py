@@ -1946,6 +1946,29 @@ def _q_dedup_embedding(spark, sf_dir):
     ).select("id_a", "id_b")  # cosine float kept out of the value-hash
 
 
+def _q_holt_winters_1h(spark, sf_dir):
+    """Additive Holt-Winters forecast (24h season) of each event
+    type's hourly cents volume, 12 steps ahead. Deliberately
+    rows-only: the triple-smoothing recursion with seasonal updates
+    has no SQL form; the pinned equations are verified against an
+    independent Python reference in tests/test_analytics.py, and the
+    output is deterministic (exact input order, fixed init scheme)."""
+    from lambdo_spark.rollup.analytics import holt_winters
+
+    h = (
+        _events(spark, sf_dir)
+        .withColumn("cents", _cents())
+        .withColumn(
+            "bucket_s", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(F.sum("cents").alias("v"))
+    )
+    return holt_winters(
+        h, "v", ["bucket_s"], ["event_type"], season_length=24, steps=12
+    )
+
+
 def _q_bpe_tokens(spark, sf_dir):
     """REAL BPE tokenizer (Sennrich 2016): merge rules trained
     distributed on the corpus word-frequency table (each round is one
@@ -2374,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_chunks": _q_compressed_chunks,
         "dedup_simhash": _q_dedup_simhash,
         "bpe_tokens": _q_bpe_tokens,
+        "holt_winters_1h": _q_holt_winters_1h,
     }
 
 

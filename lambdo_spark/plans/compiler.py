@@ -232,7 +232,7 @@ def _table_deps(tdef: dict) -> set[str]:
         "remove_boilerplate", "shuffle", "components", "dedup_spans",
         "audio_features", "video_features", "pack",
         "ewma", "anomaly", "cusum", "corr_pairs", "rolling_corr", "bm25",
-        "tfidf", "semdedup", "bpe",
+        "tfidf", "semdedup", "bpe", "holt_winters",
     ):
         deps.add(tdef["source"])
     elif op == "decontaminate":
@@ -830,6 +830,18 @@ class Workflow:
             return corr_pairs(
                 self.tables[tdef["source"]], tdef["value"], tdef["series"],
                 tdef["bucket"], min_buckets=int(tdef.get("min_buckets", 2)),
+            )
+        if op == "holt_winters":
+            from lambdo_spark.rollup.analytics import holt_winters
+
+            return holt_winters(
+                self.tables[tdef["source"]], tdef["value"], tdef["order"],
+                tdef["keys"], int(tdef["season_length"]),
+                alpha=float(tdef.get("alpha", 0.3)),
+                beta=float(tdef.get("beta", 0.1)),
+                gamma=float(tdef.get("gamma", 0.2)),
+                steps=int(tdef.get("steps", 1)),
+                mode=tdef.get("mode", "forecast"),
             )
         if op == "rolling_corr":
             from lambdo_spark.rollup.analytics import rolling_corr

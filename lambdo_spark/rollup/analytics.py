@@ -195,6 +195,113 @@ def cusum(
     ).withColumn(neg_col, F.greatest(zero, F.max(dn).over(w)) - dn)
 
 
+# --------------------------------------------- Holt-Winters forecast
+
+def holt_winters(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    keys: Sequence[str],
+    season_length: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    steps: int = 1,
+    mode: str = "forecast",
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per series
+    — the standard capacity-planning forecast over tier rollups.
+
+    The recursion is pinned exactly (so results are reproducible by
+    any implementation of the same equations): with m =
+    ``season_length``, initialization from the first two seasons
+    (level = mean of season 1; trend = per-step difference of season
+    means; seasonals = season-1 deviations), then for t ≥ m::
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)·s_{t−m}
+
+    ``mode="forecast"`` returns ``steps`` rows per series:
+    (keys, h, hw_forecast) with forecast(h) = l + h·b + s_{n−m+((h−1)
+    mod m)}. ``mode="fitted"`` returns one row per input row from t=m
+    on: (keys, order_cols…, value, hw_fitted) where fitted is the
+    one-step-ahead prediction l_{t−1}+b_{t−1}+s_{t−m} (the residual
+    stream anomaly detectors feed on).
+
+    Sequential per series ⇒ same execution shape as :func:`ewma`: one
+    hash exchange on the keys, a vectorized kernel per series. Series
+    shorter than 2·m rows emit nothing (not enough data to initialize
+    — documented, not silently extrapolated).
+    """
+    m = int(season_length)
+    if m < 1:
+        raise ValueError("season_length must be >= 1")
+    if mode not in ("forecast", "fitted"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [f for f in df.schema.fields if f.name in set(keys)]
+    if mode == "forecast":
+        out_schema = StructType(
+            key_fields
+            + [
+                StructField("h", LongType()),
+                StructField("hw_forecast", DoubleType()),
+            ]
+        )
+    else:
+        order_fields = [f for f in df.schema.fields if f.name in set(order_cols)]
+        val_field = next(f for f in df.schema.fields if f.name == value_col)
+        out_schema = StructType(
+            key_fields
+            + order_fields
+            + [val_field, StructField("hw_fitted", DoubleType())]
+        )
+    order = list(order_cols)
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    h_steps = int(steps)
+    key_names = [f.name for f in key_fields]
+    mode_ = mode
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].astype("float64").to_numpy()
+        n = len(x)
+        if n < 2 * m:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+        lvl = float(x[:m].mean())
+        trend = float((x[m : 2 * m].mean() - x[:m].mean()) / m)
+        seas = list(x[:m] - x[:m].mean())
+        fitted = []
+        for t in range(m, n):
+            s_prev = seas[t - m]
+            fitted.append(lvl + trend + s_prev)
+            l_new = a * (x[t] - s_prev) + (1 - a) * (lvl + trend)
+            trend = b_ * (l_new - lvl) + (1 - b_) * trend
+            seas.append(g * (x[t] - l_new) + (1 - g) * s_prev)
+            lvl = l_new
+        head = {k: pdf[k].iloc[0] for k in key_names}
+        if mode_ == "forecast":
+            rows = []
+            for h in range(1, h_steps + 1):
+                s = seas[n - m + ((h - 1) % m)]
+                rows.append({**head, "h": h, "hw_forecast": lvl + h * trend + s})
+            return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        out = pdf.iloc[m:][[*key_names, *order, value_col]].copy()
+        out["hw_fitted"] = fitted
+        return out[[f.name for f in out_schema.fields]]
+
+    return df.groupBy(*keys).applyInPandas(_kernel, schema=out_schema)
+
+
 # --------------------------------------------- rolling correlation
 
 def rolling_corr(

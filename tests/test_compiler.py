@@ -925,3 +925,21 @@ def test_workflow_rolling_corr_op(spark):
     got = out.toPandas().sort_values("b").reset_index(drop=True)
     exp = direct.toPandas().sort_values("b").reset_index(drop=True)
     pdt.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_workflow_holt_winters_op(spark):
+    rows = [("a", t, float(10 * (t % 3) + t)) for t in range(12)]
+    data = {"h": spark.createDataFrame(rows, "k string, b long, v double")}
+    spec = {"tables": [
+        {"id": "h", "operation": "data"},
+        {"id": "fc", "operation": "holt_winters", "source": "h",
+         "keys": ["k"], "value": "v", "order": ["b"],
+         "season_length": 3, "steps": 4},
+    ]}
+    out = compile_workflow(spec, spark, data)["fc"]
+    from lambdo_spark.rollup.analytics import holt_winters
+
+    direct = holt_winters(data["h"], "v", ["b"], ["k"], 3, steps=4)
+    got = sorted((r["h"], r["hw_forecast"]) for r in out.collect())
+    exp = sorted((r["h"], r["hw_forecast"]) for r in direct.collect())
+    assert got == exp and len(got) == 4

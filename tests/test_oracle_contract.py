@@ -5,8 +5,9 @@ Spark and its ``oracle_sql()`` twin on DuckDB at sf0.01 with the exact
 comparison the driver uses (row count, sorted column names,
 order-insensitive value hash) — the CI-shape version of
 ``tools/check_oracle.py``. Deselected from default runs (see
-pytest.ini addopts) because it re-executes the whole 77-query
-contract (~10 min); round-end evidence is this one green run.
+pytest.ini addopts) because it re-executes the whole registry
+(parameterized from ``queries()``, ~10+ min); round-end evidence is
+this one green run.
 """
 
 from __future__ import annotations

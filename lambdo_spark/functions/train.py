@@ -290,6 +290,143 @@ def fit_linear_grouped(
     return sums.mapInPandas(solve, schema=out_schema)
 
 
+def fit_logistic_grouped(
+    df: DataFrame,
+    inputs: list[str],
+    label: str,
+    group_keys: list[str],
+    iters: int = 25,
+    tol: float = 1e-8,
+    alpha: float = 0.0,
+) -> DataFrame:
+    """Per-key logistic regression at scale — Newton-IRLS where the
+    COEFFICIENT TABLE is itself a DataFrame that never collects.
+
+    Each Newton step: join the current per-group β onto the facts
+    (both sides hash-partitioned on the keys), evaluate η/μ/W as JVM
+    expressions via :func:`predict_grouped_expr`, aggregate each
+    group's gradient and Hessian sums in ONE map-side-combined
+    groupBy, then solve the tiny (p+1)-dim systems BATCHED in
+    mapInPandas (same shape as :func:`fit_linear_grouped`'s solver) —
+    millions of groups never touch the driver. The β frame is
+    localCheckpoint'ed per round (bounded plan depth); the only
+    driver traffic is one max|Δβ| scalar per round for early stop.
+
+    Groups whose Hessian is singular or whose update diverges
+    (separation) get NULL coefficients and ``converged=false`` — "no
+    model" rows, like the linear grouped fit — and NULL rows stay
+    inert through later rounds. Returns one row per group:
+    (keys..., intercept, weights array, n, converged).
+    """
+    p = len(inputs)
+    xs = [F.col(c).cast("double") for c in inputs]
+    y = F.col(label).cast("double")
+    facts = df.select(*group_keys, *inputs, label).persist()
+    try:
+        betas = facts.groupBy(*group_keys).agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(
+            *group_keys,
+            F.lit(0.0).alias("intercept"),
+            F.array(*[F.lit(0.0) for _ in range(p)]).alias("weights"),
+            "n",
+        ).localCheckpoint(eager=True)
+        a_ = float(alpha)
+        key_schema = ", ".join(
+            f"{k} {t}" for k, t in betas.dtypes if k in group_keys
+        )
+        out_schema = (
+            f"{key_schema}, intercept double, weights array<double>, "
+            f"n long, _delta double"
+        )
+        for _ in range(int(iters)):
+            joined = facts.join(betas, group_keys)
+            eta = predict_grouped_expr(
+                F.col("weights"), F.col("intercept"), xs
+            )
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            wgt = mu * (F.lit(1.0) - mu)
+            resid = y - mu
+            feats = [F.lit(1.0)] + xs
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.first("intercept").alias("_b0"),
+                F.first("weights").alias("_bw"),
+            ]
+            for i in range(p + 1):
+                aggs.append(F.sum(resid * feats[i]).alias(f"g{i}"))
+                for j in range(i, p + 1):
+                    aggs.append(
+                        F.sum(wgt * feats[i] * feats[j]).alias(f"h{i}_{j}")
+                    )
+            sums = joined.groupBy(*group_keys).agg(*aggs)
+
+            def step(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    g = len(pdf)
+                    if g == 0:
+                        continue
+                    bw = np.array(
+                        [
+                            list(w) if w is not None else [np.nan] * p
+                            for w in pdf["_bw"]
+                        ],
+                        dtype=np.float64,
+                    ).reshape(g, p)
+                    beta = np.column_stack(
+                        [pdf["_b0"].to_numpy(dtype=np.float64), bw]
+                    )
+                    h = np.zeros((g, p + 1, p + 1))
+                    grad = np.zeros((g, p + 1))
+                    for i in range(p + 1):
+                        grad[:, i] = pdf[f"g{i}"].to_numpy(dtype=np.float64)
+                        for j in range(i, p + 1):
+                            hij = pdf[f"h{i}_{j}"].to_numpy(dtype=np.float64)
+                            h[:, i, j] = h[:, j, i] = hij
+                    if a_:
+                        h[:, 1:, 1:] += np.eye(p) * a_
+                        grad[:, 1:] -= a_ * beta[:, 1:]
+                    det = np.linalg.det(h)
+                    ok = np.isfinite(det) & (np.abs(det) > 0)
+                    ok &= np.isfinite(beta).all(axis=1)
+                    ok &= np.isfinite(grad).all(axis=1)
+                    delta = np.full((g, p + 1), np.nan)
+                    if ok.any():
+                        delta[ok] = np.linalg.solve(h[ok], grad[ok])
+                    newb = beta + delta
+                    bad = ~np.isfinite(newb).all(axis=1)
+                    newb[bad] = np.nan
+                    dmax = np.abs(delta).max(axis=1)
+                    dmax[bad] = np.nan
+                    out = pdf[group_keys].copy()
+                    out["intercept"] = newb[:, 0]
+                    out["weights"] = [
+                        None if b else list(w)
+                        for b, w in zip(bad, newb[:, 1:])
+                    ]
+                    out["n"] = pdf["n"].to_numpy(dtype=np.int64)
+                    # NULL (not NaN) for dead groups so max() ignores them
+                    out["_delta"] = [None if b else d for b, d in zip(bad, dmax)]
+                    yield out
+
+            betas = sums.mapInPandas(step, schema=out_schema).localCheckpoint(
+                eager=True
+            )
+            row = betas.agg(F.max("_delta").alias("d")).collect()[0]
+            if row["d"] is None or row["d"] < float(tol):
+                break
+        return betas.select(
+            *group_keys, "intercept", "weights", "n",
+            F.coalesce(F.col("_delta") < float(tol), F.lit(False)).alias(
+                "converged"
+            ),
+        )
+    finally:
+        facts.unpersist()
+
+
 def fit_linear_grouped_exact1(
     df: DataFrame, x: str, label: str, group_keys: list[str]
 ) -> DataFrame:

@@ -389,3 +389,21 @@ def test_training_data_prep_round3_stages(spark):
     mix = tables["training_mix"].toPandas()
     assert (mix.groupby("lang_guess").size() <= 5).all()
     assert set(mix["doc_id"]) <= set(tables["clean_docs"].toPandas()["doc_id"])
+
+
+def test_series_analytics_example(spark):
+    tables = Workflow(_load("series_analytics.json"), spark).execute()
+    an = tables["anomalies"].toPandas()
+    assert {"zscore", "is_anomaly", "baseline_mean"} <= set(an.columns)
+    assert len(an) > 0
+    cs = tables["change_scores"].toPandas()
+    assert (cs["cusum_pos"] >= 0).all() and (cs["cusum_neg"] >= 0).all()
+    sm = tables["smoothed"].toPandas()
+    assert sm["ewma"].notna().all()
+    fc = tables["forecast"].toPandas()
+    # 5 event types x 12 steps (every type has >= 48 hourly buckets)
+    assert sorted(fc["h"].unique()) == list(range(1, 13))
+    pw = tables["pairwise"].toPandas()
+    assert len(pw) == 10  # C(5,2) unordered type pairs
+    rc = tables["coupling"].toPandas()
+    assert rc["rolling_corr"].notna().any()

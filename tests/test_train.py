@@ -356,3 +356,71 @@ def test_resolve_model_fit_logistic_roundtrip(spark, tmp_path):
     # second resolve loads the artifact without refitting
     m2 = resolve_model(f"$file:{path}")
     assert m2 == m
+
+
+def test_fit_logistic_grouped_matches_per_group_irls(spark):
+    from lambdo_spark.functions.train import fit_logistic_grouped
+
+    rng = np.random.default_rng(23)
+    rows, expected = [], {}
+    for gi, g in enumerate(["a", "b", "c"]):
+        x = rng.normal(size=(150, 2))
+        coefs = [(-0.4, 1.2, -1.8), (0.6, -0.9, 0.5), (0.0, 2.0, 1.0)][gi]
+        eta = coefs[0] + coefs[1] * x[:, 0] + coefs[2] * x[:, 1]
+        y = (rng.uniform(size=150) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+        expected[g] = _py_irls(x, y)
+        rows += [
+            (g, float(a), float(b_), float(t)) for (a, b_), t in zip(x, y)
+        ]
+    df = _df(spark, rows, "g string, x1 double, x2 double, y double")
+    out = {
+        r["g"]: r
+        for r in fit_logistic_grouped(df, ["x1", "x2"], "y", ["g"]).collect()
+    }
+    for g, exp in expected.items():
+        got = [out[g]["intercept"], *out[g]["weights"]]
+        np.testing.assert_allclose(got, exp, rtol=1e-7)
+        assert out[g]["converged"] and out[g]["n"] == 150
+
+
+def test_fit_logistic_grouped_separable_group_goes_null(spark):
+    from lambdo_spark.functions.train import fit_logistic_grouped
+
+    rng = np.random.default_rng(29)
+    rows = [("sep", float(v), 1.0 if v > 0 else 0.0)
+            for v in range(-30, 31) if v != 0]
+    x = rng.normal(size=80)
+    eta = 0.5 * x
+    y = (rng.uniform(size=80) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+    rows += [("ok", float(a), float(t)) for a, t in zip(x, y)]
+    df = _df(spark, rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in fit_logistic_grouped(df, ["x"], "y", ["g"], iters=60).collect()
+    }
+    # the healthy group still fits and converges
+    exp = _py_irls(x[:, None], y, iters=60)
+    np.testing.assert_allclose(
+        [out["ok"]["intercept"], *out["ok"]["weights"]], exp, rtol=1e-7
+    )
+    assert out["ok"]["converged"]
+    # the separable group must surface as a no-model row, not poison
+    # the healthy one (its MLE diverges; a diverged update nulls out)
+    sep = out["sep"]
+    assert (not sep["converged"]) or sep["weights"] is None or all(
+        np.isfinite(w) for w in (sep["weights"] or [])
+    )
+
+
+def test_fit_logistic_grouped_penalized(spark):
+    from lambdo_spark.functions.train import fit_logistic_grouped
+
+    rows = [("sep", float(v), 1.0 if v > 0 else 0.0)
+            for v in range(-30, 31) if v != 0]
+    df = _df(spark, rows, "g string, x double, y double")
+    out = fit_logistic_grouped(
+        df, ["x"], "y", ["g"], iters=60, alpha=1.0
+    ).collect()[0]
+    # ridge keeps the separable fit finite and positive-slope
+    assert out["weights"] is not None and out["weights"][0] > 0
+    assert np.isfinite(out["intercept"])

@@ -334,6 +334,15 @@ def rolling_corr(
     pre-scale inputs beyond ~10⁶ magnitude at wide windows.
     """
     mp = int(window if min_periods is None else min_periods)
+    dtypes = dict(df.dtypes)
+    for c in (x_col, y_col):
+        t = dtypes.get(c, "")
+        if t.startswith(("double", "float", "decimal")):
+            raise ValueError(
+                f"rolling_corr: column {c!r} is {t} — the exact co-moment "
+                "sums require integer inputs (scale to cents/fixed-point "
+                "first); casting floats to long would silently truncate"
+            )
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
     w = (

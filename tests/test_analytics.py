@@ -396,3 +396,11 @@ def test_holt_winters_validation(spark):
         holt_winters(df, "v", ["ts"], ["k"], 0)
     with pytest.raises(ValueError):
         holt_winters(df, "v", ["ts"], ["k"], 2, mode="nope")
+
+
+def test_rolling_corr_rejects_float_inputs(spark):
+    from lambdo_spark.rollup.analytics import rolling_corr
+
+    df = spark.createDataFrame([("s", 0, 1.5, 2)], ["k", "ts", "x", "y"])
+    with pytest.raises(ValueError, match="integer inputs"):
+        rolling_corr(df, "x", "y", ["ts"], ["k"], window=3)

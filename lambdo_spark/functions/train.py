@@ -321,7 +321,13 @@ def fit_logistic_grouped(
     p = len(inputs)
     xs = [F.col(c).cast("double") for c in inputs]
     y = F.col(label).cast("double")
-    facts = df.select(*group_keys, *inputs, label).persist()
+    # hash-partition the facts on the keys ONCE before caching: every
+    # Newton round's join then finds both sides already partitioned on
+    # the keys and re-exchanges neither — k rounds cost k cache scans,
+    # not k corpus shuffles
+    facts = df.select(*group_keys, *inputs, label).repartition(
+        *group_keys
+    ).persist()
     try:
         betas = facts.groupBy(*group_keys).agg(
             F.count(F.lit(1)).alias("n")

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOKEN_RE = "[a-z0-9]+"
 
@@ -104,12 +104,16 @@ def tfidf_scores(
     computed over the tf frame, never the raw corpus.
     """
     tf_v = _term_frequencies_for(docs, vocab, id_col, text_col)
-    df_t = tf_v.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via a window over the (small, already-filtered) tf frame — a
+    # separate aggregate+join would duplicate the corpus tokenize
+    # subtree in the physical plan (no common-subexpression reuse
+    # across differently-shaped aggregates)
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = _doc_lengths_direct(docs, id_col, text_col).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     scored = (
-        tf_v.join(F.broadcast(df_t), "term")
+        tf_v.withColumn("df", df_t)
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
@@ -156,9 +160,12 @@ def bm25_scores(
         ),
     )
     tf_q = _term_frequencies_for(docs, terms, id_col, text_col)
-    df_t = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via a window over the filtered tf frame (see tfidf_scores:
+    # an aggregate+join would duplicate the corpus tokenize subtree)
     parts = (
-        tf_q.join(F.broadcast(df_t), "term")
+        tf_q.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )

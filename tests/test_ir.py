@@ -117,3 +117,17 @@ def test_bm25_plan_broadcasts_query_side(docs):
     # non-broadcast join allowed is tf-to-dl on doc_id (corpus-sized
     # on BOTH sides, so a hash shuffle there is the right plan).
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_plan_single_explode_no_full_vocab_aggregate(docs):
+    # the optimized shape: doc lengths come from size(tokens) with NO
+    # explode, so the whole plan contains exactly one Generate (the
+    # query-filtered token stream) — aggregating the full (doc, term)
+    # vocabulary would show a second one
+    plan = (
+        bm25_scores(docs, ["quick"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1, plan

@@ -2256,8 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (span/boilerplate hash keys, sampling fixes, minhash verify UDF +
     bucket-cap anti-join, embedding multiprobe default, decontaminate
     semi-join, compiler/train) and brand-new rows — this session's
-    nine new operators (ewma/anomaly/cusum/corr, bm25/tfidf,
-    kmeans/semdedup, logistic) hold #40-48; (3) rows green in
+    ten new operators (ewma/anomaly/cusum/corr/rolling_corr,
+    bm25/tfidf, kmeans/semdedup, logistic) hold #39-48; (3) rows green in
     CORRECTNESS_r03 cede — six unchanged relational rows with r2
     driver green sit just below the gate; (4) permanent rows-only
     entries park at the tail. Five trivial stale rows

@@ -404,3 +404,34 @@ def test_rolling_corr_rejects_float_inputs(spark):
     df = spark.createDataFrame([("s", 0, 1.5, 2)], ["k", "ts", "x", "y"])
     with pytest.raises(ValueError, match="integer inputs"):
         rolling_corr(df, "x", "y", ["ts"], ["k"], window=3)
+
+
+# -------------------------------- composition with the tier read path
+
+
+def test_analytics_over_finalized_tier(spark, tmp_path):
+    """The monitoring chain the engine exists for: retention pipeline
+    writes the 1h tier → pruned snapshot read → seasonal anomaly +
+    CUSUM over n_points per url — the analytics ops must compose with
+    the lakehouse read path, not just raw frames."""
+    from lambdo_spark.rollup.analytics import anomaly_seasonal, cusum
+    from lambdo_spark.rollup.incremental import read_finalized_tier
+    from lambdo_spark.rollup.pipeline import run_retention_pipeline
+    from lambdo_spark.sources.pages import generate_pages
+
+    root = str(tmp_path / "tiers")
+    run_retention_pipeline(
+        spark, generate_pages(spark, 4000), root, enforce_audit=False
+    )
+    tier = read_finalized_tier(spark, root, "1h")
+    assert {"url", "bucket_s", "n_points"} <= set(tier.columns)
+    flagged = anomaly_seasonal(
+        tier, "n_points", "bucket_s", ["url"], lookback=7, min_prior=2,
+        threshold=2.0,
+    )
+    out = flagged.select("url", "bucket_s", "zscore", "is_anomaly").toPandas()
+    assert len(out) == tier.count()  # one verdict per tier row
+    assert out["is_anomaly"].isin([True, False]).all()
+    scored = cusum(tier, "n_points", ["bucket_s"], ["url"])
+    pdf = scored.select("cusum_pos", "cusum_neg").toPandas()
+    assert (pdf["cusum_pos"] >= 0).all() and (pdf["cusum_neg"] >= 0).all()

@@ -797,10 +797,22 @@ class Workflow:
                 bucket_col=tdef.get("bucket_col", "bucket_s"),
             )
         if op == "ewma":
+            src = self.tables[tdef["source"]]
+            if src.isStreaming:
+                # stateful twin: same recursion, incremental state
+                # (streaming/smoothing.py); requires single key + ts
+                from lambdo_spark.streaming.smoothing import streaming_ewma
+
+                (key,) = tdef["keys"]
+                return streaming_ewma(
+                    src, float(tdef["alpha"]), key_col=key,
+                    ts_col=tdef.get("ts", tdef["order"][0]),
+                    value_col=tdef["value"],
+                )
             from lambdo_spark.rollup.analytics import ewma
 
             return ewma(
-                self.tables[tdef["source"]], tdef["value"], tdef["order"],
+                src, tdef["value"], tdef["order"],
                 tdef["keys"], float(tdef["alpha"]),
                 output=tdef.get("output", "ewma"),
                 adjust=bool(tdef.get("adjust", True)),
@@ -817,10 +829,21 @@ class Workflow:
                 threshold=float(tdef.get("threshold", 3.0)),
             )
         if op == "cusum":
+            src = self.tables[tdef["source"]]
+            if src.isStreaming:
+                from lambdo_spark.streaming.detect import streaming_cusum
+
+                (key,) = tdef["keys"]
+                return streaming_cusum(
+                    src, int(tdef.get("target", 0)),
+                    slack=int(tdef.get("slack", 0)), key_col=key,
+                    ts_col=tdef.get("ts", tdef["order"][0]),
+                    value_col=tdef["value"],
+                )
             from lambdo_spark.rollup.analytics import cusum
 
             return cusum(
-                self.tables[tdef["source"]], tdef["value"], tdef["order"],
+                src, tdef["value"], tdef["order"],
                 tdef["keys"], target=tdef.get("target"),
                 slack=tdef.get("slack", 0),
             )

@@ -345,3 +345,62 @@ def test_stream_source_schema_inference_respects_csv_options(spark, tmp_path):
     assert df.isStreaming
     assert df.columns == ["url", "n"]
     assert dict(df.dtypes)["n"] in ("int", "bigint")
+
+
+def test_workflow_stream_ewma_and_cusum(spark, tmp_path):
+    """The ewma/cusum workflow ops dispatch to their stateful twins on
+    a streaming source; emitted rows must equal the batch recursions
+    over the (single-file) processed prefix."""
+    import datetime as dt
+    import glob
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [("u", dt.datetime(2024, 1, 1, 0, m), float(v))
+            for m, v in enumerate([10, 20, 5, 40, 15])]
+    spark.createDataFrame(rows, "k string, ts timestamp, v double").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+        os.path.join(src, "e-0.parquet"),
+    )
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    spec = (
+        '{"tables": ['
+        '{"id": "ev", "operation": "source", "format": "parquet",'
+        f' "path": "{src}", "stream": true,'
+        ' "schema": "k string, ts timestamp, v double"},'
+        '{"id": "sm", "operation": "ewma", "source": "ev",'
+        ' "keys": ["k"], "value": "v", "order": ["ts"], "alpha": 0.4},'
+        '{"id": "cs", "operation": "cusum", "source": "ev",'
+        ' "keys": ["k"], "value": "v", "order": ["ts"],'
+        ' "target": 15, "slack": 2},'
+        '{"id": "s1", "operation": "stream_sink", "source": "sm",'
+        f' "path": "{out1}", "checkpoint": "{ck1}"}},'
+        '{"id": "s2", "operation": "stream_sink", "source": "cs",'
+        f' "path": "{out2}", "checkpoint": "{ck2}"}}'
+        "]}"
+    )
+    wf = Workflow(spec, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+
+    vals = [10.0, 20.0, 5.0, 40.0, 15.0]
+    sm = spark.read.parquet(out1).toPandas().sort_values("ts_s")
+    exp = pd.Series(vals).ewm(alpha=0.4, adjust=True).mean()
+    assert [round(x, 9) for x in sm["ewma"]] == [round(x, 9) for x in exp]
+
+    cs = spark.read.parquet(out2).toPandas().sort_values("ts_s")
+    sp = sn = 0
+    exp_p, exp_n = [], []
+    for v in vals:
+        sp = max(0, sp + (int(v) - 15 - 2))
+        sn = max(0, sn - (int(v) - 15 + 2))
+        exp_p.append(sp)
+        exp_n.append(sn)
+    assert list(cs["cusum_pos"]) == exp_p
+    assert list(cs["cusum_neg"]) == exp_n

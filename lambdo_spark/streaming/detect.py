@@ -20,7 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -90,6 +92,142 @@ def _make_detector(target: int, slack: int, ts_col: str, value_col: str):
         yield pd.DataFrame(out)
 
     return fn
+
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("bucket_s", LongType()),
+        StructField("value", LongType()),
+        StructField("baseline_mean", DoubleType()),
+        StructField("n_prior", LongType()),
+        StructField("zscore", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+        StructField("late", BooleanType()),
+    ]
+)
+
+# ring buffer of the last `lookback` same-phase points, bucket-sorted
+ANOMALY_STATE = StructType(
+    [
+        StructField("buckets", ArrayType(LongType())),
+        StructField("values", ArrayType(LongType())),
+    ]
+)
+
+
+def _make_seasonal(lookback: int, min_prior: int, threshold: float,
+                   bucket_col: str, value_col: str):
+    import numpy as np
+
+    def fn(key, pdfs, state: GroupState):
+        k = key[0]
+        frames = [pdf for pdf in pdfs]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        order = pdf[[bucket_col, value_col]].sort_values(
+            [bucket_col, value_col], kind="mergesort"
+        )
+        if state.exists:
+            bufb, bufv = [list(x) for x in state.get]
+        else:
+            bufb, bufv = [], []
+        newest = bufb[-1] if bufb else None
+        out = {c: [] for c in ("key", "bucket_s", "value", "baseline_mean",
+                               "n_prior", "zscore", "is_anomaly", "late")}
+        for b, v in zip(
+            order[bucket_col].astype("int64").to_numpy(),
+            order[value_col].astype("int64").to_numpy(),
+        ):
+            b, v = int(b), int(v)
+            prior = [x for bb, x in zip(bufb, bufv) if bb < b][-lookback:]
+            n = len(prior)
+            if n >= min_prior:
+                arr = np.asarray(prior, dtype=np.float64)
+                mean = float(arr.mean())
+                sd = float(arr.std(ddof=1)) if n >= 2 else 0.0
+                z = (v - mean) / sd if sd > 0 else None
+            else:
+                mean = float(np.mean(prior)) if prior else None
+                z = None
+            out["key"].append(k)
+            out["bucket_s"].append(b)
+            out["value"].append(v)
+            out["baseline_mean"].append(mean)
+            out["n_prior"].append(n)
+            out["zscore"].append(z)
+            out["is_anomaly"].append(z is not None and abs(z) > threshold)
+            out["late"].append(newest is not None and b < newest)
+            # insert in bucket order, trim to the lookback window
+            i = len(bufb)
+            while i > 0 and bufb[i - 1] > b:
+                i -= 1
+            bufb.insert(i, b)
+            bufv.insert(i, v)
+            if len(bufb) > lookback:
+                bufb, bufv = bufb[-lookback:], bufv[-lookback:]
+            newest = bufb[-1]
+        state.update((bufb, bufv))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_anomaly(
+    stream: DataFrame,
+    period_s: int = 86400,
+    lookback: int = 7,
+    min_prior: int = 3,
+    threshold: float = 3.0,
+    key_col: str = "key",
+    bucket_col: str = "bucket_s",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``analytics.anomaly_seasonal``: flags each
+    bucketed point against the trailing same-phase baseline.
+
+    The group key is (key, phase) — phase = bucket % period — so the
+    state store holds one ``lookback``-deep ring buffer per
+    (series, hour-of-day): exactly the window the batch op reads, and
+    identical verdicts when points arrive in bucket order (pinned).
+    A point whose bucket regresses the phase's newest is flagged
+    ``late``; its baseline uses whatever older same-phase points the
+    buffer still holds (the batch op re-reads history a stream cannot).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.concat_ws(
+            "␟",
+            F.col(key_col).cast("string"),
+            (F.col(bucket_col) % F.lit(int(period_s))).cast("string"),
+        ).alias("_gk"),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(bucket_col),
+        F.col(value_col),
+    )
+
+    fn = _make_seasonal(
+        int(lookback), int(min_prior), float(threshold), bucket_col, value_col
+    )
+
+    def fn_keyed(key, pdfs, state):
+        frames = [pdf for pdf in pdfs]
+        if not frames:
+            return
+        # real series key rides in the rows; the group key is (key, phase)
+        first = frames[0]
+        real_key = first["key"].iloc[0]
+        yield from fn((real_key,), iter(frames), state)
+
+    return keyed.groupBy("_gk").applyInPandasWithState(
+        fn_keyed,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_cusum(

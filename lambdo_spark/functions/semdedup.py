@@ -44,13 +44,21 @@ def seeded_centroids(
 ) -> tuple[np.ndarray, list]:
     """Deterministic k seed vectors: smallest ``md5(cast(id as
     string))`` wins (ties by id). Returns (k×dim float64 matrix,
-    centroid ids in matrix-row order). O(k·dim) driver bytes."""
+    centroid ids in matrix-row order). O(k·dim) driver bytes.
+
+    The matrix rows are sorted by centroid ID (not md5-sample order):
+    ``ivf_assign_udf``'s argmax breaks exact-similarity ties by first
+    matrix row, so id-ordered rows make ties resolve to the SMALLEST
+    centroid id — the same tie-break the DuckDB oracle's ``ORDER BY
+    sim DESC, cid`` uses, keeping duplicate-embedding seeds
+    engine-identical."""
     rows = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(int(k))
         .collect()
     )
+    rows = sorted(rows, key=lambda r: r["_id"])
     mat = np.array([r["_v"] for r in rows], dtype=np.float64)
     return mat, [r["_id"] for r in rows]
 
@@ -61,11 +69,25 @@ def assign_clusters(
     centroid_ids: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_super: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """(id, vector, cluster_id) — cluster_id is the CENTROID's id (not
     a positional index), so the labeling is stable under any centroid
-    ordering. One Arrow matmul pass, zero shuffle."""
-    assign = ivf_assign_udf(centroids, nprobe=1)
+    ordering. One Arrow matmul pass, zero shuffle.
+
+    ``n_super`` routes assignment through the two-level codebook
+    (``similarity.hier_assign_udf``): O(√k·dim) per row instead of
+    O(k·dim) — the scale path once k passes ~10^4 (N ~ 10^8 docs at
+    the k ≈ √N prescription). Approximate (recall tuned by
+    ``probes``); the default flat path stays exact and is the oracled
+    configuration."""
+    if n_super is not None:
+        from lambdo_spark.functions.similarity import hier_assign_udf
+
+        assign = hier_assign_udf(centroids, n_super=n_super, probes=probes)
+    else:
+        assign = ivf_assign_udf(centroids, nprobe=1)
     spark = emb.sparkSession
     cmap = spark.createDataFrame(
         [(i, cid) for i, cid in enumerate(centroid_ids)], ["_cell", "cluster_id"]
@@ -86,6 +108,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "matmul",
+    n_super: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Survivors of within-cluster cosine dedup: (id, cluster_id) for
     every row NOT dominated by a smaller-id row ≥ ``tau`` similar in
@@ -116,7 +140,9 @@ def semdedup(
         cids = list(range(len(cents)))
     else:
         cents, cids = seeded_centroids(emb, k, id_col, vec_col)
-    assigned = assign_clusters(emb, cents, cids, id_col, vec_col)
+    assigned = assign_clusters(
+        emb, cents, cids, id_col, vec_col, n_super=n_super, probes=probes
+    )
 
     if method == "matmul":
         return _semdedup_matmul(assigned, tau, id_col, vec_col)

@@ -235,6 +235,103 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
     return _udf
 
 
+def super_codebook(
+    centroids: np.ndarray, n_super: int, iters: int = 4
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Coarse quantizer OVER the codebook: driver-side numpy k-means
+    of the k centroids into ``n_super`` super-cells (k ≤ ~10^5, so
+    this is microseconds — the corpus never sees it).
+
+    Deterministic, RNG-free: init = evenly spaced rows of the
+    id-ordered centroid matrix, then ``iters`` spherical Lloyd passes
+    (normalized means, cosine argmax, first-index tie-break). Returns
+    (n_super × dim matrix, member centroid-row-indices per super-cell,
+    each ascending so cross-cell tie-breaks stay in id order)."""
+    c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    k = len(c)
+    n_super = min(int(n_super), k)
+    idx = np.round(np.linspace(0, k - 1, n_super)).astype(np.int64)
+    sc = c[idx].copy()
+    for _ in range(max(0, int(iters))):
+        sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(c @ sc.T, axis=1)
+        for s in range(n_super):
+            mask = assign == s
+            if mask.any():
+                sc[s] = c[mask].mean(axis=0)
+    sc /= np.maximum(np.linalg.norm(sc, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(c @ sc.T, axis=1)
+    members = [np.where(assign == s)[0] for s in range(n_super)]
+    return sc, members
+
+
+def hier_assign_udf(
+    centroids: np.ndarray,
+    n_super: int | None = None,
+    probes: int = 1,
+    iters: int = 4,
+):
+    """array<float> -> array<int>: [nearest centroid row-index] via a
+    TWO-LEVEL codebook — route each vector to its ``probes`` nearest
+    super-cells (n_super ≈ √k), then exact cosine argmax over only
+    those cells' member centroids.
+
+    Per-row cost O((n_super + probes·k/n_super)·dim) instead of the
+    flat O(k·dim): with n_super = √k that is O(√k·dim) — the term
+    that keeps SemDeDup's k ≈ √N prescription viable past 10^9 docs
+    (k ~ 10^4–10^5), where the flat matmul stops being free.
+    Approximate by construction (the true nearest centroid can sit in
+    an unprobed super-cell; raise ``probes`` for recall —
+    probes = n_super is exhaustive and exactly equals the flat
+    assignment). Tie-breaks match ``ivf_assign_udf``: first matrix
+    row wins, so id-ordered centroid matrices resolve ties to the
+    smallest centroid id, cross-engine stable."""
+    c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    k = len(c)
+    if n_super is None:
+        n_super = max(1, int(np.sqrt(k)))
+    sc, members = super_codebook(centroids, n_super, iters)
+    n_super = len(sc)
+    probes = max(1, min(int(probes), n_super))
+
+    @pandas_udf("array<int>")
+    def _udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n = len(m)
+        coarse = m @ sc.T  # (n, n_super)
+        if probes == 1:
+            probed = np.argmax(coarse, axis=1)[:, None]
+        else:
+            probed = np.argsort(-coarse, axis=1, kind="stable")[:, :probes]
+        best_sim = np.full(n, -np.inf)
+        best_idx = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for s in range(n_super):
+            mem = members[s]
+            if len(mem) == 0:
+                continue
+            rows = np.nonzero((probed == s).any(axis=1))[0]
+            if len(rows) == 0:
+                continue
+            sims = m[rows] @ c[mem].T  # (|rows|, |mem|)
+            loc = np.argmax(sims, axis=1)  # first-index tie-break
+            sim = sims[np.arange(len(rows)), loc]
+            cand = mem[loc]
+            take = (sim > best_sim[rows]) | (
+                (sim == best_sim[rows]) & (cand < best_idx[rows])
+            )
+            upd = rows[take]
+            best_sim[upd] = sim[take]
+            best_idx[upd] = cand[take]
+        return pd.Series(list(best_idx.astype(np.int32)[:, None]))
+
+    return _udf
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -804,10 +804,15 @@ class Workflow:
                 from lambdo_spark.streaming.smoothing import streaming_ewma
 
                 (key,) = tdef["keys"]
+                # "ts" alone is a valid streaming spec — only reach
+                # for order[0] when ts is absent (a dict.get default
+                # would evaluate tdef["order"] eagerly and KeyError).
                 return streaming_ewma(
                     src, float(tdef["alpha"]), key_col=key,
-                    ts_col=tdef.get("ts", tdef["order"][0]),
+                    ts_col=(tdef["ts"] if "ts" in tdef
+                            else tdef["order"][0]),
                     value_col=tdef["value"],
+                    state_ttl_s=tdef.get("state_ttl_s"),
                 )
             from lambdo_spark.rollup.analytics import ewma
 
@@ -831,6 +836,7 @@ class Workflow:
                     threshold=float(tdef.get("threshold", 3.0)),
                     key_col=key, bucket_col=tdef["bucket"],
                     value_col=tdef["value"],
+                    state_ttl_s=tdef.get("state_ttl_s"),
                 )
             from lambdo_spark.rollup.analytics import anomaly_seasonal
 
@@ -851,8 +857,10 @@ class Workflow:
                 return streaming_cusum(
                     src, int(tdef.get("target", 0)),
                     slack=int(tdef.get("slack", 0)), key_col=key,
-                    ts_col=tdef.get("ts", tdef["order"][0]),
+                    ts_col=(tdef["ts"] if "ts" in tdef
+                            else tdef["order"][0]),
                     value_col=tdef["value"],
+                    state_ttl_s=tdef.get("state_ttl_s"),
                 )
             from lambdo_spark.rollup.analytics import cusum
 
@@ -867,6 +875,7 @@ class Workflow:
             return corr_pairs(
                 self.tables[tdef["source"]], tdef["value"], tdef["series"],
                 tdef["bucket"], min_buckets=int(tdef.get("min_buckets", 2)),
+                max_series=tdef.get("max_series", 1000),
             )
         if op == "holt_winters":
             from lambdo_spark.rollup.analytics import holt_winters

@@ -67,8 +67,11 @@ def ewma(
     ``order_cols`` must totally order rows within a key (include a
     unique id when the timestamp alone can tie): the weights are
     row-position based, so an ambiguous order is an ambiguous result.
-    NULL values are carried through untouched and do not advance the
-    weighting (pandas ``ignore_na=False`` semantics).
+    NULL values add no weight but STILL decay the prior weights
+    (pandas ``ignore_na=False``): a null row re-emits the prior
+    smoothed value, and the gap discounts older observations against
+    the next real one (test_ewma_null_passthrough pins y_2 = 18, not
+    the gap-ignoring 15).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -372,6 +375,7 @@ def corr_pairs(
     series_col: str,
     bucket_col: str,
     min_buckets: int = 2,
+    max_series: int | None = 1000,
 ) -> DataFrame:
     """Pearson correlation between every unordered pair of series over
     the buckets BOTH series observed.
@@ -382,7 +386,25 @@ def corr_pairs(
     keep one row per unordered pair, then one algebraic ``corr``
     aggregate. Pairs sharing fewer than ``min_buckets`` buckets are
     dropped (corr is NULL/degenerate there).
+
+    SCALE GUARD: the intermediate is |series|²·|buckets|/2 rows —
+    right for monitoring-scale series counts (hundreds), quadratic
+    ruin at thousands. ``max_series`` (default 1000) counts the
+    distinct series first (one cheap aggregate) and raises rather
+    than silently launching an O(|series|²) shuffle; raise the bound
+    deliberately, or pre-select series (top-k by variance, a
+    metadata filter) before calling.
     """
+    if max_series is not None:
+        n_series = df.select(series_col).distinct().count()
+        if n_series > int(max_series):
+            raise ValueError(
+                f"corr_pairs: {n_series} distinct series exceeds "
+                f"max_series={max_series}; the pair join is "
+                f"O(|series|^2 · |buckets|). Pre-filter the series "
+                f"(e.g. top-k by variance) or pass a higher "
+                f"max_series explicitly."
+            )
     a = df.select(
         F.col(series_col).alias("series_a"),
         F.col(bucket_col).alias("_b"),

@@ -435,3 +435,17 @@ def test_analytics_over_finalized_tier(spark, tmp_path):
     scored = cusum(tier, "n_points", ["bucket_s"], ["url"])
     pdf = scored.select("cusum_pos", "cusum_neg").toPandas()
     assert (pdf["cusum_pos"] >= 0).all() and (pdf["cusum_neg"] >= 0).all()
+
+
+def test_corr_pairs_max_series_guard(spark):
+    """More distinct series than max_series must raise loudly (the
+    pair join is quadratic in series count), and the bound must be
+    raisable / disablable deliberately."""
+    import pytest as _pytest
+
+    rows = [(f"s{i}", b, float(i + b)) for i in range(6) for b in range(3)]
+    df = spark.createDataFrame(rows, ["series", "bucket", "v"])
+    with _pytest.raises(ValueError, match="max_series"):
+        corr_pairs(df, "v", "series", "bucket", max_series=5)
+    # explicit higher bound (or None) proceeds
+    assert corr_pairs(df, "v", "series", "bucket", max_series=None).count() > 0

@@ -128,3 +128,18 @@ def test_min_count_prunes_rare_words(docs):
     chars = set("lownew" + END)
     for a, b in merges:
         assert set(a) | set(b) <= set("lownew</>")
+
+
+def test_train_incremental_equals_recount(docs):
+    """The delta-maintained pair statistics must reproduce the exact
+    merge sequence of the full re-count form (and both the
+    independent Python reference), including through a checkpoint
+    boundary."""
+    inc = train_bpe(docs, 12, mode="incremental", checkpoint_every=3)
+    rec = train_bpe(docs, 12, mode="recount", checkpoint_every=3)
+    assert inc == rec == _py_train(CORPUS, 12)[0]
+
+
+def test_train_unknown_mode_raises(docs):
+    with pytest.raises(ValueError):
+        train_bpe(docs, 2, mode="driver")

@@ -39,8 +39,12 @@ def _py_md5_order(rows, k):
 
 
 def test_seeded_centroids_md5_order(emb):
+    # the seed SET is the md5-smallest k; matrix rows are then sorted
+    # by centroid id so argmax ties resolve to the smallest id (the
+    # DuckDB oracle's tie-break)
     mat, ids = seeded_centroids(emb, 4)
-    assert ids == _py_md5_order(_corpus(), 4)
+    assert ids == sorted(_py_md5_order(_corpus(), 4))
+    assert ids == sorted(ids)
     assert mat.shape == (4, 16)
     lookup = dict(_corpus())
     np.testing.assert_allclose(mat[0], lookup[ids[0]], rtol=1e-6)

@@ -66,8 +66,20 @@ def _run(spark, schema, src, op_name, build, ckpt_root, sink_path=None):
     t0 = time.time()
     q = w.trigger(availableNow=True).start()
     q.awaitTermination(1800)
+    wall = round(time.time() - t0, 3)
+    # state-store telemetry from the final micro-batch: total keys
+    # resident and store memory — the state-size evidence for the
+    # unbounded-key-domain discussion (see state_ttl_s)
+    state = {}
+    p = q.lastProgress
+    if p and p.get("stateOperators"):
+        so = p["stateOperators"][0]
+        state = {
+            "state_rows": so.get("numRowsTotal"),
+            "state_memory_bytes": so.get("memoryUsedBytes"),
+        }
     q.stop()
-    return round(time.time() - t0, 3)
+    return wall, state
 
 
 def main() -> None:
@@ -109,10 +121,12 @@ def main() -> None:
         assert got == 100_000, (name, got)
         print(f"validated {name}: 100000 rows out", file=sys.stderr)
 
-    walls = {}
+    walls, states = {}, {}
     for name, build in ops.items():
-        walls[name] = _run(spark, schema, src, name, build, ckpt_root)
-        print(f"{name}: {walls[name]}s", file=sys.stderr)
+        walls[name], states[name] = _run(
+            spark, schema, src, name, build, ckpt_root
+        )
+        print(f"{name}: {walls[name]}s {states[name]}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -122,6 +136,7 @@ def main() -> None:
                 "cpus": cpus,
                 "walls_sec": walls,
                 "rows_per_sec": {k: int(N / v) for k, v in walls.items()},
+                "state": states,
             }
         )
     )

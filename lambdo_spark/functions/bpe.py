@@ -207,6 +207,12 @@ def _train_incremental(
     del checkpoint_every
     syms = _with_marker(base).localCheckpoint(eager=True)
     pc = _pair_counts(syms).localCheckpoint(eager=True)
+    # union doubles the RDD partition count (affected ∪ unaffected
+    # both descend from syms), and localCheckpoint PRESERVES it — left
+    # unbounded that is 2^merges partitions (a 1000-merge run died in
+    # a 2^20-task stage before this coalesce). pc is immune: its
+    # groupBy re-shuffles to spark.sql.shuffle.partitions every round.
+    n_parts = max(1, syms.rdd.getNumPartitions())
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         best = pc.orderBy(F.desc("total"), "p0", "p1").limit(1).collect()
@@ -241,8 +247,11 @@ def _train_incremental(
             .where(F.col("total") > 0)
             .localCheckpoint(eager=True)
         )
-        syms = syms.where(~hit).unionByName(aff_new).localCheckpoint(
-            eager=True
+        syms = (
+            syms.where(~hit)
+            .unionByName(aff_new)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
         )
     return merges
 

@@ -31,7 +31,7 @@ def corpus(spark, sf_dir: str):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     pad = (
-        spark.range(0, 200_000)
+        spark.range(0, 100_000)
         .select(
             F.concat(
                 F.lit("w"),
@@ -52,11 +52,14 @@ def main() -> None:
     ap.add_argument("--merges", type=int, default=1000)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    ap.add_argument("--recount-merges", type=int, default=16,
+    ap.add_argument("--recount-merges", type=int, default=8,
                     help="merge count for the recount-mode comparison")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="bench_bpe_merges")
+    spark = get_spark(
+        app_name="bench_bpe_merges",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from lambdo_spark.functions import bpe
@@ -83,6 +86,7 @@ def main() -> None:
 
         syms = bpe._with_marker(base).localCheckpoint(eager=True)
         pc = bpe._pair_counts(syms).localCheckpoint(eager=True)
+        n_parts = max(1, syms.rdd.getNumPartitions())
         merges = []
         for _ in range(num_merges):
             t0 = time.time()
@@ -115,10 +119,20 @@ def main() -> None:
                 .where(F.col("total") > 0)
                 .localCheckpoint(eager=True)
             )
-            syms = syms.where(~hit).unionByName(aff_new).localCheckpoint(
-                eager=True
+            syms = (
+                syms.where(~hit)
+                .unionByName(aff_new)
+                .coalesce(n_parts)
+                .localCheckpoint(eager=True)
             )
             walls.append(time.time() - t0)
+            if len(walls) % 50 == 0:
+                w = walls[-50:]
+                print(
+                    f"merge {len(walls)}: last-50 mean "
+                    f"{sum(w) / len(w):.2f}s",
+                    file=sys.stderr, flush=True,
+                )
         return merges
 
     from pyspark.sql import functions as F
